@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Analytics
+
+/** Oracle-checked registrations for the relational analytics operators
+  * (SURVEY.md §2.I). Oracle SQL is DuckDB dialect over the same sf
+  * parquet tables the Spark side reads.
+  *
+  * Decimal discipline (so hashes match bit-for-bit): every money/quantity
+  * double is cast to a tight exact DECIMAL *before* aggregation on BOTH
+  * sides (the raw data is 2-decimal), and every aggregate output gets an
+  * explicit final CAST so Spark and DuckDB agree on result type. Raw
+  * doubles only pass through unmodified (top-k projections) where both
+  * engines emit identical bits.
+  */
+object AnalyticsQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> ((s, d) => Analytics.pricingSummary(s, d)),
+    "q_join_enrich" -> ((s, d) => Analytics.revenueByNation(s, d)),
+    "q_agg_rollup" -> ((s, d) => Analytics.pricingRollup(s, d)),
+    "q_topk" -> ((s, d) => Analytics.topOrders(s, d)),
+    "q_window_rank" -> ((s, d) => Analytics.topOrdersPerCustomer(s, d)),
+    "q_window_running" -> ((s, d) => Analytics.runningSpend(s, d)),
+    "q_join_semi_anti" -> ((s, d) => Analytics.customerActivity(s, d)),
+    "q_set_ops" -> ((s, d) => Analytics.segmentSetOps(s, d)),
+    "q_events_window" -> ((s, d) => Analytics.eventsDaily(s, d)),
+    "q_events_sessionize" -> ((s, d) => Analytics.eventsSessionized(s, d)),
+    "q_events_json" -> ((s, d) => Analytics.eventsPropsDistribution(s, d))
+  )
+
+  private val discPrice =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+         |CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+         |CAST(sum($discPrice) AS DECIMAL(38,4)) AS sum_disc_price,
+         |CAST(sum($discPrice * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS sum_charge,
+         |count(*) AS n_rows
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_enrich" ->
+      s"""SELECT r_name, n_name,
+         |CAST(sum($discPrice) AS DECIMAL(38,4)) AS revenue,
+         |count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY r_name, n_name""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS INTEGER) AS gid,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |count(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2))
+        |  AS running_spend
+        |FROM orders""".stripMargin,
+
+    "q_join_semi_anti" ->
+      """SELECT c_custkey, 'active_1996' AS status FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01')
+        |UNION ALL
+        |SELECT c_custkey, 'inactive_1996' AS status FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01')""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH s95 AS (SELECT DISTINCT c_mktsegment, c_nationkey
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  WHERE year(o_orderdate) = 1995),
+        |s97 AS (SELECT DISTINCT c_mktsegment, c_nationkey
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  WHERE year(o_orderdate) = 1997)
+        |SELECT c_mktsegment, c_nationkey, 'in_both' AS set_op
+        |  FROM (SELECT * FROM s95 INTERSECT SELECT * FROM s97)
+        |UNION ALL
+        |SELECT c_mktsegment, c_nationkey, 'only_1995' AS set_op
+        |  FROM (SELECT * FROM s95 EXCEPT SELECT * FROM s97)""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |event_type, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_events_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS session_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    "q_events_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |count(*) AS n FROM events GROUP BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Relational analytics operators over the star schema (SURVEY.md §2.I:
+  * joins, aggregates, rollups, top-k, windows, set ops). These extend the
+  * reference surface — the reference's only SQL is INSERT/SELECT * — but
+  * reuse its semantics: exact decimal arithmetic everywhere money flows
+  * (reference `README.md:292`), never Double.
+  *
+  * Scale notes (designed for 100 TB, tested at sf0.1):
+  *   - Aggregations are hash aggregates with map-side partial combine;
+  *     group counts here are tiny (≤ cardinality of flag×status), so the
+  *     shuffle moves partial buffers, not rows.
+  *   - Joins: dimension tables (nation 25 rows, region 5) are explicitly
+  *     `broadcast()`; the lineitem⋈orders fact-fact join shuffles on the
+  *     join key and AQE handles skew/coalescing at runtime.
+  *   - Top-k compiles to TakeOrderedAndProject: per-partition heaps of k
+  *     rows, no global sort, no full shuffle.
+  *   - Windows shuffle once on the partition key; all window functions
+  *     over the same (key, order) share that single exchange.
+  */
+object Analytics {
+
+  /** Exact money type: the data carries 2-decimal values (verified across
+    * all double columns), so DECIMAL(18,2) ingests them losslessly.
+    */
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  /** I7/q1 — pricing summary (TPC-H Q1 shape): scan-heavy group-by with
+    * exact decimal sums. One wide scan, map-side combine, 6-group result.
+    */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).cast("decimal(38,2)").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("decimal(38,2)").as("sum_base_price"),
+        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+          .cast("decimal(38,4)").as("sum_disc_price"),
+        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))
+          * (lit(1) + dec("l_tax"))).cast("decimal(38,6)").as("sum_charge"),
+        count(lit(1)).as("n_rows"))
+
+  /** I6 — star-schema enrichment join: lineitem⋈orders (fact-fact,
+    * shuffle) then customer (shuffle at scale) and nation/region
+    * (broadcast — 25 and 5 rows at any scale factor). The orderdate
+    * predicate pushes down to the orders parquet scan before the join.
+    */
+  def revenueByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01")
+        && col("o_orderdate") < lit("1997-01-01"))
+    val cust = Tables.customer(spark, sfDir)
+    val nat = broadcast(Tables.nation(spark, sfDir))
+    val reg = broadcast(Tables.region(spark, sfDir))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+          .cast("decimal(38,4)").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** I7 — hierarchical rollup: (flag, status) → flag subtotals → grand
+    * total, with an explicit grouping id so the levels are addressable.
+    */
+  def pricingRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("int").as("gid"),
+        sum(dec("l_quantity")).cast("decimal(38,2)").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+
+  /** Top-k: highest-value orders, deterministic tie-break on the key.
+    * Plans as TakeOrderedAndProject — no global sort at any scale.
+    */
+  def topOrders(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+
+  /** Window ranking: top-3 orders per customer. One shuffle on custkey;
+    * rank + filter prune inside the window operator.
+    */
+  def topOrdersPerCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+  }
+
+  /** Running per-customer spend — cumulative window aggregate with exact
+    * decimals, ordered by (date, key) for determinism.
+    */
+  def runningSpend(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(dec("o_totalprice")).over(w).cast("decimal(38,2)").as("running_spend"))
+  }
+
+  /** Semi/anti joins: segment customers by 1996 order activity. At scale
+    * these stay shuffle joins on the key; no data is widened (semi/anti
+    * never duplicate the probe side).
+    */
+  def customerActivity(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val o96 = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01")
+        && col("o_orderdate") < lit("1997-01-01"))
+      .select(col("o_custkey"))
+    val active = cust.join(o96, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("active_1996").as("status"))
+    val inactive = cust.join(o96, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("inactive_1996").as("status"))
+    active.unionByName(inactive)
+  }
+
+  /** Set operations: market segments present in both 1995 and 1997 order
+    * cohorts (intersect) and the 1995-only remainder (except).
+    */
+  def segmentSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    def seg(yr: Int) = Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+        .filter(year(col("o_orderdate")) === yr).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment"), col("c_nationkey"))
+      .distinct()
+    val both = seg(1995).intersect(seg(1997))
+      .withColumn("set_op", lit("in_both"))
+    val only95 = seg(1995).except(seg(1997))
+      .withColumn("set_op", lit("only_1995"))
+    both.unionByName(only95)
+  }
+
+  /** I5 — tumbling daily event aggregation (the streaming-shaped table's
+    * batch form; `EventsStreaming` runs the same plan incrementally).
+    */
+  def eventsDaily(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec("value")).cast("decimal(38,2)").as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Sessionization: 30-minute-gap sessions per user — gaps-and-islands
+    * with lag + running sum over one (user_id, ts) exchange. Gap compare
+    * is in integer microseconds so engines agree exactly. The streaming
+    * analogue is `session_window` / flatMapGroupsWithState.
+    */
+  def eventsSessionized(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(spark, sfDir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_us").isNull ||
+          (unix_micros(col("ts")) - col("prev_us") > gapUs)).cast("int"))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("int"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        sum(dec("value")).cast("decimal(38,2)").as("session_value"))
+  }
+
+  /** Semi-structured props extraction: JSON field → typed column →
+    * distribution. `get_json_object` evaluates inside codegen; no UDF.
+    */
+  def eventsPropsDistribution(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+import graft.sources.Tables
+
+/** Invariant tests for the relational analytics operators at sf0.001
+  * (value-level correctness is the DuckDB oracle's job; these check the
+  * algebraic invariants and the physical plan shapes that must survive a
+  * 100 TB scale-up).
+  */
+class AnalyticsSpec extends SparkTestBase {
+  private val d = sf()
+
+  test("pricing summary partitions lineitem exactly") {
+    val total = Tables.lineitem(spark, d).count()
+    val byGroup = Analytics.pricingSummary(spark, d)
+      .agg(sum(col("n_rows"))).collect().head.getLong(0)
+    assert(byGroup === total)
+  }
+
+  test("rollup levels nest: grand total = sum of flag subtotals = sum of leaves") {
+    val r = Analytics.pricingRollup(spark, d).collect()
+    val leaves = r.filter(_.getAs[Int]("gid") == 0).map(_.getAs[Long]("n_rows")).sum
+    val flagSub = r.filter(_.getAs[Int]("gid") == 1).map(_.getAs[Long]("n_rows")).sum
+    val grand = r.filter(_.getAs[Int]("gid") == 3).map(_.getAs[Long]("n_rows")).sum
+    assert(leaves === flagSub && flagSub === grand)
+  }
+
+  test("top-k is ordered and bounded; plan is TakeOrderedAndProject") {
+    val rows = Analytics.topOrders(spark, d, 20).collect()
+    assert(rows.length === 20)
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+    val plan = Analytics.topOrders(spark, d, 20).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("window rank keeps at most 3 per customer") {
+    val over = Analytics.topOrdersPerCustomer(spark, d)
+      .groupBy(col("o_custkey")).count().filter(col("count") > 3).count()
+    assert(over === 0)
+  }
+
+  test("semi/anti split partitions customers") {
+    val cust = Tables.customer(spark, d).count()
+    val split = Analytics.customerActivity(spark, d)
+    assert(split.count() === cust)
+    assert(split.select(col("c_custkey")).distinct().count() === cust)
+  }
+
+  test("sessionization conserves events and respects the 30-minute gap") {
+    val events = Tables.events(spark, d).count()
+    val sess = Analytics.eventsSessionized(spark, d)
+    val inSessions = sess.agg(sum(col("n_events"))).collect().head.getLong(0)
+    assert(inSessions === events)
+  }
+
+  test("star join broadcasts the dimension tables and pushes the date filter") {
+    val plan = Analytics.revenueByNation(spark, d).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("o_orderdate"))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("FileScan") && l.contains("orders") && l.contains("1996-01-01")))
+  }
+
+  test("events nanosecond timestamps convert exactly (integer microseconds)") {
+    val ts = Tables.events(spark, d)
+      .agg(min(unix_micros(col("ts")))).collect().head.getLong(0)
+    // 2024-01-01T00:00:07.179575Z in microseconds
+    assert(ts >= 1704067200000000L && ts < 1706745600000000L)
+  }
+}
