@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Oracle-checked registrations for the text-analysis and deduplication
+  * operators. The DuckDB oracles rebuild the identical portable
+  * constructions (md5-based minhash/simhash, integer bit ops, no
+  * division) with list comprehensions, so values — not just shapes —
+  * must agree.
+  */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
+    "q_token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
+    "q_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
+    "q_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "q_doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    "q_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "q_dedup_near" -> ((s, d) => Dedup.near(s, d)),
+    "q_dedup_minhash" -> ((s, d) => Dedup.minhashBands(s, d)),
+    "q_dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
+    "q_dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d))
+  )
+
+  /** Shared DuckDB CTE fragments (must mirror TextFunctions exactly). */
+  private val baseCte =
+    """base AS (SELECT doc_id, source, text, n_chars,
+      |  lower(trim(text)) AS norm,
+      |  regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents)""".stripMargin
+
+  private val shinglesCte =
+    """sh AS (SELECT doc_id, source,
+      |  CASE WHEN len(toks) >= 3
+      |    THEN list_transform(range(len(toks)-2),
+      |           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+      |    ELSE [norm] END AS s
+      |  FROM base)""".stripMargin
+
+  private val bandsCte =
+    s"""WITH $baseCte, $shinglesCte,
+       |sig AS (SELECT doc_id,
+       |  list_transform(range(16),
+       |    i -> list_min(list_transform(s, x -> md5(CAST(i AS VARCHAR) || '|' || x)))) AS g
+       |  FROM sh),
+       |bands AS (SELECT doc_id, CAST(b AS INTEGER) AS band_id,
+       |  md5(g[b*4+1] || g[b*4+2] || g[b*4+3] || g[b*4+4]) AS band_key
+       |  FROM sig, range(4) r(b))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""WITH $baseCte
+         |SELECT doc_id, CAST(length(text) AS BIGINT) AS len_text,
+         |  length(text) = n_chars AS n_chars_ok,
+         |  CAST(len(toks) AS INTEGER) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq_tokens,
+         |  CAST(list_max(list_transform(toks, w -> length(w))) AS INTEGER) AS max_token_len
+         |FROM base""".stripMargin,
+
+    "q_token_count" ->
+      s"""WITH $baseCte
+         |SELECT doc_id,
+         |  CAST(len(toks) AS INTEGER) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS re_tokens,
+         |  CAST(length(regexp_replace(norm, '\\s', '', 'g')) AS INTEGER) AS n_chars_nospace
+         |FROM base""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH scored AS (SELECT doc_id, lang AS claimed_lang,
+        |  CAST(len(regexp_extract_all(lower(trim(text)), '[\x{4e00}-\x{9fff}]')) AS INTEGER) AS zh_n,
+        |  CAST(len(regexp_extract_all(lower(trim(text)), '\b(the|and|of|to|is)\b')) AS INTEGER) AS en_n,
+        |  CAST(len(regexp_extract_all(lower(trim(text)), '\b(el|la|los|de|que)\b')) AS INTEGER) AS es_n,
+        |  CAST(len(regexp_extract_all(lower(trim(text)), '\b(der|die|das|und|ist)\b')) AS INTEGER) AS de_n,
+        |  CAST(len(regexp_extract_all(lower(trim(text)), '\b(le|les|des|et|est)\b')) AS INTEGER) AS fr_n
+        |  FROM documents)
+        |SELECT *, pred_lang = claimed_lang AS lang_match FROM (
+        |  SELECT doc_id, claimed_lang, zh_n, en_n, es_n, de_n, fr_n,
+        |    CASE WHEN greatest(zh_n, en_n, es_n, de_n, fr_n) = 0 THEN 'und'
+        |      WHEN zh_n = greatest(zh_n, en_n, es_n, de_n, fr_n) THEN 'zh'
+        |      WHEN en_n = greatest(zh_n, en_n, es_n, de_n, fr_n) THEN 'en'
+        |      WHEN es_n = greatest(zh_n, en_n, es_n, de_n, fr_n) THEN 'es'
+        |      WHEN de_n = greatest(zh_n, en_n, es_n, de_n, fr_n) THEN 'de'
+        |      ELSE 'fr' END AS pred_lang
+        |  FROM scored)""".stripMargin,
+
+    "q_quality_score" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS INTEGER) AS n_tokens,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INTEGER) AS n_punct,
+        |  CAST(len(regexp_extract_all(lower(trim(text)), '\b(the|a|of|and|to)\b')) AS INTEGER) AS n_stopwords
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_chars, n_punct, n_stopwords,
+        |  CAST((n_tokens >= 10) AS INTEGER) + CAST((n_chars >= 50) AS INTEGER)
+        |  + CAST((n_punct * 20 <= n_chars) AS INTEGER)
+        |  + CAST((n_stopwords > 0) AS INTEGER) AS quality_score
+        |FROM m""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      s"""WITH $baseCte
+         |SELECT doc_id,
+         |  CAST(CAST(('0x' || substr(md5(norm), 1, 15)) AS UBIGINT) AS BIGINT) AS fp64,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(toks,
+         |        w -> CAST(CAST(('0x' || substr(md5(w), 1, 8)) AS UBIGINT) AS BIGINT))),
+         |    (a, b) -> (a * 1000003 + b) % 1000000007) AS rolling_fp
+         |FROM base""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+        |count(*) AS n_docs FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_near" ->
+      """SELECT md5(regexp_replace(regexp_replace(lower(trim(text)),
+        |  '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS norm_hash,
+        |min(doc_id) AS canonical_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""$bandsCte
+         |SELECT doc_id, band_id, band_key FROM bands""".stripMargin,
+
+    "q_dedup_minhash_pairs" ->
+      s"""$bandsCte
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.band_key = b.band_key
+         | AND a.doc_id < b.doc_id""".stripMargin,
+
+    "q_dedup_simhash" ->
+      """WITH h AS (SELECT doc_id,
+        |  list_transform(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    w -> md5(w)) AS hs
+        |  FROM documents),
+        |sim AS (SELECT doc_id, array_to_string(
+        |  list_transform(range(64), b -> CASE WHEN list_sum(
+        |    list_transform(hs, x ->
+        |      (((strpos('0123456789abcdef', substr(x, CAST(b//4 AS INTEGER)+1, 1)) - 1
+        |         >> CAST(b%4 AS INTEGER)) & 1) * 2 - 1))) > 0
+        |    THEN '1' ELSE '0' END), '') AS simhash
+        |  FROM h)
+        |SELECT doc_id, simhash, substr(simhash, 1, 16) AS bucket16 FROM sim""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH $baseCte, $shinglesCte,
+         |dsh AS (SELECT doc_id, source, list_distinct(s) AS s FROM sh)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_intersect(a.s, b.s)) AS INTEGER) AS n_inter,
+         |  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS INTEGER) AS n_union,
+         |  len(list_intersect(a.s, b.s)) * 10 >=
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 8 AS near_dup
+         |FROM dsh a JOIN dsh b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.s, b.s)) > 0""".stripMargin
+  )
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table: per-document
+  * statistics, token counting, language identification, quality scoring,
+  * and content fingerprinting (SURVEY.md §2.I4 + the driver's north-star
+  * LLM-pipeline surface).
+  *
+  * Everything here is a narrow per-row map over the corpus (higher-order
+  * functions, no UDFs, no shuffles) followed by at most one aggregation —
+  * the shape that scans 100 TB at I/O speed.
+  */
+object TextAnalysis {
+
+  /** Per-document statistics: sizes, token counts, vocabulary size,
+    * longest token, and a consistency check of the stored n_chars.
+    */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.documents(spark, sfDir)
+    val toks = wsTokens(col("text"))
+    t.select(
+      col("doc_id"),
+      length(col("text")).cast("bigint").as("len_text"),
+      (length(col("text")) === col("n_chars")).as("n_chars_ok"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_uniq_tokens"),
+      array_max(transform(toks, w => length(w))).as("max_token_len"))
+  }
+
+  /** Token counting three ways: whitespace tokens, BPE-ish regex tokens
+    * (letter runs ∣ digit runs ∣ single punctuation), and non-space
+    * character count — the denominators a tokenizer-budget pipeline needs.
+    */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      size(wsTokens(col("text"))).as("ws_tokens"),
+      patternCount(col("text"), "[a-z]+|[0-9]+|[^a-z0-9\\s]").as("re_tokens"),
+      length(regexp_replace(normText(col("text")), "\\s", "")).as("n_chars_nospace"))
+
+  private val langMarkers: Seq[(String, String)] = Seq(
+    "zh" -> "[\\x{4e00}-\\x{9fff}]",
+    "en" -> "\\b(the|and|of|to|is)\\b",
+    "es" -> "\\b(el|la|los|de|que)\\b",
+    "de" -> "\\b(der|die|das|und|ist)\\b",
+    "fr" -> "\\b(le|les|des|et|est)\\b")
+
+  /** Language ID by marker n-gram/stopword counts with a fixed precedence
+    * (zh > en > es > de > fr) on ties; zero evidence → 'und'. A heuristic,
+    * not a model — but a deterministic, engine-portable one.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.documents(spark, sfDir).select(
+      col("doc_id") +: col("lang").as("claimed_lang") +:
+        langMarkers.map { case (l, p) => patternCount(col("text"), p).as(s"${l}_n") }: _*)
+    val m = greatest(langMarkers.map { case (l, _) => col(s"${l}_n") }: _*)
+    val pred = langMarkers.foldLeft(when(m === 0, lit("und"))) {
+      case (acc, (l, _)) => acc.when(col(s"${l}_n") === m, lit(l))
+    }
+    scored.withColumn("pred_lang", pred)
+      .withColumn("lang_match", col("pred_lang") === col("claimed_lang"))
+  }
+
+  /** Quality scoring with integer-exact arithmetic (ratio thresholds are
+    * expressed as cross-multiplications so no engine ever divides):
+    * +1 each for: ≥10 tokens, ≥50 chars, punctuation ≤5% of chars,
+    * contains a common-English stopword.
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val nTokens = size(wsTokens(col("text")))
+    val nChars = length(col("text"))
+    val punct = nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    val stop = patternCount(col("text"), "\\b(the|a|of|and|to)\\b")
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      nTokens.as("n_tokens"), nChars.as("n_chars"),
+      punct.as("n_punct"), stop.as("n_stopwords"),
+      ((nTokens >= 10).cast("int") + (nChars >= 50).cast("int")
+        + (punct * 20 <= nChars).cast("int") + (stop > 0).cast("int"))
+        .as("quality_score"))
+  }
+
+  /** Content fingerprints: order-insensitive md5-prefix fingerprint plus
+    * an order-sensitive rolling hash over the token stream.
+    */
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fp64"),
+      rollingHash(col("text")).as("rolling_fp"))
+}

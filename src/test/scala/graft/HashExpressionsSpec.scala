@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{HashExpressions, TextFunctions}
+
+/** The custom Catalyst expressions (tight-loop eval) must agree exactly
+  * with the compositional higher-order-function definitions they replace
+  * — same portable semantics, two implementations.
+  */
+class HashExpressionsSpec extends SparkTestBase {
+  private val docs = () => sources.Tables.documents(spark, sf())
+
+  test("MinHashBandKeys equals the compositional minhash/band pipeline") {
+    val custom = docs().select(
+      col("doc_id"),
+      HashExpressions.minhash_band_keys(col("text")).as("bands"))
+    val composed = docs().select(
+      col("doc_id"),
+      TextFunctions.lshBands(
+        TextFunctions.minhashSig(TextFunctions.shingles3(col("text")))).as("bands"))
+    assert(custom.exceptAll(composed).count() === 0)
+    assert(composed.exceptAll(custom).count() === 0)
+  }
+
+  test("SimHash64 equals the compositional simhash fold") {
+    val custom = docs().select(
+      col("doc_id"), HashExpressions.simhash64(col("text")).as("s"))
+    val composed = docs().select(
+      col("doc_id"), TextFunctions.simhashBits("text").as("s"))
+    assert(custom.exceptAll(composed).count() === 0)
+  }
+
+  test("shingles3 matches the reference semantics on edge cases") {
+    import spark.implicits._
+    val edge = Seq("", "one", "one two", "one two three", "a  b   c d",
+      " padded  text here ").toDF("text")
+    val got = edge.select(TextFunctions.shingles3(col("text")).as("sh"))
+      .as[Seq[String]].collect()
+    assert(got(0) === Seq(""))                       // empty → whole norm
+    assert(got(1) === Seq("one"))
+    assert(got(2) === Seq("one two"))
+    assert(got(3) === Seq("one two three"))
+    assert(got(4) === Seq("a b c", "b c d"))         // multi-space collapse
+    assert(got(5) === Seq("padded text here"))       // trim first
+  }
+
+  test("fingerprints are stable and order-sensitive where documented") {
+    import spark.implicits._
+    val df = Seq("alpha beta gamma", "gamma beta alpha").toDF("text")
+    val fps = df.select(
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.rollingHash(col("text")).as("rh")).collect()
+    assert(fps(0).getLong(0) !== fps(1).getLong(0))  // content differs
+    assert(fps(0).getLong(1) !== fps(1).getLong(1))  // order differs
+    val again = df.select(TextFunctions.rollingHash(col("text"))).collect()
+    assert(again.map(_.getLong(0)).toSeq === fps.map(_.getLong(1)).toSeq)
+  }
+}

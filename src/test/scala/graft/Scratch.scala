@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc dev driver: `sbt "Test/runMain graft.Scratch <op> [sfDir]"`.
+  * Times individual operators and prints plans — forked JVM, so it
+  * avoids the sbt-console REPL/classloader clash with Spark 4.
+  */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+
+    def time(n: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime
+      val r = f
+      println(f"TIME $n rows=$r ${(System.nanoTime - t0) / 1e9}%.2f s")
+    }
+
+    args.headOption.getOrElse("all") match {
+      case "text" | "all" =>
+        time("minhash_bands") { operators.Dedup.minhashBands(spark, d).count() }
+        time("minhash_pairs") { operators.Dedup.minhashPairs(spark, d).count() }
+        time("simhash") { operators.Dedup.simhash(spark, d).count() }
+        time("ngram_jaccard") { operators.Dedup.ngramJaccard(spark, d).count() }
+        time("dedup_exact") { operators.Dedup.exact(spark, d).count() }
+        time("dedup_near") { operators.Dedup.near(spark, d).count() }
+        time("text_stats") { operators.TextAnalysis.textStats(spark, d).count() }
+        time("token_count") { operators.TextAnalysis.tokenCount(spark, d).count() }
+        time("lang_id") { operators.TextAnalysis.langId(spark, d).count() }
+        time("quality") { operators.TextAnalysis.qualityScore(spark, d).count() }
+        time("fingerprints") { operators.TextAnalysis.fingerprints(spark, d).count() }
+      case "explain" =>
+        SparkEntry.queries(args(2))(spark, d).explain("formatted")
+      case q =>
+        time(q) { SparkEntry.queries(q)(spark, d).count() }
+    }
+    spark.stop()
+  }
+}
