@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.operators.Similarity
+
+/** Oracle-checked registrations for embedding similarity search. The
+  * DuckDB oracles recompute cosine with explicit DOUBLE casts (DuckDB's
+  * list_dot_product accumulates in float32 — verified — so it cannot be
+  * the oracle), same formula dot/(sqrt(na)·sqrt(nb)), scores rounded to
+  * 6 dp on both sides; summation-order differences sit at ~1e-15.
+  */
+object SimilarityQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_topk" -> ((s, d) => Similarity.topK(s, d)),
+    "q_sim_lsh_buckets" -> ((s, d) =>
+      Similarity.lshBuckets(s, d).select(col("vec_id"), col("label"), col("bucket"))),
+    "q_sim_topk_lsh" -> ((s, d) => Similarity.topKLsh(s, d)),
+    "q_dedup_embedding" -> ((s, d) => Similarity.nearestPairPerLabel(s, d))
+  )
+
+  /** Shared oracle CTEs. */
+  private val planesCte =
+    """planes AS (SELECT p, i,
+      |  CASE WHEN strpos('0123456789abcdef',
+      |    substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1 >= 8
+      |  THEN 1.0 ELSE -1.0 END AS w
+      |  FROM range(4) rp(p), range(64) ri(i))""".stripMargin
+
+  private val bucketsCte =
+    s"""$planesCte,
+       |sig AS (SELECT e.vec_id, p.p,
+       |  CASE WHEN sum(p.w * CAST(e.embedding[p.i + 1] AS DOUBLE)) > 0
+       |    THEN '1' ELSE '0' END AS bit
+       |  FROM embeddings e, planes p GROUP BY e.vec_id, p.p),
+       |buck AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+       |  FROM sig GROUP BY vec_id)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_sim_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id,
+        |  sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
+        |  sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS na,
+        |  sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS nb
+        |  FROM embeddings e, q, range(1, 65) r(i) GROUP BY e.vec_id)
+        |SELECT vec_id,
+        |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DECIMAL(10,6)) AS score
+        |FROM d ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_sim_lsh_buckets" ->
+      s"""WITH $bucketsCte
+         |SELECT e.vec_id, e.label, b.bucket
+         |FROM embeddings e JOIN buck b ON e.vec_id = b.vec_id""".stripMargin,
+
+    "q_sim_topk_lsh" ->
+      s"""WITH $bucketsCte,
+         |qb AS (SELECT bucket FROM buck WHERE vec_id = 0),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |cand AS (SELECT e.vec_id, b.bucket, e.embedding
+         |  FROM embeddings e JOIN buck b ON e.vec_id = b.vec_id
+         |  JOIN qb ON b.bucket = qb.bucket),
+         |d AS (SELECT c.vec_id, c.bucket,
+         |  sum(CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
+         |  sum(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)) AS na,
+         |  sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS nb
+         |  FROM cand c, q, range(1, 65) r(i) GROUP BY 1, 2)
+         |SELECT vec_id, bucket,
+         |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DECIMAL(10,6)) AS score
+         |FROM d ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """WITH p AS (SELECT a.label, a.vec_id AS va, b.vec_id AS vb,
+        |  sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
+        |  sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS na,
+        |  sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nb
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id, range(1, 65) r(i)
+        |  GROUP BY 1, 2, 3)
+        |SELECT label, va AS vec_a, vb AS vec_b,
+        |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DECIMAL(10,6)) AS score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY label
+        |    ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, va, vb) AS rn FROM p)
+        |WHERE rn = 1""".stripMargin
+  )
+}

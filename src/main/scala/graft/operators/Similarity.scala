@@ -1,0 +1,115 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions.cosine_similarity
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.I3 + the
+  * driver's north-star ANN surface).
+  *
+  * Two paths:
+  *   - **Brute force** — codegen'd cosine against a broadcast query
+  *     vector, then TakeOrderedAndProject. At 100 TB this is one
+  *     scan-speed pass: no shuffle, per-partition top-k heaps, k rows per
+  *     partition to the driver.
+  *   - **LSH (random hyperplanes)** — deterministic md5-derived ±1
+  *     hyperplanes give every vector a sign-bucket; candidates = the
+  *     query's bucket only. The bucket column is computed per-row
+  *     (narrow) and at scale becomes the partition/cluster key, pruning
+  *     the scan by ~2^planes.
+  */
+object Similarity {
+
+  /** Deterministic ±1 hyperplane weights: w(p,i) = +1 if the first md5
+    * nibble of "p_i" ≥ 8 else −1. Reproduced verbatim in the DuckDB
+    * oracles (same md5, same rule).
+    */
+  private[graft] def planeWeights(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until numPlanes).map { p =>
+      (0 until dim).map { i =>
+        md.reset()
+        val hex = md.digest(s"${p}_$i".getBytes("UTF-8"))
+        if (((hex(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** The query vector row (vec_id = 0), broadcast to every executor. */
+  private def queryVec(spark: SparkSession, sfDir: String): DataFrame =
+    broadcast(Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_embedding")))
+
+  private def score(e: Column, q: Column): Column = cosine_similarity(e, q)
+
+  /** Brute-force top-k cosine against the query vector. */
+  def topK(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .crossJoin(queryVec(spark, sfDir))
+      .withColumn("raw_score", score(col("embedding"), col("q_embedding")))
+      .orderBy(col("raw_score").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"),
+        round(col("raw_score"), 6).cast("decimal(10,6)").as("score"))
+
+  /** Sign-bucket assignment under 4 deterministic hyperplanes: 16 buckets,
+    * so the candidate set shrinks ~16× at any scale. Bucket bits are a
+    * per-row map — the exchange-free half of ANN.
+    */
+  def lshBuckets(spark: SparkSession, sfDir: String, numPlanes: Int = 4): DataFrame = {
+    val planes = planeWeights(numPlanes, 64)
+    val bucketBits = (0 until numPlanes).map { p =>
+      val dot = aggregate(
+        zip_with(col("embedding"), typedlit(planes(p)), (x, w) => x * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit("1")).otherwise(lit("0"))
+    }
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        concat(bucketBits: _*).as("bucket"))
+  }
+
+  /** LSH-pruned top-k: exact cosine, but only inside the query's bucket.
+    * The bucket equi-join replaces the full scan — the scale path when
+    * brute force stops fitting the latency budget.
+    */
+  def topKLsh(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val b = lshBuckets(spark, sfDir)
+    val qb = broadcast(b.filter(col("vec_id") === 0)
+      .select(col("bucket").as("q_bucket"), col("embedding").as("q_embedding")))
+    b.join(qb, col("bucket") === col("q_bucket"))
+      .withColumn("raw_score", score(col("embedding"), col("q_embedding")))
+      .orderBy(col("raw_score").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("bucket"),
+        round(col("raw_score"), 6).cast("decimal(10,6)").as("score"))
+  }
+
+  /** Embedding near-dup detection: the most-similar pair per label block.
+    * Blocked self-join (never all-pairs) + codegen'd cosine + one window
+    * rank. At scale the blocking key is the LSH bucket instead of the
+    * label.
+    */
+  def nearestPairPerLabel(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def e = Tables.embeddings(spark, sfDir)
+      .select(col("label"), col("vec_id"), col("embedding"))
+      .repartition(col("label"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("label"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        score(col("a.embedding"), col("b.embedding")).as("raw_score"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("raw_score").desc, col("vec_a"), col("vec_b"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        round(col("raw_score"), 6).cast("decimal(10,6)").as("score"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions.cosine_similarity
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkTestBase {
+  private val d = sf()
+
+  test("cosine of a vector with itself is 1.0") {
+    val self = Tables.embeddings(spark, d)
+      .select(cosine_similarity(col("embedding"), col("embedding")).as("s"))
+      .agg(min(col("s")), max(col("s"))).collect().head
+    assert(math.abs(self.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(self.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k: query vector ranks itself first") {
+    val top = Similarity.topK(spark, d, 5).collect()
+    assert(top.head.getAs[Long]("vec_id") === 0L)
+    assert(top.head.getAs[java.math.BigDecimal]("score").doubleValue() === 1.0)
+    val scores = top.map(_.getAs[java.math.BigDecimal]("score").doubleValue())
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("cosine participates in whole-stage codegen") {
+    val df = Tables.embeddings(spark, d)
+      .crossJoin(broadcast(Tables.embeddings(spark, d).limit(1)
+        .select(col("embedding").as("q"))))
+      .select(cosine_similarity(col("embedding"), col("q")).as("s"))
+    df.collect() // materialize so AQE finalizes the physical plan
+    val plan = df.queryExecution.executedPlan.toString
+    // '*(n)' marks a WholeStageCodegen stage in the plan string; the
+    // cosine projection must sit inside one (i.e. not fall back).
+    assert("""\*\(\d+\) Project \[cosine_similarity""".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("LSH buckets partition all vectors into 4-bit buckets") {
+    val b = Similarity.lshBuckets(spark, d)
+    assert(b.count() === Tables.embeddings(spark, d).count())
+    val badBuckets = b.filter(!col("bucket").rlike("^[01]{4}$")).count()
+    assert(badBuckets === 0)
+  }
+
+  test("LSH top-k returns only candidates from the query's bucket, led by the query") {
+    val r = Similarity.topKLsh(spark, d).collect()
+    assert(r.nonEmpty)
+    assert(r.head.getAs[Long]("vec_id") === 0L)
+    assert(r.map(_.getAs[String]("bucket")).distinct.length === 1)
+  }
+
+  test("nearest pair per label: one row per label, scores in [-1, 1]") {
+    val r = Similarity.nearestPairPerLabel(spark, d).collect()
+    val labels = Tables.embeddings(spark, d).select(col("label")).distinct().count()
+    assert(r.length === labels)
+    assert(r.forall { row =>
+      val s = row.getAs[java.math.BigDecimal]("score").doubleValue()
+      s >= -1.0 && s <= 1.0 && row.getAs[Long]("vec_a") < row.getAs[Long]("vec_b")
+    })
+  }
+}
