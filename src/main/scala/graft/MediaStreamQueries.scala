@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+import graft.streaming.EventsStreaming
+
+/** Registrations for the multimodal-column operators and the structured-
+  * streaming forms. Media oracles work on hex strings (DuckDB 1.0 has no
+  * substring/md5 over BLOB); both engines' hex() is uppercase.
+  */
+object MediaStreamQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_metadata" -> ((s, d) => Multimodal.metadata(s, d)),
+    "q_media_features" -> ((s, d) => Multimodal.featuresStub(s, d)),
+    "q_media_frames" -> ((s, d) => Multimodal.frameSample(s, d)),
+    "q_media_decode" -> ((s, d) => Multimodal.decode(s, d).toDF()),
+    "q_stream_events_window" -> ((s, d) => EventsStreaming.dailyCounts(s, d)),
+    "q_stream_sessionize" -> ((s, d) =>
+      EventsStreaming.sessionize(s, d).select(
+        col("user_id"), col("session_id"), col("n_events"),
+        date_format(expr("timestamp_micros(session_start_us)"),
+          "yyyy-MM-dd HH:mm:ss").as("session_start")))
+  )
+
+  /** Shared media CTEs: magic header by source id mod 3, payload =
+    * magic ∥ UTF-8 text.
+    */
+  private val mediaCte =
+    """m AS (SELECT doc_id,
+      |  CASE CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) % 3
+      |    WHEN 0 THEN 'IMG1' WHEN 1 THEN 'AUD1' ELSE 'VID1' END AS mt,
+      |  text FROM documents),
+      |p AS (SELECT doc_id, mt, (mt::BLOB || encode(text)) AS payload FROM m)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_media_metadata" ->
+      s"""WITH $mediaCte
+         |SELECT doc_id, CAST(octet_length(payload) AS INTEGER) AS n_bytes,
+         |  substr(hex(payload), 1, 8) AS header_hex,
+         |  CASE substr(hex(payload), 1, 8)
+         |    WHEN hex('IMG1'::BLOB) THEN 'image'
+         |    WHEN hex('AUD1'::BLOB) THEN 'audio'
+         |    ELSE 'video' END AS kind
+         |FROM p""".stripMargin,
+
+    "q_media_features" ->
+      s"""WITH $mediaCte
+         |SELECT doc_id, CAST(i AS INTEGER) AS dim,
+         |  CAST(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || hex(payload)), 1, 4))
+         |    AS UBIGINT) AS INTEGER) AS value
+         |FROM p, range(8) r(i)""".stripMargin,
+
+    "q_media_frames" ->
+      s"""WITH $mediaCte
+         |SELECT doc_id, CAST(f AS INTEGER) AS frame_id,
+         |  substr(hex(payload), f*32 + 9, 32) AS frame_hex,
+         |  md5(substr(hex(payload), f*32 + 9, 32)) AS frame_md5
+         |FROM p, range(3) r(f)
+         |WHERE length(substr(hex(payload), f*32 + 9, 32)) = 32""".stripMargin,
+
+    "q_media_decode" ->
+      s"""WITH $mediaCte
+         |SELECT doc_id, mt AS media_type,
+         |  CAST(CAST(('0x' || substr(hex(payload), 9, 2)) AS UBIGINT) % 128 + 1 AS INTEGER) AS width,
+         |  CAST(CAST(('0x' || substr(hex(payload), 11, 2)) AS UBIGINT) % 128 + 1 AS INTEGER) AS height,
+         |  CAST(octet_length(payload) AS INTEGER) AS n_bytes
+         |FROM p""".stripMargin,
+
+    // The streaming window aggregation must equal the batch one — same
+    // oracle (see AnalyticsQueries).
+    "q_stream_events_window" -> AnalyticsQueries.oracleSql("q_events_window"),
+
+    // Streaming sessionize must equal the batch gaps-and-islands form
+    // (integer fields only; double session sums are checked in the spec).
+    "q_stream_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+        |FROM sess GROUP BY user_id, session_id""".stripMargin
+  )
+}

@@ -18,12 +18,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TwseQueries.queries ++ AnalyticsQueries.queries ++ TextQueries.queries ++ SimilarityQueries.queries
+    TwseQueries.queries ++ AnalyticsQueries.queries ++ TextQueries.queries ++ SimilarityQueries.queries ++ MediaStreamQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (or closed-form VALUES for fixture-driven
     * reference operators). Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    TwseQueries.oracleSql ++ AnalyticsQueries.oracleSql ++ TextQueries.oracleSql ++ SimilarityQueries.oracleSql
+    TwseQueries.oracleSql ++ AnalyticsQueries.oracleSql ++ TextQueries.oracleSql ++ SimilarityQueries.oracleSql ++ MediaStreamQueries.oracleSql
 }
