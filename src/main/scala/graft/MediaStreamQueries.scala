@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
-import graft.streaming.EventsStreaming
+import graft.streaming.{EventsStreaming, TwseStreaming}
 
 /** Registrations for the multimodal-column operators and the structured-
   * streaming forms. Media oracles work on hex strings (DuckDB 1.0 has no
@@ -17,6 +17,7 @@ object MediaStreamQueries {
     "q_media_frames" -> ((s, d) => Multimodal.frameSample(s, d)),
     "q_media_decode" -> ((s, d) => Multimodal.decode(s, d).toDF()),
     "q_stream_events_window" -> ((s, d) => EventsStreaming.dailyCounts(s, d)),
+    "q_stream_flagship" -> ((s, _) => TwseStreaming.flagshipStream(s)),
     "q_stream_sessionize" -> ((s, d) =>
       EventsStreaming.sessionize(s, d).select(
         col("user_id"), col("session_id"), col("n_events"),
@@ -71,6 +72,10 @@ object MediaStreamQueries {
     // The streaming window aggregation must equal the batch one — same
     // oracle (see AnalyticsQueries).
     "q_stream_events_window" -> AnalyticsQueries.oracleSql("q_events_window"),
+
+    // The streaming flagship append must produce exactly the batch
+    // flagship's golden row.
+    "q_stream_flagship" -> TwseQueries.oracleSql("q_flagship"),
 
     // Streaming sessionize must equal the batch gaps-and-islands form
     // (integer fields only; double session sums are checked in the spec).

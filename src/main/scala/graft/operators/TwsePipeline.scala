@@ -61,10 +61,11 @@ object TwsePipeline {
     * ipynb cell-5): drop the 合計 grand-total row (slice `[:-1]`), drop
     * the unit-label column (inner loop from index 1), flatten row-major,
     * strip thousands separators. All higher-order array functions —
-    * per-row, no shuffle, codegen'd.
+    * per-row, no shuffle. Source-agnostic: the same transform runs over
+    * the batch fixture source and the streaming file source.
     */
-  def cleaned(spark: SparkSession): DataFrame =
-    open(spark).withColumn(
+  def cleanedFrom(parsedDf: DataFrame): DataFrame =
+    parsedDf.filter(col("stat") === "OK").withColumn(
       "vec",
       transform(
         flatten(transform(
@@ -75,12 +76,17 @@ object TwsePipeline {
       )
     )
 
+  def cleaned(spark: SparkSession): DataFrame = cleanedFrom(parsed(spark))
+
   /** B2 — schema-drift validation: cleaned vector must have exactly 12
     * elements (`len(data) == 12`, `Final_app.py:53`). Produces the flag;
     * G2 splits on it.
     */
+  def validatedFrom(parsedDf: DataFrame): DataFrame =
+    cleanedFrom(parsedDf).withColumn("arity_ok", size(col("vec")) === 12)
+
   def validated(spark: SparkSession): DataFrame =
-    cleaned(spark).withColumn("arity_ok", size(col("vec")) === 12)
+    validatedFrom(parsed(spark))
 
   /** Valid half of the split — the insert path (`Final_app.py:71-76`). */
   def valid(spark: SparkSession): DataFrame =
