@@ -25,6 +25,9 @@ object AnalyticsQueries {
     "q_window_running" -> ((s, d) => Analytics.runningSpend(s, d)),
     "q_join_semi_anti" -> ((s, d) => Analytics.customerActivity(s, d)),
     "q_set_ops" -> ((s, d) => Analytics.segmentSetOps(s, d)),
+    "q_pivot_table" -> ((s, d) => Analytics.pricingPivot(s, d)),
+    "q_agg_salted" -> ((s, d) => Analytics.saltedAgg(s, d)),
+    "q_count_distinct" -> ((s, d) => Analytics.distinctCounts(s, d)),
     "q_events_window" -> ((s, d) => Analytics.eventsDaily(s, d)),
     "q_events_sessionize" -> ((s, d) => Analytics.eventsSessionized(s, d)),
     "q_events_json" -> ((s, d) => Analytics.eventsPropsDistribution(s, d))
@@ -105,6 +108,27 @@ object AnalyticsQueries {
         |UNION ALL
         |SELECT c_mktsegment, c_nationkey, 'only_1995' AS set_op
         |  FROM (SELECT * FROM s95 EXCEPT SELECT * FROM s97)""".stripMargin,
+
+    "q_pivot_table" ->
+      """SELECT l_returnflag,
+        |CAST(sum(CASE WHEN l_linestatus = 'F'
+        |  THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DECIMAL(38,2)) AS qty_f,
+        |CAST(sum(CASE WHEN l_linestatus = 'O'
+        |  THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DECIMAL(38,2)) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_agg_salted" ->
+      """SELECT l_partkey,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |count(*) AS n_rows
+        |FROM lineitem GROUP BY l_partkey""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT l_returnflag,
+        |count(DISTINCT l_orderkey) AS n_orders,
+        |count(DISTINCT l_partkey) AS n_parts,
+        |count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_events_window" ->
       """SELECT strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d') AS day,

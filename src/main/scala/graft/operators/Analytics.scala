@@ -135,18 +135,61 @@ object Analytics {
     * cohorts (intersect) and the 1995-only remainder (except).
     */
   def segmentSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    // Each cohort is materialized once (localCheckpoint): intersect AND
+    // except both consume both cohorts, and without the barrier each of
+    // the four set-op legs would re-run the join+distinct — 8 scans
+    // instead of 2 in the executed plan.
     def seg(yr: Int) = Tables.customer(spark, sfDir)
       .join(Tables.orders(spark, sfDir)
         .filter(year(col("o_orderdate")) === yr).select(col("o_custkey")),
         col("c_custkey") === col("o_custkey"))
       .select(col("c_mktsegment"), col("c_nationkey"))
       .distinct()
-    val both = seg(1995).intersect(seg(1997))
-      .withColumn("set_op", lit("in_both"))
-    val only95 = seg(1995).except(seg(1997))
-      .withColumn("set_op", lit("only_1995"))
+      .localCheckpoint()
+    val s95 = seg(1995); val s97 = seg(1997)
+    val both = s95.intersect(s97).withColumn("set_op", lit("in_both"))
+    val only95 = s95.except(s97).withColumn("set_op", lit("only_1995"))
     both.unionByName(only95)
   }
+
+  /** Relational pivot: linestatus columns out of rows, exact sums. The
+    * pivot values are declared (F/O), so the plan is a single hash
+    * aggregate with conditional sums — no extra pass at any scale.
+    */
+  def pricingPivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(dec("l_quantity")).cast("decimal(38,2)"))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+
+  /** Skew-resistant two-stage aggregation: salt the hot key, partial-sum
+    * per (key, salt), then merge partials per key. Results are exactly
+    * the plain group-by (decimal sums are associative) — the oracle
+    * checks that — while the shuffle fans a skewed key across 8 reducers
+    * instead of one. The manual form of what AQE skew-join does for
+    * joins, applicable to aggregations.
+    */
+  def saltedAgg(spark: SparkSession, sfDir: String, salts: Int = 8): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(salts)))
+      .groupBy(col("l_partkey"), col("salt"))
+      .agg(sum(dec("l_quantity")).as("part_qty"), count(lit(1)).as("part_n"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("part_qty")).cast("decimal(38,2)").as("sum_qty"),
+        sum(col("part_n")).as("n_rows"))
+
+  /** Exact distinct counting per group (the approx_count_distinct HLL
+    * variant is exercised in the spec — approximate answers can't be
+    * oracle-hashed).
+    */
+  def distinctCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
 
   /** I5 — tumbling daily event aggregation (the streaming-shaped table's
     * batch form; `EventsStreaming` runs the same plan incrementally).

@@ -64,6 +64,33 @@ class AnalyticsSpec extends SparkTestBase {
       l.contains("FileScan") && l.contains("orders") && l.contains("1996-01-01")))
   }
 
+  test("salted aggregation equals the direct group-by exactly") {
+    val direct = Tables.lineitem(spark, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"))
+    val salted = Analytics.saltedAgg(spark, d)
+      .select(col("l_partkey"), col("sum_qty"))
+    assert(salted.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(salted).count() === 0)
+  }
+
+  test("approx_count_distinct tracks the exact distinct count within 5%") {
+    val r = Tables.lineitem(spark, d).agg(
+      countDistinct(col("l_orderkey")).as("exact"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx")).collect().head
+    val exact = r.getLong(0).toDouble
+    val approx = r.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+
+  test("pivot columns partition the quantity sum by linestatus") {
+    val p = Analytics.pricingPivot(spark, d)
+      .agg(sum(col("qty_f")) + sum(col("qty_o"))).collect().head.getDecimal(0)
+    val total = Tables.lineitem(spark, d)
+      .agg(sum(col("l_quantity").cast("decimal(18,2)"))).collect().head.getDecimal(0)
+    assert(p.compareTo(total) === 0)
+  }
+
   test("events nanosecond timestamps convert exactly (integer microseconds)") {
     val ts = Tables.events(spark, d)
       .agg(min(unix_micros(col("ts")))).collect().head.getLong(0)

@@ -38,6 +38,22 @@ object Scratch {
         time("fingerprints") { operators.TextAnalysis.fingerprints(spark, d).count() }
       case "explain" =>
         SparkEntry.queries(args(2))(spark, d).explain("formatted")
+      case "sweep" =>
+        // plan-shape audit: flag cartesians, count exchanges, check scans
+        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+          if (name.startsWith("q_stream")) println(f"$name%-24s streaming (skipped)")
+          else try {
+            val plan = fn(spark, d).queryExecution.executedPlan.toString
+            val cart = "CartesianProduct".r.findAllIn(plan).length
+            val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+            val ex = "Exchange hashpartitioning".r.findAllIn(plan).length
+            val scans = "FileScan".r.findAllIn(plan).length
+            val sorts = "Sort ".r.findAllIn(plan).length
+            println(f"$name%-24s cart=$cart bnlj=$bnlj exch=$ex scans=$scans sorts=$sorts")
+          } catch { case e: Throwable =>
+            println(f"$name%-24s ERROR ${e.getMessage.take(80)}")
+          }
+        }
       case q =>
         time(q) { SparkEntry.queries(q)(spark, d).count() }
     }
