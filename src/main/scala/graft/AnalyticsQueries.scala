@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Analytics
+import graft.operators.{Analytics, AsOf}
 
 /** Oracle-checked registrations for the relational analytics operators
   * (SURVEY.md §2.I). Oracle SQL is DuckDB dialect over the same sf
@@ -30,7 +30,8 @@ object AnalyticsQueries {
     "q_count_distinct" -> ((s, d) => Analytics.distinctCounts(s, d)),
     "q_events_window" -> ((s, d) => Analytics.eventsDaily(s, d)),
     "q_events_sessionize" -> ((s, d) => Analytics.eventsSessionized(s, d)),
-    "q_events_json" -> ((s, d) => Analytics.eventsPropsDistribution(s, d))
+    "q_events_json" -> ((s, d) => Analytics.eventsPropsDistribution(s, d)),
+    "q_asof_join" -> ((s, d) => AsOf.purchaseToLastView(s, d))
   )
 
   private val discPrice =
@@ -156,6 +157,30 @@ object AnalyticsQueries {
 
     "q_events_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
-        |count(*) AS n FROM events GROUP BY 1""".stripMargin
+        |count(*) AS n FROM events GROUP BY 1""".stripMargin,
+
+    // Same union+window as-of construction as the Spark side (NOT DuckDB's
+    // native ASOF JOIN) so tie-breaking is bit-identical.
+    "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |), m AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN is_view = 1 THEN event_id END IGNORE NULLS)
+        |      OVER w AS last_view_id,
+        |    last_value(CASE WHEN is_view = 1 THEN ts_us END IGNORE NULLS)
+        |      OVER w AS last_view_us
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts_us, is_view DESC, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id AS purchase_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  last_view_id AS view_id,
+        |  (ts_us - last_view_us) // 1000000 AS gap_seconds
+        |FROM m WHERE is_view = 0""".stripMargin
   )
 }

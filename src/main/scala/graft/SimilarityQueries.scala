@@ -17,6 +17,7 @@ object SimilarityQueries {
     "q_sim_lsh_buckets" -> ((s, d) =>
       Similarity.lshBuckets(s, d).select(col("vec_id"), col("label"), col("bucket"))),
     "q_sim_topk_lsh" -> ((s, d) => Similarity.topKLsh(s, d)),
+    "q_sim_centroid" -> ((s, d) => Similarity.centroidDistance(s, d)),
     "q_dedup_embedding" -> ((s, d) => Similarity.nearestPairPerLabel(s, d))
   )
 
@@ -69,6 +70,21 @@ object SimilarityQueries {
          |SELECT vec_id, bucket,
          |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DECIMAL(10,6)) AS score
          |FROM d ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_sim_centroid" ->
+      """WITH ex AS (SELECT label, vec_id, i AS dim,
+        |  CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, range(1, 65) r(i)),
+        |cent AS (SELECT label, dim, sum(v) / count(*) AS c
+        |  FROM ex GROUP BY label, dim),
+        |j AS (SELECT ex.vec_id, ex.label,
+        |  sum(ex.v * cent.c) AS dot, sum(ex.v * ex.v) AS na,
+        |  sum(cent.c * cent.c) AS nb
+        |  FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
+        |  GROUP BY ex.vec_id, ex.label)
+        |SELECT vec_id, label,
+        |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DECIMAL(10,6)) AS score
+        |FROM j""".stripMargin,
 
     "q_dedup_embedding" ->
       """WITH p AS (SELECT a.label, a.vec_id AS va, b.vec_id AS vb,

@@ -114,6 +114,14 @@ object TwseQueries {
     "q_sink_roundtrip" -> ((s, _) =>
       TwsePipeline.sinkRoundtrip(s, s"${sys.props("java.io.tmpdir")}/graft_sink_roundtrip")),
 
+    // E1 at scale — dt-partitioned layout + partition-pruned readback.
+    "q_sink_partitioned" -> ((s, _) =>
+      TwsePipeline.sinkPartitioned(s, s"${sys.props("java.io.tmpdir")}/graft_sink_part")),
+
+    // A-series breadth — CSV interchange round-trip of the contract row.
+    "q_csv_roundtrip" -> ((s, _) =>
+      TwsePipeline.csvRoundtrip(s, s"${sys.props("java.io.tmpdir")}/graft_sink_csv")),
+
     // E2 — success-notification message rows.
     "q_notify_success" -> ((s, _) =>
       TwsePipeline.notifySuccess(s).select(col("date").as("dt"), col("message"))),
@@ -226,6 +234,8 @@ object TwseQueries {
     "q_pivot_wide" -> goldenRowSql,
     "q_flagship" -> goldenRowSql,
     "q_sink_roundtrip" -> goldenRowSql,
+    "q_sink_partitioned" -> goldenRowSql,
+    "q_csv_roundtrip" -> goldenRowSql,
 
     "q_explode_rows" ->
       """SELECT * FROM (VALUES

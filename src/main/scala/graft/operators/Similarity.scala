@@ -89,6 +89,32 @@ object Similarity {
         round(col("raw_score"), 6).cast("decimal(10,6)").as("score"))
   }
 
+  /** Per-label centroid distances: element-wise mean per label (long
+    * format: explode dims → groupBy(label, dim)), then each vector's
+    * cosine to its label centroid — the building block of IVF-style
+    * coarse quantization (assign-to-centroid) and of cluster-quality
+    * audits. Two shuffles: (label, dim) for the centroid, vec_id for the
+    * re-aggregation; both move scalars, never whole vectors.
+    */
+  def centroidDistance(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex = Tables.embeddings(spark, sfDir)
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select(col("label"), col("vec_id"), (col("pos") + 1).as("dim"),
+        col("vf").cast("double").as("v"))
+    val cent = ex.groupBy(col("label"), col("dim"))
+      .agg((sum(col("v")) / count(lit(1))).as("c"))
+    ex.join(cent, Seq("label", "dim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        sum(col("v") * col("c")).as("dot"),
+        sum(col("v") * col("v")).as("na"),
+        sum(col("c") * col("c")).as("nb"))
+      .select(col("vec_id"), col("label"),
+        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6)
+          .cast("decimal(10,6)").as("score"))
+  }
+
   /** Embedding near-dup detection: the most-similar pair per label block.
     * Blocked self-join (never all-pairs) + codegen'd cosine + one window
     * rank. At scale the blocking key is the LSH bucket instead of the

@@ -126,6 +126,28 @@ object TwsePipeline {
     spark.read.schema(Schemas.investmentData).parquet(dir)
   }
 
+  /** E1 at scale — the production layout: `dt`-partitioned parquet, so a
+    * per-day read prunes to one partition (the reference reads back the
+    * whole table, `insert_data.py:57`; at 100 TB only partition pruning
+    * makes that viable). Type inference for partition columns is disabled
+    * so `dt` stays the contract's TEXT.
+    */
+  def sinkPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    flagship(spark).write.mode("overwrite").partitionBy("dt").parquet(dir)
+    spark.read.parquet(dir)
+      .filter(col("dt") === "20220819") // prunes to the single partition
+      .select(Schemas.investmentCols.map(col): _*)
+  }
+
+  /** CSV source/sink round-trip — same contract row through a second
+    * interchange format (explicit schema on read; header on).
+    */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    flagship(spark).write.mode("overwrite").option("header", "true").csv(dir)
+    spark.read.schema(Schemas.investmentData).option("header", "true").csv(dir)
+  }
+
   /** G1 — market-open routing (`scrapy_condition`, `Final_app.py:34-39`):
     * payload → downstream task name. Value-level `when/otherwise` view of
     * the branch; task-level semantics are the `open`/closed filter-split.

@@ -91,6 +91,21 @@ class AnalyticsSpec extends SparkTestBase {
     assert(p.compareTo(total) === 0)
   }
 
+  test("as-of join: every matched view precedes its purchase; gaps non-negative") {
+    val r = graft.operators.AsOf.purchaseToLastView(spark, d)
+    assert(r.count() === Tables.events(spark, d)
+      .filter(col("event_type") === "purchase").count())
+    assert(r.filter(col("gap_seconds") < 0).count() === 0)
+  }
+
+  test("partitioned sink readback prunes to the dt partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val back = graft.operators.TwsePipeline.sinkPartitioned(spark, s"$dir/t")
+    assert(back.count() === 1)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(dt"), plan)
+  }
+
   test("events nanosecond timestamps convert exactly (integer microseconds)") {
     val ts = Tables.events(spark, d)
       .agg(min(unix_micros(col("ts")))).collect().head.getLong(0)
