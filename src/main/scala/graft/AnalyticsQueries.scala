@@ -28,6 +28,8 @@ object AnalyticsQueries {
     "q_pivot_table" -> ((s, d) => Analytics.pricingPivot(s, d)),
     "q_agg_salted" -> ((s, d) => Analytics.saltedAgg(s, d)),
     "q_count_distinct" -> ((s, d) => Analytics.distinctCounts(s, d)),
+    "q_percentile" -> ((s, d) => Analytics.quantiles(s, d)),
+    "q_histogram" -> ((s, d) => Analytics.histogram(s, d)),
     "q_events_window" -> ((s, d) => Analytics.eventsDaily(s, d)),
     "q_events_sessionize" -> ((s, d) => Analytics.eventsSessionized(s, d)),
     "q_events_json" -> ((s, d) => Analytics.eventsPropsDistribution(s, d)),
@@ -130,6 +132,17 @@ object AnalyticsQueries {
         |count(DISTINCT l_partkey) AS n_parts,
         |count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |round(quantile_cont(l_quantity, 0.95), 6) AS p95_qty,
+        |round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        |count(*) AS n FROM orders GROUP BY 1""".stripMargin,
 
     "q_events_window" ->
       """SELECT strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d') AS day,

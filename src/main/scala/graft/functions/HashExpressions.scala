@@ -78,6 +78,10 @@ object HashExpressions {
   def simhash64(c: Column): Column =
     expressionColumn(SimHash64(expressionOf(c)))
 
+  /** Column API: struct(n_tokens, n_uniq_tokens, max_token_len). */
+  def token_stats(c: Column): Column =
+    expressionColumn(TokenStats(expressionOf(c)))
+
   // Spark 4 Column wraps a ColumnNode, not a catalyst Expression; these
   // two helpers bridge via the classic-API conversions.
   private def expressionOf(c: Column): Expression =
@@ -123,6 +127,43 @@ case class MinHashBandKeys(child: Expression,
       b += 1
     }
     new GenericArrayData(bands)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `token_stats(text)`: whitespace-token statistics in one tokenizer
+  * pass — struct(n_tokens, n_uniq_tokens, max_token_len). The
+  * compositional form (3 × split + array_distinct + transform/max) runs
+  * each regex split per expression copy under interpreted HOF eval;
+  * this costs one split and one hash-set per row.
+  */
+case class TokenStats(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_uniq_tokens", IntegerType, nullable = false),
+    StructField("max_token_len", IntegerType, nullable = false)))
+  override def prettyName: String = "token_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = HashExpressions.normTokens(input.toString)
+    val seen = new java.util.HashSet[String](toks.length * 2)
+    var maxLen = 0
+    var i = 0
+    while (i < toks.length) {
+      seen.add(toks(i))
+      // length in characters (codepoint-equivalent for BMP text), matching
+      // Spark's length() on the token strings
+      if (toks(i).length > maxLen) maxLen = toks(i).length
+      i += 1
+    }
+    InternalRow(toks.length, seen.size, maxLen)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -180,6 +180,26 @@ object Analytics {
       .agg(sum(col("part_qty")).cast("decimal(38,2)").as("sum_qty"),
         sum(col("part_n")).as("n_rows"))
 
+  /** Exact percentiles (sort-based, linear interpolation) per group —
+    * rounded so Spark's `percentile` and DuckDB's `quantile_cont` agree
+    * through their last-ulp differences.
+    */
+  def quantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.95)"), 6).as("p95_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"))
+
+  /** Fixed-width histogram of order values — integer-exact bucketing
+    * (floor of a double division is deterministic across engines).
+    */
+  def histogram(spark: SparkSession, sfDir: String, width: Double = 50000.0): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(floor(col("o_totalprice") / width).cast("bigint").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
   /** Exact distinct counting per group (the approx_count_distinct HLL
     * variant is exercised in the spec — approximate answers can't be
     * oracle-hashed).

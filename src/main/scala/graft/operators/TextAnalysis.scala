@@ -19,17 +19,19 @@ object TextAnalysis {
   /** Per-document statistics: sizes, token counts, vocabulary size,
     * longest token, and a consistency check of the stored n_chars.
     */
-  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = Tables.documents(spark, sfDir)
-    val toks = wsTokens(col("text"))
-    t.select(
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    // token stats via the single-pass custom expression: the HOF form
+    // (3 splits + distinct + transform/max per row, all interpreted)
+    // costs ~1 ms/document — interpreter-bound, not scan-bound.
+    Tables.documents(spark, sfDir).select(
       col("doc_id"),
       length(col("text")).cast("bigint").as("len_text"),
       (length(col("text")) === col("n_chars")).as("n_chars_ok"),
-      size(toks).as("n_tokens"),
-      size(array_distinct(toks)).as("n_uniq_tokens"),
-      array_max(transform(toks, w => length(w))).as("max_token_len"))
-  }
+      graft.functions.HashExpressions.token_stats(col("text")).as("ts"))
+      .select(col("doc_id"), col("len_text"), col("n_chars_ok"),
+        col("ts.n_tokens").as("n_tokens"),
+        col("ts.n_uniq_tokens").as("n_uniq_tokens"),
+        col("ts.max_token_len").as("max_token_len"))
 
   /** Token counting three ways: whitespace tokens, BPE-ish regex tokens
     * (letter runs ∣ digit runs ∣ single punctuation), and non-space
