@@ -23,12 +23,13 @@ object TwseQueries {
     "52999169995", "60297278126", "-7298108131")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // A1 — source: one raw response body per day (rows-only check; the
-    // byte-exact content is covered by q_json_parse's parse of it).
+    // A1 — the DataSource V2 daily-payload source (one input partition
+    // per date; fixture-backed in tests, HTTP in production). Byte-exact
+    // content check via md5 of the body.
     "q_http_json_source" -> ((s, _) =>
-      TwsePipeline.raw(s).select(
-        get_json_object(col("body"), "$.date").as("dt"),
-        length(col("body")).as("body_len"))),
+      s.read.format("graft.sources.TwseFixtureSource").load()
+        .select(col("dt"), length(col("body")).as("body_len"),
+          md5(col("body")).as("body_md5"))),
 
     // A2 — nested JSON parse with explicit schema.
     "q_json_parse" -> ((s, _) =>
@@ -169,6 +170,17 @@ object TwseQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_http_json_source" -> {
+      // fixture bodies embedded verbatim (they contain no single quotes);
+      // DuckDB recomputes length + md5 from the same bytes
+      val rows = Seq(("20220819", TwseFixtures.ok),
+        ("20220820", TwseFixtures.closed), ("20100106", TwseFixtures.drift))
+        .map { case (dt, b) =>
+          s"('$dt', CAST(length('$b') AS INTEGER), md5('$b'))"
+        }
+      s"SELECT * FROM (VALUES ${rows.mkString(", ")}) t(dt, body_len, body_md5)"
+    },
+
     "q_json_parse" ->
       """SELECT * FROM (VALUES
         |('20220819', 'OK', '111年08月19日 三大法人買賣金額統計表', 5, 4),

@@ -35,10 +35,9 @@ object TwsePipeline {
     * fetch per date feeding `spark.read.json(ds)`, or a DataSource V2
     * provider with one input partition per date.
     */
-  def raw(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    spark.createDataset(TwseFixtures.all).toDF("body")
-  }
+  def raw(spark: SparkSession): DataFrame =
+    spark.read.format("graft.sources.TwseFixtureSource").load()
+      .select(col("body"))
 
   /** A2 — parse the response body into the typed nested record
     * (`res.json()`, `Final_app.py:28,47`). Explicit schema, never
