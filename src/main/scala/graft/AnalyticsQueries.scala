@@ -33,7 +33,8 @@ object AnalyticsQueries {
     "q_events_window" -> ((s, d) => Analytics.eventsDaily(s, d)),
     "q_events_sessionize" -> ((s, d) => Analytics.eventsSessionized(s, d)),
     "q_events_json" -> ((s, d) => Analytics.eventsPropsDistribution(s, d)),
-    "q_asof_join" -> ((s, d) => AsOf.purchaseToLastView(s, d))
+    "q_asof_join" -> ((s, d) => AsOf.purchaseToLastView(s, d)),
+    "q_funnel" -> ((s, d) => Analytics.funnel(s, d))
   )
 
   private val discPrice =
@@ -171,6 +172,18 @@ object AnalyticsQueries {
     "q_events_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |count(*) AS n FROM events GROUP BY 1""".stripMargin,
+
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS view_us FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT ev.user_id, min(us) AS click_us FROM ev JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND us > view_us GROUP BY ev.user_id),
+        |p AS (SELECT ev.user_id, min(us) AS purchase_us FROM ev JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > click_us GROUP BY ev.user_id)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', count(*) FROM c
+        |UNION ALL SELECT '3_purchase', count(*) FROM p""".stripMargin,
 
     // Same union+window as-of construction as the Spark side (NOT DuckDB's
     // native ASOF JOIN) so tie-breaking is bit-identical.

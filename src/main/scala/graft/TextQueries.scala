@@ -22,7 +22,9 @@ object TextQueries {
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashBands(s, d)),
     "q_dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
-    "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d))
+    "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "q_sketch_source" -> ((s, d) => Dedup.sourceSketch(s, d)),
+    "q_sketch_source_sim" -> ((s, d) => Dedup.sourceSimilarity(s, d))
   )
 
   /** Shared DuckDB CTE fragments (must mirror TextFunctions exactly). */
@@ -144,6 +146,24 @@ object TextQueries {
         |    THEN '1' ELSE '0' END), '') AS simhash
         |  FROM h)
         |SELECT doc_id, simhash, substr(simhash, 1, 16) AS bucket16 FROM sim""".stripMargin,
+
+    "q_sketch_source" ->
+      s"""WITH $baseCte, $shinglesCte,
+         |ex AS (SELECT source, unnest(s) AS shingle FROM sh)
+         |SELECT source, CAST(i AS INTEGER) AS i,
+         |  min(md5(CAST(i AS VARCHAR) || '|' || shingle)) AS minh
+         |FROM ex, range(16) r(i) GROUP BY source, i""".stripMargin,
+
+    "q_sketch_source_sim" ->
+      s"""WITH $baseCte, $shinglesCte,
+         |ex AS (SELECT source, unnest(s) AS shingle FROM sh),
+         |sig AS (SELECT source, CAST(i AS INTEGER) AS i,
+         |  min(md5(CAST(i AS VARCHAR) || '|' || shingle)) AS minh
+         |  FROM ex, range(16) r(i) GROUP BY source, i)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(sum(CAST(a.minh = b.minh AS INTEGER)) AS INTEGER) AS n_agree
+         |FROM sig a JOIN sig b ON a.i = b.i AND a.source < b.source
+         |GROUP BY a.source, b.source""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH $baseCte, $shinglesCte,

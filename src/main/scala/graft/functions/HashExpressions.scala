@@ -74,6 +74,35 @@ object HashExpressions {
   def minhash_band_keys(c: Column): Column =
     expressionColumn(MinHashBandKeys(expressionOf(c)))
 
+  /** Column API: the raw 16-row minhash signature (array<string>). */
+  def minhash_signature(c: Column): Column =
+    expressionColumn(MinHashSignature(expressionOf(c)))
+
+  /** Column API: element-wise minimum of signatures across a group —
+    * the signature of the UNION of the group's shingle sets.
+    */
+  def minhash_union(c: Column): Column =
+    expressionColumn(MinHashUnionAgg(expressionOf(c))
+      .toAggregateExpression(isDistinct = false))
+
+  /** Shared signature computation (one tight pass). */
+  private[functions] def signatureOf(text: String, numHashes: Int): Array[String] = {
+    val sh = shingles(text)
+    val sig = new Array[String](numHashes)
+    var si = 0
+    while (si < sh.length) {
+      val s = sh(si)
+      var i = 0
+      while (i < numHashes) {
+        val h = md5Hex(i.toString + "|" + s)
+        if (sig(i) == null || h.compareTo(sig(i)) < 0) sig(i) = h
+        i += 1
+      }
+      si += 1
+    }
+    sig
+  }
+
   /** Column API: 64-char '0'/'1' SimHash signature string. */
   def simhash64(c: Column): Column =
     expressionColumn(SimHash64(expressionOf(c)))
@@ -103,19 +132,7 @@ case class MinHashBandKeys(child: Expression,
 
   override def nullSafeEval(input: Any): Any = {
     import HashExpressions._
-    val sh = shingles(input.toString)
-    val sig = new Array[String](numHashes)
-    var si = 0
-    while (si < sh.length) {
-      val s = sh(si)
-      var i = 0
-      while (i < numHashes) {
-        val h = md5Hex(i.toString + "|" + s)
-        if (sig(i) == null || h.compareTo(sig(i)) < 0) sig(i) = h
-        i += 1
-      }
-      si += 1
-    }
+    val sig = signatureOf(input.toString, numHashes)
     val rows = numHashes / numBands
     val bands = new Array[AnyRef](numBands)
     var b = 0
@@ -130,6 +147,94 @@ case class MinHashBandKeys(child: Expression,
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `minhash_signature(text)`: the raw 16-row minhash signature as
+  * array<string> — the per-document half that [[MinHashUnionAgg]]
+  * combines per group.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int = 16)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val sig = HashExpressions.signatureOf(input.toString, numHashes)
+    new GenericArrayData(sig.map(UTF8String.fromString(_): AnyRef))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `minhash_union(sig)`: TypedImperativeAggregate taking per-row minhash
+  * signatures to their element-wise minimum — which IS the signature of
+  * the union of the underlying shingle sets (min commutes with set
+  * union). The group sketch is 16 hex strings regardless of group size,
+  * so partial aggregation ships constant-size state: the
+  * `approx_count_distinct` design pattern applied to set similarity.
+  */
+case class MinHashUnionAgg(
+    child: Expression,
+    numHashes: Int = 16,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[String]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_union"
+
+  override def createAggregationBuffer(): Array[String] = new Array[String](numHashes)
+
+  override def update(buf: Array[String], input: org.apache.spark.sql.catalyst.InternalRow): Array[String] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = math.min(arr.numElements(), numHashes)
+      var i = 0
+      while (i < n) {
+        val h = arr.getUTF8String(i).toString
+        if (buf(i) == null || h.compareTo(buf(i)) < 0) buf(i) = h
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[String], other: Array[String]): Array[String] = {
+    var i = 0
+    while (i < numHashes) {
+      if (other(i) != null && (buf(i) == null || other(i).compareTo(buf(i)) < 0))
+        buf(i) = other(i)
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: Array[String]): Any =
+    if (buf.forall(_ == null)) null
+    else new GenericArrayData(buf.map(s =>
+      (if (s == null) null else UTF8String.fromString(s)): AnyRef))
+
+  // hex strings never contain ',' — positional join/split is lossless
+  override def serialize(buf: Array[String]): Array[Byte] =
+    buf.map(s => if (s == null) "" else s).mkString("")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override def deserialize(bytes: Array[Byte]): Array[String] =
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      .split("", -1).map(s => if (s.isEmpty) null else s)
+      .padTo(numHashes, null).take(numHashes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MinHashUnionAgg =
     copy(child = newChild)
 }
 

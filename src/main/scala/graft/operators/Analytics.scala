@@ -222,6 +222,31 @@ object Analytics {
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Conversion funnel view → click → purchase: each stage's first time
+    * must strictly follow the previous stage's. Three aggregations +
+    * two key joins on user_id — at scale the joins reuse one hash
+    * partitioning on the key. All-integer microsecond comparisons.
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    def first(df: DataFrame, t: String) =
+      df.filter(col("event_type") === t)
+        .groupBy(col("user_id")).agg(min(col("us")).as(s"${t}_us"))
+    val v = first(ev, "view")
+    val c = ev.join(v, "user_id")
+      .filter(col("event_type") === "click" && col("us") > col("view_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("click_us"))
+    val p = ev.join(c, "user_id")
+      .filter(col("event_type") === "purchase" && col("us") > col("click_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("purchase_us"))
+    v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+      .unionByName(c.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click").as("stage"), col("n_users")))
+      .unionByName(p.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase").as("stage"), col("n_users")))
+  }
+
   /** Sessionization: 30-minute-gap sessions per user — gaps-and-islands
     * with lag + running sum over one (user_id, ts) exchange. Gap compare
     * is in integer microseconds so engines agree exactly. The streaming

@@ -81,6 +81,35 @@ object Dedup {
         graft.functions.HashExpressions.simhash64(col("text")).as("simhash"))
       .withColumn("bucket16", substring(col("simhash"), 1, 16))
 
+  /** Corpus-level sketching: per-source minhash signature via the
+    * `minhash_union` TypedImperativeAggregate — element-wise minimum of
+    * per-document signatures, which equals the signature of the union of
+    * the source's shingle sets. Constant-size (16 hashes) partial state
+    * per group regardless of corpus size: the `approx_count_distinct`
+    * pattern applied to set similarity.
+    */
+  def sourceSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.HashExpressions.{minhash_signature, minhash_union}
+    Tables.documents(spark, sfDir)
+      .select(col("source"), minhash_signature(col("text")).as("sig"))
+      .groupBy(col("source"))
+      .agg(minhash_union(col("sig")).as("sig"))
+      .select(col("source"), posexplode(col("sig")).as(Seq("i", "minh")))
+  }
+
+  /** Estimated pairwise source similarity from the sketches alone:
+    * agreeing signature rows / 16 estimates the Jaccard of two sources'
+    * shingle sets — no document data touched after the sketch pass.
+    */
+  def sourceSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = sourceSketch(spark, sfDir).localCheckpoint()
+    s.as("a").join(s.as("b"),
+        col("a.i") === col("b.i") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(sum((col("a.minh") === col("b.minh")).cast("int")).cast("int")
+        .as("n_agree"))
+  }
+
   /** I2d — n-gram Jaccard on blocked candidate pairs (same `source`):
     * exact distinct-shingle overlap, with the ≥0.8 threshold expressed as
     * a cross-multiplication (no division anywhere).

@@ -30,6 +30,19 @@ class HashExpressionsSpec extends SparkTestBase {
     assert(custom.exceptAll(composed).count() === 0)
   }
 
+  test("minhash_union sketch is partition-invariant (merge is correct)") {
+    import graft.functions.HashExpressions.{minhash_signature, minhash_union}
+    def sketch(parts: Int) = sources.Tables.documents(spark, sf())
+      .repartition(parts)
+      .select(col("source"), minhash_signature(col("text")).as("sig"))
+      .groupBy(col("source"))
+      .agg(minhash_union(col("sig")).as("sig"))
+      .select(col("source"), concat_ws(",", col("sig")).as("s"))
+    val one = sketch(1).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val many = sketch(7).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(one === many) // partial-merge path must equal single-buffer path
+  }
+
   test("shingles3 matches the reference semantics on edge cases") {
     import spark.implicits._
     val edge = Seq("", "one", "one two", "one two three", "a  b   c d",
