@@ -20,6 +20,8 @@ object AnalyticsQueries {
     "q1_agg" -> ((s, d) => Analytics.pricingSummary(s, d)),
     "q_join_enrich" -> ((s, d) => Analytics.revenueByNation(s, d)),
     "q_agg_rollup" -> ((s, d) => Analytics.pricingRollup(s, d)),
+    "q_agg_cube" -> ((s, d) => Analytics.pricingCube(s, d)),
+    "q_join_outer" -> ((s, d) => Analytics.customerOrdersOuter(s, d)),
     "q_topk" -> ((s, d) => Analytics.topOrders(s, d)),
     "q_window_rank" -> ((s, d) => Analytics.topOrdersPerCustomer(s, d)),
     "q_window_running" -> ((s, d) => Analytics.runningSpend(s, d)),
@@ -69,6 +71,23 @@ object AnalyticsQueries {
         |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
         |count(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS INTEGER) AS gid,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |count(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_join_outer" ->
+      """WITH ord AS (SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS spend
+        |  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |  coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+        |  coalesce(n_orders, 0) AS n_orders,
+        |  coalesce(spend, CAST(0 AS DECIMAL(38,2))) AS spend
+        |FROM customer FULL OUTER JOIN ord ON c_custkey = o_custkey""".stripMargin,
 
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -23,6 +23,7 @@ object TextQueries {
     "q_dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "q_dedup_verify_pairs" -> ((s, d) => Dedup.verifyPairs(s, d)),
     "q_sketch_source" -> ((s, d) => Dedup.sourceSketch(s, d)),
     "q_sketch_source_sim" -> ((s, d) => Dedup.sourceSimilarity(s, d))
   )
@@ -146,6 +147,22 @@ object TextQueries {
         |    THEN '1' ELSE '0' END), '') AS simhash
         |  FROM h)
         |SELECT doc_id, simhash, substr(simhash, 1, 16) AS bucket16 FROM sim""".stripMargin,
+
+    "q_dedup_verify_pairs" ->
+      s"""$bandsCte,
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band_id = b.band_id
+         |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |docs AS (SELECT doc_id, text,
+         |  list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks
+         |  FROM documents)
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist,
+         |  CAST(len(list_intersect(a.toks, b.toks)) AS INTEGER) AS tok_inter,
+         |  CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+         |    AS INTEGER) AS tok_union
+         |FROM pairs p JOIN docs a ON p.doc_a = a.doc_id
+         |JOIN docs b ON p.doc_b = b.doc_id""".stripMargin,
 
     "q_sketch_source" ->
       s"""WITH $baseCte, $shinglesCte,

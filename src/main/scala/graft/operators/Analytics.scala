@@ -81,6 +81,35 @@ object Analytics {
         sum(dec("l_quantity")).cast("decimal(38,2)").as("sum_qty"),
         count(lit(1)).as("n_rows"))
 
+  /** Full cube over (flag, status) — all four grouping levels. */
+  def pricingCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("int").as("gid"),
+        sum(dec("l_quantity")).cast("decimal(38,2)").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+
+  /** Full outer join: every customer and every 1997 order, matched where
+    * possible — exercises null-completing join sides + coalesce.
+    */
+  def customerOrdersOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(year(col("o_orderdate")) === 1997)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec("o_totalprice")).cast("decimal(38,2)").as("spend"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(BigDecimal(0)).cast("decimal(38,2)")).as("spend"))
+  }
+
   /** Top-k: highest-value orders, deterministic tie-break on the key.
     * Plans as TakeOrderedAndProject — no global sort at any scale.
     */

@@ -81,6 +81,27 @@ object Dedup {
         graft.functions.HashExpressions.simhash64(col("text")).as("simhash"))
       .withColumn("bucket16", substring(col("simhash"), 1, 16))
 
+  /** The verification stage of LSH dedup: candidate pairs from the
+    * minhash buckets get exact checks — Levenshtein edit distance and
+    * distinct-token Jaccard (cross-multiplied, no division). Only
+    * collision candidates pay the quadratic-cost exact comparison; the
+    * corpus never does.
+    */
+  def verifyPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashPairs(spark, sfDir)
+    def docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        array_distinct(wsTokens(col("text"))).as("toks"))
+    pairs
+      .join(docs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(docs.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("a.text"), col("b.text")).as("edit_dist"),
+        size(array_intersect(col("a.toks"), col("b.toks"))).as("tok_inter"),
+        (size(col("a.toks")) + size(col("b.toks"))
+          - size(array_intersect(col("a.toks"), col("b.toks")))).as("tok_union"))
+  }
+
   /** Corpus-level sketching: per-source minhash signature via the
     * `minhash_union` TypedImperativeAggregate — element-wise minimum of
     * per-document signatures, which equals the signature of the union of
