@@ -24,6 +24,7 @@ object TextQueries {
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_dedup_verify_pairs" -> ((s, d) => Dedup.verifyPairs(s, d)),
+    "q_dedup_components" -> ((s, d) => Dedup.components(s, d)),
     "q_sketch_source" -> ((s, d) => Dedup.sourceSketch(s, d)),
     "q_sketch_source_sim" -> ((s, d) => Dedup.sourceSimilarity(s, d))
   )
@@ -163,6 +164,24 @@ object TextQueries {
          |    AS INTEGER) AS tok_union
          |FROM pairs p JOIN docs a ON p.doc_a = a.doc_id
          |JOIN docs b ON p.doc_b = b.doc_id""".stripMargin,
+
+    // Recursive transitive closure over the candidate graph — the oracle
+    // for the Spark side's iterative label propagation.
+    "q_dedup_components" ->
+      (bandsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        s""",
+           |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b ON a.band_id = b.band_id
+           |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |edges AS (SELECT doc_a AS n, doc_b AS m FROM prs
+           |  UNION ALL SELECT doc_b, doc_a FROM prs),
+           |reach(n, m) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT reach.n, e.m FROM reach JOIN edges e ON reach.m = e.n)
+           |SELECT n AS doc_id, min(m) AS component_id,
+           |  min(m) = n AS is_canonical
+           |FROM reach GROUP BY n""".stripMargin),
 
     "q_sketch_source" ->
       s"""WITH $baseCte, $shinglesCte,

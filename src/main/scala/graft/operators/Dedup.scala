@@ -102,6 +102,40 @@ object Dedup {
           - size(array_intersect(col("a.toks"), col("b.toks")))).as("tok_union"))
   }
 
+  /** The clustering stage of dedup: connected components over the LSH
+    * candidate graph by iterative minimum-label propagation, then the
+    * canonical (minimum) doc per component. The driver loop runs
+    * O(component-diameter) rounds — each a small join on the edge list
+    * (never the corpus) with a checkpoint per round to keep lineage flat;
+    * the standard large-scale CC shape. Singleton documents are their own
+    * canonical.
+    */
+  def components(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashPairs(spark, sfDir).localCheckpoint()
+    val edges = pairs.select(col("doc_a").as("n"), col("doc_b").as("m"))
+      .unionByName(pairs.select(col("doc_b").as("n"), col("doc_a").as("m")))
+      .localCheckpoint()
+    var labels = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("n"), col("doc_id").as("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val neigh = edges.join(labels.withColumnRenamed("n", "m"), "m")
+        .groupBy(col("n")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(neigh, Seq("n"), "left")
+        .select(col("n"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "n")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("n").as("doc_id"), col("lbl").as("component_id"),
+      (col("n") === col("lbl")).as("is_canonical"))
+  }
+
   /** Corpus-level sketching: per-source minhash signature via the
     * `minhash_union` TypedImperativeAggregate — element-wise minimum of
     * per-document signatures, which equals the signature of the union of

@@ -24,6 +24,10 @@ import graft.operators.TwsePipeline
 object TwseStreaming {
 
   private val runCounter = new AtomicInteger()
+  // unique per JVM: a fresh landing/checkpoint/sink triple per run, so a
+  // stale checkpoint from an earlier process (possibly older code) can't
+  // replay into this run's sink
+  private val jvmTag = java.util.UUID.randomUUID().toString.take(8)
 
   /** Run the stream over the three golden fixtures and return the
     * appended `investment_data` readback — which must equal the batch
@@ -31,7 +35,7 @@ object TwseStreaming {
     */
   def flagshipStream(spark: SparkSession): DataFrame = {
     val run = runCounter.incrementAndGet()
-    val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_twse_stream_$run")
+    val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_twse_stream_${jvmTag}_$run")
     val landing = base.resolve("landing")
     val sink = base.resolve("investment_data").toString
     val checkpoint = base.resolve("checkpoint").toString

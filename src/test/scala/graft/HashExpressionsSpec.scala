@@ -43,6 +43,21 @@ class HashExpressionsSpec extends SparkTestBase {
     assert(one === many) // partial-merge path must equal single-buffer path
   }
 
+  test("connected components: every candidate pair lands in one component") {
+    val comp = graft.operators.Dedup.components(spark, sf())
+      .select(col("doc_id"), col("component_id"))
+    val pairs = graft.operators.Dedup.minhashPairs(spark, sf())
+    val split = pairs
+      .join(comp.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("component_id", "ca"), "doc_a")
+      .join(comp.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("component_id", "cb"), "doc_b")
+      .filter(col("ca") =!= col("cb")).count()
+    assert(split === 0)
+    // component id is always the minimum member
+    assert(comp.filter(col("component_id") > col("doc_id")).count() === 0)
+  }
+
   test("shingles3 matches the reference semantics on edge cases") {
     import spark.implicits._
     val edge = Seq("", "one", "one two", "one two three", "a  b   c d",
