@@ -22,6 +22,7 @@ object AnalyticsQueries {
     "q_agg_rollup" -> ((s, d) => Analytics.pricingRollup(s, d)),
     "q_agg_cube" -> ((s, d) => Analytics.pricingCube(s, d)),
     "q_join_outer" -> ((s, d) => Analytics.customerOrdersOuter(s, d)),
+    "q_join_bucketed" -> ((s, d) => Analytics.bucketedJoin(s, d)),
     "q_topk" -> ((s, d) => Analytics.topOrders(s, d)),
     "q_window_rank" -> ((s, d) => Analytics.topOrdersPerCustomer(s, d)),
     "q_window_running" -> ((s, d) => Analytics.runningSpend(s, d)),
@@ -88,6 +89,12 @@ object AnalyticsQueries {
         |  coalesce(n_orders, 0) AS n_orders,
         |  coalesce(spend, CAST(0 AS DECIMAL(38,2))) AS spend
         |FROM customer FULL OUTER JOIN ord ON c_custkey = o_custkey""".stripMargin,
+
+    "q_join_bucketed" ->
+      s"""SELECT o_orderstatus, count(*) AS n_items,
+         |CAST(sum($discPrice) AS DECIMAL(38,4)) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus""".stripMargin,
 
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -17,6 +17,7 @@ object TextQueries {
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q_doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    "q_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_near" -> ((s, d) => Dedup.near(s, d)),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashBands(s, d)),
@@ -113,6 +114,21 @@ object TextQueries {
          |        w -> CAST(CAST(('0x' || substr(md5(w), 1, 8)) AS UBIGINT) AS BIGINT))),
          |    (a, b) -> (a * 1000003 + b) % 1000000007) AS rolling_fp
          |FROM base""".stripMargin,
+
+    "q_tfidf_top" ->
+      s"""WITH $baseCte,
+         |toks AS (SELECT doc_id, unnest(toks) AS token FROM base),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |df AS (SELECT token, count(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |scored AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         |  tf.tf * ln(n.n / df.df) AS score FROM tf JOIN df USING (token), n)
+         |SELECT doc_id, token AS top_token, tf AS top_tf, df AS top_df,
+         |  CAST(round(score, 6) AS DECIMAL(18,6)) AS tfidf
+         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, token) AS rn FROM scored)
+         |WHERE rn = 1""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,

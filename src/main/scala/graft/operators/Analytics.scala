@@ -81,6 +81,35 @@ object Analytics {
         sum(dec("l_quantity")).cast("decimal(38,2)").as("sum_qty"),
         count(lit(1)).as("n_rows"))
 
+  /** Co-located join via bucketing: both fact tables written bucketed +
+    * sorted on the join key, then sort-merge-joined with NO exchange on
+    * either side — at 100 TB this converts the dominant fact-fact
+    * shuffle into a local merge per bucket. The `merge` hint pins SMJ so
+    * the bucket layout (not broadcast) is what's exercised; the spec
+    * asserts the executed plan is exchange-free above the scans.
+    */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = s"${sys.props("java.io.tmpdir")}/graft_bucketed_${sfDir.hashCode.abs}"
+    def prep(name: String, df: DataFrame, key: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      df.write.mode("overwrite").format("parquet")
+        .bucketBy(8, key).sortBy(key)
+        .option("path", s"$wh/$name").saveAsTable(name)
+    }
+    prep("graft_li_bucketed", Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")), "l_orderkey")
+    prep("graft_ord_bucketed", Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus")), "o_orderkey")
+    spark.table("graft_li_bucketed")
+      .hint("merge")
+      .join(spark.table("graft_ord_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+          .cast("decimal(38,4)").as("revenue"))
+  }
+
   /** Full cube over (flag, status) — all four grouping levels. */
   def pricingCube(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)

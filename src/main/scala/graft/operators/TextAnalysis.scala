@@ -86,6 +86,30 @@ object TextAnalysis {
         .as("quality_score"))
   }
 
+  /** TF-IDF: the most characteristic token per document. Long-format
+    * shape — explode tokens, tf per (doc, token), df per token, score =
+    * tf · ln(N/df) — two hash aggregations and a broadcast-size df side.
+    * Ties break on the token string so ranking is deterministic.
+    */
+  def tfidfTop(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count() // corpus size: one job, a scalar — not per-row
+    val toks = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(df, "token")
+      .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("token").as("top_token"),
+        col("tf").as("top_tf"), col("df").as("top_df"),
+        round(col("score"), 6).cast("decimal(18,6)").as("tfidf"))
+  }
+
   /** Content fingerprints: order-insensitive md5-prefix fingerprint plus
     * an order-sensitive rolling hash over the token stream.
     */

@@ -91,6 +91,18 @@ class AnalyticsSpec extends SparkTestBase {
     assert(p.compareTo(total) === 0)
   }
 
+  test("bucketed join sort-merges without shuffling either fact side") {
+    val df = Analytics.bucketedJoin(spark, d)
+    df.collect() // finalize AQE plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    // the join's children must read bucketed data directly — the only
+    // hash exchange allowed is the final small group-by aggregation
+    val exchanges = "Exchange hashpartitioning\\(([a-z_]+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(exchanges.forall(_ == "o_orderstatus"), s"unexpected exchanges: $exchanges")
+  }
+
   test("as-of join: every matched view precedes its purchase; gaps non-negative") {
     val r = graft.operators.AsOf.purchaseToLastView(spark, d)
     assert(r.count() === Tables.events(spark, d)
