@@ -37,8 +37,28 @@ object AnalyticsQueries {
     "q_events_sessionize" -> ((s, d) => Analytics.eventsSessionized(s, d)),
     "q_events_json" -> ((s, d) => Analytics.eventsPropsDistribution(s, d)),
     "q_asof_join" -> ((s, d) => AsOf.purchaseToLastView(s, d)),
-    "q_funnel" -> ((s, d) => Analytics.funnel(s, d))
+    "q_funnel" -> ((s, d) => Analytics.funnel(s, d)),
+    // The SQL front door: the same engine through spark.sql over temp
+    // views — dialect-common text that the DuckDB oracle runs verbatim.
+    "q_sql_api" -> ((s, d) => {
+      graft.sources.Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      graft.sources.Tables.orders(s, d).createOrReplaceTempView("orders")
+      graft.sources.Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql(sqlApiText)
+    })
   )
+
+  /** Runs unchanged on Spark AND DuckDB (the common dialect subset). */
+  private val sqlApiText: String =
+    """SELECT c_mktsegment, count(*) AS n_items,
+      |CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |  * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY c_mktsegment""".stripMargin
 
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
@@ -198,6 +218,8 @@ object AnalyticsQueries {
     "q_events_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |count(*) AS n FROM events GROUP BY 1""".stripMargin,
+
+    "q_sql_api" -> sqlApiText,
 
     "q_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

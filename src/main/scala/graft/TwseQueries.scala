@@ -50,6 +50,15 @@ object TwseQueries {
         .select(col("name"), col("dataType").as("data_type"))
     }),
 
+    // Map-typed surface of the payload: key lookup, cardinality, sorted
+    // key list (§1.1a's map<string,string> — includes a null value).
+    "q_map_params" -> ((s, _) =>
+      TwsePipeline.parsed(s).select(
+        col("date").as("dt"),
+        element_at(col("params"), "dayDate").as("day_date"),
+        size(map_keys(col("params"))).as("n_params"),
+        array_join(array_sort(map_keys(col("params"))), ",").as("param_keys"))),
+
     // B1 — market-open filter.
     "q_filter_market_open" -> ((s, _) =>
       TwsePipeline.open(s).select(col("date").as("dt"), col("stat"))),
@@ -195,6 +204,13 @@ object TwseQueries {
 
     "q_filter_market_open" ->
       """SELECT * FROM (VALUES ('20220819', 'OK'), ('20100106', 'OK')) t(dt, stat)""",
+
+    "q_map_params" ->
+      """SELECT * FROM (VALUES
+        |('20220819', '20220819', 8, 'action,controller,dayDate,format,lang,monthDate,response,weekDate'),
+        |('20220820', '20220820', 2, 'dayDate,response'),
+        |('20100106', '20100106', 2, 'dayDate,response')
+        |) t(dt, day_date, n_params, param_keys)""".stripMargin,
 
     "q_filter_drop_total" ->
       """SELECT * FROM (VALUES
