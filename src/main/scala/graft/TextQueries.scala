@@ -18,6 +18,9 @@ object TextQueries {
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q_doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "q_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
+    "q_train_split" -> ((s, d) => graft.operators.DataPrep.trainSplit(s, d)),
+    "q_sample_stratified" -> ((s, d) => graft.operators.DataPrep.stratifiedSample(s, d)),
+    "q_pack_sequences" -> ((s, d) => graft.operators.DataPrep.packSequences(s, d)),
     "q_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_near" -> ((s, d) => Dedup.near(s, d)),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashBands(s, d)),
@@ -114,6 +117,32 @@ object TextQueries {
          |        w -> CAST(CAST(('0x' || substr(md5(w), 1, 8)) AS UBIGINT) AS BIGINT))),
          |    (a, b) -> (a * 1000003 + b) % 1000000007) AS rolling_fp
          |FROM base""".stripMargin,
+
+    "q_train_split" ->
+      """SELECT doc_id, lang, bucket,
+        |CASE WHEN bucket < 8 THEN 'train' WHEN bucket < 9 THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang,
+        |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |    % 10 AS BIGINT) AS bucket
+        |  FROM documents)""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 5""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS INTEGER) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+        |  FROM t)
+        |SELECT doc_id, n_tokens, tokens_before,
+        |  tokens_before // 512 AS pack_id FROM c""".stripMargin,
 
     "q_tfidf_top" ->
       s"""WITH $baseCte,

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Training-data preparation operators — the selection/packing half of an
+  * LLM data pipeline (the driver's north star), downstream of the dedup
+  * and quality stages.
+  *
+  * Everything is hash-deterministic: no RNG state, so any executor, any
+  * retry, any engine reproduces the same assignment — the property that
+  * makes splits auditable and incremental re-runs stable at 100 TB.
+  */
+object DataPrep {
+
+  private def hashBucket(c: org.apache.spark.sql.Column, mod: Int) =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("bigint") % mod
+
+  /** Deterministic 80/10/10 train/val/test split keyed on md5(doc_id) —
+    * stable under corpus growth (a document's split never changes when
+    * others are added). Pure per-row map.
+    */
+  def trainSplit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        hashBucket(col("doc_id"), 10).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") < 9, "val")
+          .otherwise("test"))
+
+  /** Stratified deterministic sample: k documents per language stratum,
+    * ordered by content hash (a seedless "random" that every engine
+    * agrees on). One shuffle on the stratum key; rank + filter prune
+    * inside the window operator.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** Greedy sequence packing: documents in doc_id order accumulate into
+    * fixed token-budget packs — pack_id = floor(tokens-before / budget).
+    * Token counts come from the single-pass TokenStats expression; the
+    * running sum is one ordered window. At scale packing runs per shard
+    * (partition the corpus first, pack within shards) — the global
+    * window here is the per-shard form.
+    */
+  def packSequences(spark: SparkSession, sfDir: String, budget: Int = 512): DataFrame = {
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.HashExpressions.token_stats(col("text"))
+          .getField("n_tokens").as("n_tokens"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)).cast("bigint"))
+      .withColumn("pack_id", expr(s"tokens_before div $budget"))
+      .select(col("doc_id"), col("n_tokens"), col("tokens_before"), col("pack_id"))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.DataPrep
+import graft.sources.Tables
+
+class DataPrepSpec extends SparkTestBase {
+  private val d = sf()
+
+  test("train split is a stable partition with roughly 80/10/10 mass") {
+    val s = DataPrep.trainSplit(spark, d)
+    val total = Tables.documents(spark, d).count()
+    assert(s.count() === total)
+    val frac = s.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble / total).toMap
+    assert(frac("train") > 0.6 && frac("train") < 0.95)
+    // growth stability: a document's split is a pure function of its id
+    val twice = DataPrep.trainSplit(spark, d)
+      .join(DataPrep.trainSplit(spark, d).withColumnRenamed("split", "s2"), "doc_id")
+      .filter(col("split") =!= col("s2")).count()
+    assert(twice === 0)
+  }
+
+  test("stratified sample takes exactly k per stratum") {
+    val k = 5
+    val bad = DataPrep.stratifiedSample(spark, d, k)
+      .groupBy(col("lang")).count().filter(col("count") =!= k).count()
+    assert(bad === 0)
+  }
+
+  test("sequence packing: packs are contiguous and within-budget at the boundary") {
+    val p = DataPrep.packSequences(spark, d, budget = 512).orderBy("doc_id").collect()
+    // tokens_before is the running sum of everything earlier
+    var cum = 0L
+    p.foreach { r =>
+      assert(r.getAs[Long]("tokens_before") === cum)
+      assert(r.getAs[Long]("pack_id") === cum / 512)
+      cum += r.getAs[Int]("n_tokens")
+    }
+    // pack ids are non-decreasing in doc order
+    val ids = p.map(_.getAs[Long]("pack_id"))
+    assert(ids.zip(ids.tail).forall { case (a, b) => a <= b })
+  }
+}
