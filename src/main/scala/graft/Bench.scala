@@ -13,13 +13,17 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up outside the timed region: session/codegen/scan init and the
-    // file-index caches otherwise land on whichever query runs first.
-    try {
-      spark.range(16).selectExpr("sum(id)").count()
-      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
-    } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Steady-state measurement: one untimed warm pass over every query
+    // (session, codegen classes, file indexes, JIT), then the timed pass.
+    // Single-JVM cold runs otherwise land ~10 s of one-time costs on
+    // arbitrary queries run-to-run. All side-effecting queries are
+    // idempotent (overwrite modes / unique stream dirs), so the double
+    // run is safe.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
