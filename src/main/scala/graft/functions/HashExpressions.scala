@@ -119,20 +119,17 @@ object HashExpressions {
     org.apache.spark.sql.GraftExpressionBridge.column(e)
 }
 
-/** `minhash_band_keys(text)`: the per-document half of minhash-LSH dedup
-  * — 16 md5-based minhash rows banded 4×4 into 4 bucket keys.
-  * One tight pass: tokenize once, shingle once, then 16 running minima.
+/** Static entry points for generated code. A top-level Scala object gets
+  * static forwarders, so Janino-generated whole-stage code calls these
+  * directly — the expressions below emit one static call per row instead
+  * of falling back to interpreted eval (CodegenFallback would route every
+  * row through boxed varargs + reflection-shaped dispatch).
   */
-case class MinHashBandKeys(child: Expression,
-    numHashes: Int = 16, numBands: Int = 4)
-  extends UnaryExpression with CodegenFallback {
+object HashExpressionRuntime {
+  import HashExpressions._
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "minhash_band_keys"
-
-  override def nullSafeEval(input: Any): Any = {
-    import HashExpressions._
-    val sig = signatureOf(input.toString, numHashes)
+  def minhashBands(text: UTF8String, numHashes: Int, numBands: Int): ArrayData = {
+    val sig = signatureOf(text.toString, numHashes)
     val rows = numHashes / numBands
     val bands = new Array[AnyRef](numBands)
     var b = 0
@@ -146,6 +143,65 @@ case class MinHashBandKeys(child: Expression,
     new GenericArrayData(bands)
   }
 
+  def minhashSignature(text: UTF8String, numHashes: Int): ArrayData =
+    new GenericArrayData(
+      signatureOf(text.toString, numHashes).map(UTF8String.fromString(_): AnyRef))
+
+  def simhash64(text: UTF8String): UTF8String = {
+    val toks = normTokens(text.toString)
+    val counts = new Array[Int](64)
+    var ti = 0
+    while (ti < toks.length) {
+      val h = md5Hex(toks(ti))
+      var b = 0
+      while (b < 64) {
+        val nib = Character.digit(h.charAt(b / 4), 16)
+        counts(b) += (((nib >> (b % 4)) & 1) * 2) - 1
+        b += 1
+      }
+      ti += 1
+    }
+    val bits = new Array[Char](64)
+    var b = 0
+    while (b < 64) { bits(b) = if (counts(b) > 0) '1' else '0'; b += 1 }
+    UTF8String.fromString(new String(bits))
+  }
+
+  def tokenStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = normTokens(text.toString)
+    val seen = new java.util.HashSet[String](toks.length * 2)
+    var maxLen = 0
+    var i = 0
+    while (i < toks.length) {
+      seen.add(toks(i))
+      if (toks(i).length > maxLen) maxLen = toks(i).length
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(toks.length, seen.size, maxLen)
+  }
+}
+
+/** `minhash_band_keys(text)`: the per-document half of minhash-LSH dedup
+  * — 16 md5-based minhash rows banded 4×4 into 4 bucket keys.
+  * One tight pass: tokenize once, shingle once, then 16 running minima.
+  */
+case class MinHashBandKeys(child: Expression,
+    numHashes: Int = 16, numBands: Int = 4)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_band_keys"
+
+  override def nullSafeEval(input: Any): Any =
+    HashExpressionRuntime.minhashBands(
+      input.asInstanceOf[UTF8String], numHashes, numBands)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashExpressionRuntime.minhashBands($c, $numHashes, $numBands);")
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -155,15 +211,19 @@ case class MinHashBandKeys(child: Expression,
   * combines per group.
   */
 case class MinHashSignature(child: Expression, numHashes: Int = 16)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
-  override def nullSafeEval(input: Any): Any = {
-    val sig = HashExpressions.signatureOf(input.toString, numHashes)
-    new GenericArrayData(sig.map(UTF8String.fromString(_): AnyRef))
-  }
+  override def nullSafeEval(input: Any): Any =
+    HashExpressionRuntime.minhashSignature(input.asInstanceOf[UTF8String], numHashes)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashExpressionRuntime.minhashSignature($c, $numHashes);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -245,7 +305,7 @@ case class MinHashUnionAgg(
   * this costs one split and one hash-set per row.
   */
 case class TokenStats(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
@@ -256,20 +316,14 @@ case class TokenStats(child: Expression)
     StructField("max_token_len", IntegerType, nullable = false)))
   override def prettyName: String = "token_stats"
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = HashExpressions.normTokens(input.toString)
-    val seen = new java.util.HashSet[String](toks.length * 2)
-    var maxLen = 0
-    var i = 0
-    while (i < toks.length) {
-      seen.add(toks(i))
-      // length in characters (codepoint-equivalent for BMP text), matching
-      // Spark's length() on the token strings
-      if (toks(i).length > maxLen) maxLen = toks(i).length
-      i += 1
-    }
-    InternalRow(toks.length, seen.size, maxLen)
-  }
+  override def nullSafeEval(input: Any): Any =
+    HashExpressionRuntime.tokenStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashExpressionRuntime.tokenStats($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -280,31 +334,19 @@ case class TokenStats(child: Expression)
   * (hexval(md5hex(t)[b/4]) >> (b%4)) & 1, weighted ±1, sign-aggregated.
   */
 case class SimHash64(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(input: Any): Any = {
-    import HashExpressions._
-    val toks = normTokens(input.toString)
-    val counts = new Array[Int](64)
-    var ti = 0
-    while (ti < toks.length) {
-      val h = md5Hex(toks(ti))
-      var b = 0
-      while (b < 64) {
-        val nib = Character.digit(h.charAt(b / 4), 16)
-        counts(b) += (((nib >> (b % 4)) & 1) * 2) - 1
-        b += 1
-      }
-      ti += 1
-    }
-    val bits = new Array[Char](64)
-    var b = 0
-    while (b < 64) { bits(b) = if (counts(b) > 0) '1' else '0'; b += 1 }
-    UTF8String.fromString(new String(bits))
-  }
+  override def nullSafeEval(input: Any): Any =
+    HashExpressionRuntime.simhash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashExpressionRuntime.simhash64($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

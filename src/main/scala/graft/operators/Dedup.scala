@@ -129,9 +129,11 @@ object Dedup {
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("lbl", "old"), "n")
         .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist() // release the superseded round's checkpoint blocks
       labels = next
       rounds += 1
     }
+    edges.unpersist(); pairs.unpersist()
     labels.select(col("n").as("doc_id"), col("lbl").as("component_id"),
       (col("n") === col("lbl")).as("is_canonical"))
   }

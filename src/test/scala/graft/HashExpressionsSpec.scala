@@ -30,6 +30,16 @@ class HashExpressionsSpec extends SparkTestBase {
     assert(custom.exceptAll(composed).count() === 0)
   }
 
+  test("sketch expressions run inside whole-stage codegen (no fallback)") {
+    val df = sources.Tables.documents(spark, sf()).select(
+      HashExpressions.minhash_band_keys(col("text")).as("b"),
+      HashExpressions.simhash64(col("text")).as("s"),
+      HashExpressions.token_stats(col("text")).as("t"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[minhash_band_keys""".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("minhash_union sketch is partition-invariant (merge is correct)") {
     import graft.functions.HashExpressions.{minhash_signature, minhash_union}
     def sketch(parts: Int) = sources.Tables.documents(spark, sf())
