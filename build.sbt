@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // ~160 distinct plans × whole-stage-codegen classes overflow the
+  // default 240 MB code cache; when it fills, the JIT flushes hot
+  // methods and md5-heavy queries intermittently run 10× slower.
+  "-XX:ReservedCodeCacheSize=512m",
 )

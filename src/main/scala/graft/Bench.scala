@@ -8,9 +8,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // 69 distinct query plans thrash the default 100-entry generated-
+      // 81 distinct query plans thrash the default 100-entry generated-
       // class cache; recompiles (~100ms+) then land on later queries
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // 162 query executions accumulate thousands of broadcast/RDD refs;
+      // blocking ContextCleaner storms otherwise stall whichever
+      // multi-job query is running when GC triggers them
+      .config("spark.cleaner.referenceTracking.blocking", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Steady-state measurement: one untimed warm pass over every query

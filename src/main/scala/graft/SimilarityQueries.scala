@@ -18,7 +18,8 @@ object SimilarityQueries {
       Similarity.lshBuckets(s, d).select(col("vec_id"), col("label"), col("bucket"))),
     "q_sim_topk_lsh" -> ((s, d) => Similarity.topKLsh(s, d)),
     "q_sim_centroid" -> ((s, d) => Similarity.centroidDistance(s, d)),
-    "q_dedup_embedding" -> ((s, d) => Similarity.nearestPairPerLabel(s, d))
+    "q_dedup_embedding" -> ((s, d) => Similarity.nearestPairPerLabel(s, d)),
+    "q_dedup_embedding_lsh" -> ((s, d) => Similarity.nearDupLsh(s, d))
   )
 
   /** Shared oracle CTEs. */
@@ -85,6 +86,22 @@ object SimilarityQueries {
         |SELECT vec_id, label,
         |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DECIMAL(10,6)) AS score
         |FROM j""".stripMargin,
+
+    "q_dedup_embedding_lsh" ->
+      s"""WITH $bucketsCte,
+         |cand AS (SELECT ba.bucket, ba.vec_id AS va, bb.vec_id AS vb
+         |  FROM buck ba JOIN buck bb ON ba.bucket = bb.bucket
+         |    AND ba.vec_id < bb.vec_id),
+         |d AS (SELECT c.bucket, c.va, c.vb,
+         |  sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS dot,
+         |  sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)) AS na,
+         |  sum(CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS nb
+         |  FROM cand c JOIN embeddings ea ON c.va = ea.vec_id
+         |  JOIN embeddings eb ON c.vb = eb.vec_id, range(1, 65) r(i)
+         |  GROUP BY 1, 2, 3)
+         |SELECT bucket, va AS vec_a, vb AS vec_b,
+         |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DECIMAL(10,6)) AS score
+         |FROM d""".stripMargin,
 
     "q_dedup_embedding" ->
       """WITH p AS (SELECT a.label, a.vec_id AS va, b.vec_id AS vb,

@@ -115,6 +115,23 @@ object Similarity {
           .cast("decimal(10,6)").as("score"))
   }
 
+  /** Embedding near-dup via LSH blocking — the scale path: candidate
+    * pairs come from sign-bucket collisions (≈ N²/16 of all-pairs at 4
+    * planes, and 2^-p of it in general), then exact cosine on candidates
+    * only. Output keeps every bucketed pair with its score; a dedup
+    * pipeline thresholds downstream.
+    */
+  def nearDupLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = lshBuckets(spark, sfDir).localCheckpoint()
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.bucket").as("bucket"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(score(col("a.embedding"), col("b.embedding")), 6)
+          .cast("decimal(10,6)").as("score"))
+  }
+
   /** Embedding near-dup detection: the most-similar pair per label block.
     * Blocked self-join (never all-pairs) + codegen'd cosine + one window
     * rank. At scale the blocking key is the LSH bucket instead of the

@@ -50,6 +50,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(r.map(_.getAs[String]("bucket")).distinct.length === 1)
   }
 
+  test("cosine handles mismatched vector lengths by the common prefix") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 0.0f, 5.0f), Seq(1.0f, 0.0f)))
+      .toDF("a", "b")
+      .select(cosine_similarity(col("a"), col("b")).as("s"))
+    // prefix [1,0]·[1,0] = 1 exactly (the trailing element is ignored)
+    assert(df.collect().head.getDouble(0) === 1.0)
+  }
+
+  test("malformed payload bodies parse to null and fall out at the filter") {
+    import spark.implicits._
+    val bad = Seq("{not json", """{"stat": 5}""", "").toDF("body")
+      .select(org.apache.spark.sql.functions.from_json(
+        col("body"), graft.model.Schemas.twsePayload).as("p"))
+      .select(col("p.*"))
+      .filter(col("stat") === "OK")
+    assert(bad.count() === 0) // no crash, no rows — the closed-day semantics
+  }
+
   test("nearest pair per label: one row per label, scores in [-1, 1]") {
     val r = Similarity.nearestPairPerLabel(spark, d).collect()
     val labels = Tables.embeddings(spark, d).select(col("label")).distinct().count()
