@@ -32,6 +32,9 @@ object AnalyticsQueries {
     "q_agg_salted" -> ((s, d) => Analytics.saltedAgg(s, d)),
     "q_count_distinct" -> ((s, d) => Analytics.distinctCounts(s, d)),
     "q_percentile" -> ((s, d) => Analytics.quantiles(s, d)),
+    "q_scalar_funcs" -> ((s, d) => Analytics.scalarFuncs(s, d)),
+    "q_grouping_sets" -> ((s, d) => Analytics.groupingSetsAgg(s, d)),
+    "q_stats_moments" -> ((s, d) => Analytics.statsMoments(s, d)),
     "q_histogram" -> ((s, d) => Analytics.histogram(s, d)),
     "q_events_window" -> ((s, d) => Analytics.eventsDaily(s, d)),
     "q_events_sessionize" -> ((s, d) => Analytics.eventsSessionized(s, d)),
@@ -178,6 +181,37 @@ object AnalyticsQueries {
         |count(DISTINCT l_orderkey) AS n_orders,
         |count(DISTINCT l_partkey) AS n_parts,
         |count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_scalar_funcs" ->
+      """SELECT n_nationkey,
+        |upper(n_name) AS up, lower(n_name) AS lo, reverse(n_name) AS rev,
+        |lpad(n_name, 12, '*') AS padded, substr(n_name, 2, 3) AS sub23,
+        |regexp_replace(n_name, 'A', '@', 'g') AS subst,
+        |CAST(length(n_name) AS INTEGER) AS len,
+        |n_name || '#' || CAST(n_regionkey AS VARCHAR) AS tagged,
+        |greatest(n_nationkey, n_regionkey * 5) AS biggest,
+        |coalesce(nullif(n_regionkey, 2), -1) AS region_or_default,
+        |abs(n_nationkey - 12) AS dist12,
+        |n_nationkey % 7 AS mod7,
+        |sqrt(CAST(n_nationkey AS DOUBLE)) AS root
+        |FROM nation""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS INTEGER) AS gid,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "q_stats_moments" ->
+      """SELECT l_returnflag,
+        |round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |round(var_samp(l_quantity), 6) AS var_qty,
+        |round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+        |min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_percentile" ->

@@ -238,6 +238,58 @@ object Analytics {
       .agg(sum(col("part_qty")).cast("decimal(38,2)").as("sum_qty"),
         sum(col("part_n")).as("n_rows"))
 
+  /** Scalar-function surface over the nation dimension: string ops,
+    * integer math, null handling — the everyday builtins a user of any
+    * engine expects, all with engine-portable semantics (no locale-
+    * dependent or implementation-defined functions).
+    */
+  def scalarFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.nation(spark, sfDir).select(
+      col("n_nationkey"),
+      upper(col("n_name")).as("up"),
+      lower(col("n_name")).as("lo"),
+      reverse(col("n_name")).as("rev"),
+      lpad(col("n_name"), 12, "*").as("padded"),
+      substring(col("n_name"), 2, 3).as("sub23"),
+      regexp_replace(col("n_name"), "A", "@").as("subst"),
+      length(col("n_name")).as("len"),
+      concat(col("n_name"), lit("#"), col("n_regionkey").cast("string")).as("tagged"),
+      greatest(col("n_nationkey"), col("n_regionkey") * 5).as("biggest"),
+      coalesce(nullif(col("n_regionkey"), lit(2)), lit(-1)).as("region_or_default"),
+      abs(col("n_nationkey") - 12).as("dist12"),
+      (col("n_nationkey") % 7).as("mod7"),
+      sqrt(col("n_nationkey").cast("double")).as("root")) // sqrt is IEEE-exact
+
+  /** Explicit grouping sets — the generalized form of rollup/cube:
+    * flag-level totals, status-level totals, and the grand total in one
+    * pass (Spark expands to a single Expand + hash aggregate).
+    */
+  def groupingSetsAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_li_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS INT) AS gid,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |count(*) AS n_rows
+        |FROM graft_li_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+  }
+
+  /** Statistical moments per group — sample stddev/variance, correlation
+    * and covariance between quantity and price, rounded to absorb
+    * last-ulp summation-order differences.
+    */
+  def statsMoments(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 6).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+
   /** Exact percentiles (sort-based, linear interpolation) per group —
     * rounded so Spark's `percentile` and DuckDB's `quantile_cont` agree
     * through their last-ulp differences.

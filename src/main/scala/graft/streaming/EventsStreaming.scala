@@ -51,11 +51,25 @@ object EventsStreaming {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Run `body` with a bounded shuffle-partition count: streaming state
+    * stores are created per shuffle partition at query start, and 32
+    * stores for a handful of groups is pure fixed cost (store init +
+    * checkpoint IO dominated the streaming queries' bench time). The
+    * conf is restored after the query has fully executed — batch queries
+    * plan at their own execution time, so they never see the override.
+    */
+  private def withStreamPartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** Streaming daily window aggregation — identical result contract to
     * the batch `Analytics.eventsDaily`; complete-mode memory sink for the
     * finite source. In production: append mode + watermark + a real sink.
     */
-  def dailyCounts(spark: SparkSession, sfDir: String): DataFrame = {
+  def dailyCounts(spark: SparkSession, sfDir: String): DataFrame = withStreamPartitions(spark, 8) {
     val name = s"graft_stream_daily_${nameCounter.incrementAndGet()}"
     val agg = streamSource(spark, sfDir)
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
@@ -88,7 +102,7 @@ object EventsStreaming {
     * gaps-and-islands form (`Analytics.eventsSessionized`) is the oracle
     * — a spec asserts both agree.
     */
-  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = withStreamPartitions(spark, 8) {
     import spark.implicits._
     val name = s"graft_stream_sessions_${nameCounter.incrementAndGet()}"
 
