@@ -115,6 +115,12 @@ object TwseQueries {
     // D4 — UTC → Asia/Taipei conversion at the daily run instant.
     "q_tz_convert" -> ((s, _) => TwseAnalytics.tzConvert(s)),
 
+    // Date-arithmetic surface over the golden dates.
+    "q_date_arith" -> ((s, _) => TwseAnalytics.dateArith(s)),
+
+    // Array-function surface over the cleaned vector.
+    "q_array_funcs" -> ((s, _) => TwseAnalytics.arrayFuncs(s)),
+
     // D6 — dif = buy − sell consistency in exact decimals.
     "q_sign_math" -> ((s, _) => TwseAnalytics.signMath(s)
       .select(col("date").as("dt"), col("unit"), col("buy"), col("sell"),
@@ -296,6 +302,28 @@ object TwseQueries {
         |strftime(strptime(dt, '%Y%m%d') + INTERVAL 18 HOUR, '%Y-%m-%d %H:%M:%S') AS tw_time,
         |strftime(strptime(dt, '%Y%m%d') + INTERVAL 18 HOUR, '%Y%m%d') AS request_date
         |FROM (VALUES ('20220819'), ('20220820'), ('20100106')) t(dt)""".stripMargin,
+
+    "q_date_arith" ->
+      """WITH d AS (SELECT dt, CAST(strptime(dt, '%Y%m%d') AS DATE) AS day
+        |  FROM (VALUES ('20220819'), ('20220820'), ('20100106')) t(dt))
+        |SELECT dt, day + 30 AS plus30,
+        |  CAST(DATE '2023-01-01' - day AS INTEGER) AS days_to_2023,
+        |  last_day(day) AS month_end,
+        |  CAST(date_trunc('month', day) AS DATE) AS month_start,
+        |  CAST(dayofweek(day) + 1 AS INTEGER) AS dow
+        |FROM d""".stripMargin,
+
+    "q_array_funcs" -> {
+      val lst = golden12.map(v => s"'$v'").mkString("[", ", ", "]")
+      s"""WITH v AS (SELECT '20220819' AS dt, $lst AS a)
+         |SELECT dt, array_to_string(list_sort(a), ',') AS sorted_csv,
+         |  list_contains(a, '461439550') AS has_dealer_dif,
+         |  CAST(coalesce(list_position(a, '461439550'), 0) AS BIGINT) AS pos_dealer_dif,
+         |  array_to_string(a[2:4], ',') AS slice24,
+         |  CAST(len(list_distinct(a)) AS INTEGER) AS n_distinct,
+         |  a[-1] AS last_amount
+         |FROM v""".stripMargin
+    },
 
     "q_sign_math" ->
       """SELECT dt, unit,

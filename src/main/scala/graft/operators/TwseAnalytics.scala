@@ -74,6 +74,36 @@ object TwseAnalytics {
           "Asia/Taipei"),
         "yyyyMMdd").as("request_date"))
 
+  /** Date arithmetic surface over the golden dates: offsets, diffs,
+    * month boundaries, weekday — the calendar toolkit a daily pipeline
+    * leans on (engine-portable subset only).
+    */
+  def dateArith(spark: SparkSession): DataFrame = {
+    val day = to_date(col("date"), "yyyyMMdd")
+    TwsePipeline.parsed(spark).select(
+      col("date").as("dt"),
+      date_add(day, 30).as("plus30"),
+      datediff(lit("2023-01-01").cast("date"), day).as("days_to_2023"),
+      last_day(day).as("month_end"),
+      trunc(day, "MM").as("month_start"),
+      dayofweek(day).as("dow"))
+  }
+
+  /** Array-function surface over the cleaned 12-vector: ordering,
+    * membership, position, slicing, dedup cardinality, joining.
+    */
+  def arrayFuncs(spark: SparkSession): DataFrame =
+    TwsePipeline.cleaned(spark)
+      .filter(col("date") === "20220819")
+      .select(
+        col("date").as("dt"),
+        array_join(sort_array(col("vec")), ",").as("sorted_csv"),
+        array_contains(col("vec"), "461439550").as("has_dealer_dif"),
+        array_position(col("vec"), "461439550").as("pos_dealer_dif"),
+        array_join(slice(col("vec"), lit(2), lit(3)), ",").as("slice24"),
+        size(array_distinct(col("vec"))).as("n_distinct"),
+        element_at(col("vec"), -1).as("last_amount"))
+
   /** D6 — signed-difference consistency: the payload's 買賣差額 column is
     * buy − sell (observable in the golden payload, e.g. −7,298,108,131 =
     * 52,999,169,995 − 60,297,278,126). Re-derive in exact decimal
