@@ -41,6 +41,7 @@ object AnalyticsQueries {
     "q_events_json" -> ((s, d) => Analytics.eventsPropsDistribution(s, d)),
     "q_asof_join" -> ((s, d) => AsOf.purchaseToLastView(s, d)),
     "q_funnel" -> ((s, d) => Analytics.funnel(s, d)),
+    "q_event_gaps" -> ((s, d) => Analytics.interEventGaps(s, d)),
     // The SQL front door: the same engine through spark.sql over temp
     // views — dialect-common text that the DuckDB oracle runs verbatim.
     "q_sql_api" -> ((s, d) => {
@@ -254,6 +255,16 @@ object AnalyticsQueries {
         |count(*) AS n FROM events GROUP BY 1""".stripMargin,
 
     "q_sql_api" -> sqlApiText,
+
+    "q_event_gaps" ->
+      """WITH g AS (SELECT event_type,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+        |  CAST(sum(gap_us) AS BIGINT) AS total_gap_us
+        |FROM g WHERE gap_us IS NOT NULL GROUP BY event_type""".stripMargin,
 
     "q_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

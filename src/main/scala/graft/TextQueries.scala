@@ -18,6 +18,8 @@ object TextQueries {
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q_doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "q_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
+    "q_extract_numbers" -> ((s, d) => TextAnalysis.extractNumbers(s, d)),
+    "q_quality_audit" -> ((s, d) => TextAnalysis.qualityAudit(s, d)),
     "q_train_split" -> ((s, d) => graft.operators.DataPrep.trainSplit(s, d)),
     "q_sample_stratified" -> ((s, d) => graft.operators.DataPrep.stratifiedSample(s, d)),
     "q_pack_sequences" -> ((s, d) => graft.operators.DataPrep.packSequences(s, d)),
@@ -117,6 +119,26 @@ object TextQueries {
          |        w -> CAST(CAST(('0x' || substr(md5(w), 1, 8)) AS UBIGINT) AS BIGINT))),
          |    (a, b) -> (a * 1000003 + b) % 1000000007) AS rolling_fp
          |FROM base""".stripMargin,
+
+    "q_extract_numbers" ->
+      """SELECT doc_id, CAST(i - 1 AS INTEGER) AS match_idx,
+        |m[i] AS number_str, CAST(m[i] AS BIGINT) AS number_val
+        |FROM (SELECT doc_id, regexp_extract_all(text, '[0-9]+') AS m FROM documents),
+        |  range(1, 1000) r(i)
+        |WHERE i <= len(m)""".stripMargin,
+
+    "q_quality_audit" ->
+      """SELECT * FROM (
+        |SELECT 'doc_id' AS column_name, CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  count(DISTINCT doc_id) AS n_distinct, CAST(min(doc_id) AS VARCHAR) AS min_str, CAST(max(doc_id) AS VARCHAR) AS max_str FROM documents
+        |UNION ALL SELECT 'text', CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT text), CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR) FROM documents
+        |UNION ALL SELECT 'lang', CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT lang), CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents
+        |UNION ALL SELECT 'source', CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT source), CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
+        |UNION ALL SELECT 'n_chars', CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents)""".stripMargin,
 
     "q_train_split" ->
       """SELECT doc_id, lang, bucket,

@@ -332,6 +332,25 @@ object Analytics {
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Inter-event interval statistics per event type: integer-microsecond
+    * gaps between consecutive events of the same user+type — min/max/
+    * count exact, the latency-profile query of an event stream.
+    */
+  def interEventGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .withColumn("gap_us", unix_micros(col("ts")) - col("prev_us"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        sum(col("gap_us")).as("total_gap_us"))
+  }
+
   /** Conversion funnel view → click → purchase: each stage's first time
     * must strictly follow the previous stage's. Three aggregations +
     * two key joins on user_id — at scale the joins reuse one hash

@@ -86,6 +86,38 @@ object TextAnalysis {
         .as("quality_score"))
   }
 
+  /** Regex row-generation (UDTF-shaped): every digit-run in every
+    * document becomes a row — `regexp_extract_all` + `posexplode`, the
+    * generator pattern for mining structured fragments out of text.
+    */
+  def extractNumbers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+          .as(Seq("match_idx", "number_str")))
+      .withColumn("number_val", col("number_str").cast("bigint"))
+
+  /** Per-column data-quality audit of the documents table in long
+    * format: null counts, distinct counts, and min/max rendered as
+    * strings — the profiling pass a pipeline runs before trusting a new
+    * drop of data. One aggregation job for all columns.
+    */
+  def qualityAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.documents(spark, sfDir)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val wide = t.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c =>
+      s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max").mkString(", ")
+    wide.select(expr(
+      s"stack(${cols.length}, $stacked) AS (column_name, n_nulls, n_distinct, min_str, max_str)"))
+  }
+
   /** TF-IDF: the most characteristic token per document. Long-format
     * shape — explode tokens, tf per (doc, token), df per token, score =
     * tf · ln(N/df) — two hash aggregations and a broadcast-size df side.
