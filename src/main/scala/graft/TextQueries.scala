@@ -31,6 +31,7 @@ object TextQueries {
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_dedup_verify_pairs" -> ((s, d) => Dedup.verifyPairs(s, d)),
     "q_dedup_components" -> ((s, d) => Dedup.components(s, d)),
+    "q_dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
     "q_sketch_source" -> ((s, d) => Dedup.sourceSketch(s, d)),
     "q_sketch_source_sim" -> ((s, d) => Dedup.sourceSimilarity(s, d))
   )
@@ -249,6 +250,25 @@ object TextQueries {
            |SELECT n AS doc_id, min(m) AS component_id,
            |  min(m) = n AS is_canonical
            |FROM reach GROUP BY n""".stripMargin),
+
+    "q_dedup_apply" ->
+      (bandsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        s""",
+           |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b ON a.band_id = b.band_id
+           |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |edges AS (SELECT doc_a AS n, doc_b AS m FROM prs
+           |  UNION ALL SELECT doc_b, doc_a FROM prs),
+           |reach(n, m) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT reach.n, e.m FROM reach JOIN edges e ON reach.m = e.n),
+           |comp AS (SELECT n AS doc_id, min(m) AS component_id FROM reach GROUP BY n),
+           |sizes AS (SELECT component_id, count(*) AS n_members FROM comp GROUP BY 1)
+           |SELECT d.doc_id, d.lang, d.source, sizes.n_members
+           |FROM documents d JOIN comp ON d.doc_id = comp.doc_id
+           |JOIN sizes ON comp.component_id = sizes.component_id
+           |WHERE comp.component_id = d.doc_id""".stripMargin),
 
     "q_sketch_source" ->
       s"""WITH $baseCte, $shinglesCte,

@@ -138,6 +138,19 @@ object Dedup {
       (col("n") === col("lbl")).as("is_canonical"))
   }
 
+  /** The dedup pipeline's terminal: the deduplicated corpus — canonical
+    * documents only, annotated with how many near-duplicates each one
+    * absorbed. What actually ships to training.
+    */
+  def dedupApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val comp = components(spark, sfDir).localCheckpoint()
+    val sizes = comp.groupBy(col("component_id")).agg(count(lit(1)).as("n_members"))
+    Tables.documents(spark, sfDir)
+      .join(comp.filter(col("is_canonical")), "doc_id")
+      .join(sizes, "component_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_members"))
+  }
+
   /** Corpus-level sketching: per-source minhash signature via the
     * `minhash_union` TypedImperativeAggregate — element-wise minimum of
     * per-document signatures, which equals the signature of the union of
