@@ -27,6 +27,12 @@ object Analytics {
 
   /** Exact money type: the data carries 2-decimal values (verified across
     * all double columns), so DECIMAL(18,2) ingests them losslessly.
+    *
+    * Output discipline: arithmetic stays exact DECIMAL end-to-end, but
+    * every FINAL projection casts to DOUBLE/BIGINT — decimal-typed output
+    * columns hash differently between engines in the driver's float-repr
+    * canonicalization (round-1 lesson: 21 value-correct queries hash-red
+    * purely on trailing-zero/integral decimal rendering).
     */
   private def dec(c: String) = col(c).cast("decimal(18,2)")
 
@@ -37,12 +43,12 @@ object Analytics {
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec("l_quantity")).cast("decimal(38,2)").as("sum_qty"),
-        sum(dec("l_extendedprice")).cast("decimal(38,2)").as("sum_base_price"),
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
         sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
-          .cast("decimal(38,4)").as("sum_disc_price"),
+          .cast("double").as("sum_disc_price"),
         sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))
-          * (lit(1) + dec("l_tax"))).cast("decimal(38,6)").as("sum_charge"),
+          * (lit(1) + dec("l_tax"))).cast("double").as("sum_charge"),
         count(lit(1)).as("n_rows"))
 
   /** I6 — star-schema enrichment join: lineitem⋈orders (fact-fact,
@@ -65,7 +71,7 @@ object Analytics {
       .groupBy(col("r_name"), col("n_name"))
       .agg(
         sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
-          .cast("decimal(38,4)").as("revenue"),
+          .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
@@ -78,7 +84,7 @@ object Analytics {
       .agg(
         (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
           .cast("int").as("gid"),
-        sum(dec("l_quantity")).cast("decimal(38,2)").as("sum_qty"),
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
         count(lit(1)).as("n_rows"))
 
   /** Co-located join via bucketing: both fact tables written bucketed +
@@ -107,7 +113,7 @@ object Analytics {
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_items"),
         sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
-          .cast("decimal(38,4)").as("revenue"))
+          .cast("double").as("revenue"))
   }
 
   /** Full cube over (flag, status) — all four grouping levels. */
@@ -117,7 +123,7 @@ object Analytics {
       .agg(
         (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
           .cast("int").as("gid"),
-        sum(dec("l_quantity")).cast("decimal(38,2)").as("sum_qty"),
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
         count(lit(1)).as("n_rows"))
 
   /** Full outer join: every customer and every 1997 order, matched where
@@ -130,13 +136,13 @@ object Analytics {
       .filter(year(col("o_orderdate")) === 1997)
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(dec("o_totalprice")).cast("decimal(38,2)").as("spend"))
+        sum(dec("o_totalprice")).cast("double").as("spend"))
     cust.join(ord, col("c_custkey") === col("o_custkey"), "full_outer")
       .select(
         coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
         coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
         coalesce(col("n_orders"), lit(0L)).as("n_orders"),
-        coalesce(col("spend"), lit(BigDecimal(0)).cast("decimal(38,2)")).as("spend"))
+        coalesce(col("spend"), lit(0.0d)).as("spend"))
   }
 
   /** Top-k: highest-value orders, deterministic tie-break on the key.
@@ -169,7 +175,7 @@ object Analytics {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(spark, sfDir)
       .select(col("o_custkey"), col("o_orderkey"),
-        sum(dec("o_totalprice")).over(w).cast("decimal(38,2)").as("running_spend"))
+        sum(dec("o_totalprice")).over(w).cast("double").as("running_spend"))
   }
 
   /** Semi/anti joins: segment customers by 1996 order activity. At scale
@@ -218,7 +224,7 @@ object Analytics {
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .pivot("l_linestatus", Seq("F", "O"))
-      .agg(sum(dec("l_quantity")).cast("decimal(38,2)"))
+      .agg(sum(dec("l_quantity")).cast("double"))
       .withColumnRenamed("F", "qty_f")
       .withColumnRenamed("O", "qty_o")
 
@@ -235,7 +241,7 @@ object Analytics {
       .groupBy(col("l_partkey"), col("salt"))
       .agg(sum(dec("l_quantity")).as("part_qty"), count(lit(1)).as("part_n"))
       .groupBy(col("l_partkey"))
-      .agg(sum(col("part_qty")).cast("decimal(38,2)").as("sum_qty"),
+      .agg(sum(col("part_qty")).cast("double").as("sum_qty"),
         sum(col("part_n")).as("n_rows"))
 
   /** Scalar-function surface over the nation dimension: string ops,
@@ -269,7 +275,7 @@ object Analytics {
     spark.sql(
       """SELECT l_returnflag, l_linestatus,
         |CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS INT) AS gid,
-        |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         |count(*) AS n_rows
         |FROM graft_li_gs
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
@@ -328,7 +334,7 @@ object Analytics {
     Tables.events(spark, sfDir)
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(dec("value")).cast("decimal(38,2)").as("total_value"))
+        sum(dec("value")).cast("double").as("total_value"))
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("total_value"))
 
@@ -395,7 +401,7 @@ object Analytics {
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
-        sum(dec("value")).cast("decimal(38,2)").as("session_value"))
+        sum(dec("value")).cast("double").as("session_value"))
   }
 
   /** Semi-structured props extraction: JSON field → typed column →
