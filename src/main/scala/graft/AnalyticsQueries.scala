@@ -9,10 +9,12 @@ import graft.operators.{Analytics, AsOf}
   *
   * Decimal discipline (so hashes match bit-for-bit): every money/quantity
   * double is cast to a tight exact DECIMAL *before* aggregation on BOTH
-  * sides (the raw data is 2-decimal), and every aggregate output gets an
-  * explicit final CAST so Spark and DuckDB agree on result type. Raw
-  * doubles only pass through unmodified (top-k projections) where both
-  * engines emit identical bits.
+  * sides (the raw data is 2-decimal), so sums are exact; every FINAL
+  * projection then casts to DOUBLE on BOTH sides — identical exact
+  * decimals convert to identical doubles, and decimal-typed output is
+  * what tripped hash canonicalization between the engines. Raw doubles
+  * only pass through unmodified (top-k projections) where both engines
+  * emit identical bits.
   */
 object AnalyticsQueries {
 
@@ -56,7 +58,7 @@ object AnalyticsQueries {
   private val sqlApiText: String =
     """SELECT c_mktsegment, count(*) AS n_items,
       |CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-      |  * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue
+      |  * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -70,16 +72,16 @@ object AnalyticsQueries {
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-         |CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
-         |CAST(sum($discPrice) AS DECIMAL(38,4)) AS sum_disc_price,
-         |CAST(sum($discPrice * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS sum_charge,
+         |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         |CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+         |CAST(sum($discPrice) AS DOUBLE) AS sum_disc_price,
+         |CAST(sum($discPrice * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
          |count(*) AS n_rows
          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_join_enrich" ->
       s"""SELECT r_name, n_name,
-         |CAST(sum($discPrice) AS DECIMAL(38,4)) AS revenue,
+         |CAST(sum($discPrice) AS DOUBLE) AS revenue,
          |count(*) AS n_items
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
@@ -93,30 +95,30 @@ object AnalyticsQueries {
     "q_agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS INTEGER) AS gid,
-        |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         |count(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
 
     "q_agg_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS INTEGER) AS gid,
-        |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         |count(*) AS n_rows
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
     "q_join_outer" ->
       """WITH ord AS (SELECT o_custkey, count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS spend
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
         |  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey)
         |SELECT coalesce(c_custkey, o_custkey) AS custkey,
         |  coalesce(c_mktsegment, 'UNKNOWN') AS segment,
         |  coalesce(n_orders, 0) AS n_orders,
-        |  coalesce(spend, CAST(0 AS DECIMAL(38,2))) AS spend
+        |  coalesce(spend, CAST(0 AS DOUBLE)) AS spend
         |FROM customer FULL OUTER JOIN ord ON c_custkey = o_custkey""".stripMargin,
 
     "q_join_bucketed" ->
       s"""SELECT o_orderstatus, count(*) AS n_items,
-         |CAST(sum($discPrice) AS DECIMAL(38,4)) AS revenue
+         |CAST(sum($discPrice) AS DOUBLE) AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderstatus""".stripMargin,
 
@@ -135,7 +137,7 @@ object AnalyticsQueries {
       """SELECT o_custkey, o_orderkey,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
         |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2))
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |  AS running_spend
         |FROM orders""".stripMargin,
 
@@ -166,14 +168,14 @@ object AnalyticsQueries {
     "q_pivot_table" ->
       """SELECT l_returnflag,
         |CAST(sum(CASE WHEN l_linestatus = 'F'
-        |  THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DECIMAL(38,2)) AS qty_f,
+        |  THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_f,
         |CAST(sum(CASE WHEN l_linestatus = 'O'
-        |  THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DECIMAL(38,2)) AS qty_o
+        |  THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_agg_salted" ->
       """SELECT l_partkey,
-        |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         |count(*) AS n_rows
         |FROM lineitem GROUP BY l_partkey""".stripMargin,
 
@@ -201,7 +203,7 @@ object AnalyticsQueries {
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS INTEGER) AS gid,
-        |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         |count(*) AS n_rows
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
@@ -229,7 +231,7 @@ object AnalyticsQueries {
     "q_events_window" ->
       """SELECT strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d') AS day,
         |event_type, count(*) AS n,
-        |CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_value
+        |CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_events_sessionize" ->
@@ -247,7 +249,7 @@ object AnalyticsQueries {
         |  FROM marked)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS session_value
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
 
     "q_events_json" ->

@@ -48,7 +48,7 @@ object SimilarityQueries {
         |  sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS nb
         |  FROM embeddings e, q, range(1, 65) r(i) GROUP BY e.vec_id)
         |SELECT vec_id,
-        |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DECIMAL(10,6)) AS score
+        |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DOUBLE) AS score
         |FROM d ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 20""".stripMargin,
 
     "q_sim_lsh_buckets" ->
@@ -69,7 +69,7 @@ object SimilarityQueries {
          |  sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS nb
          |  FROM cand c, q, range(1, 65) r(i) GROUP BY 1, 2)
          |SELECT vec_id, bucket,
-         |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DECIMAL(10,6)) AS score
+         |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DOUBLE) AS score
          |FROM d ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_sim_centroid" ->
@@ -84,7 +84,7 @@ object SimilarityQueries {
         |  FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
         |  GROUP BY ex.vec_id, ex.label)
         |SELECT vec_id, label,
-        |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DECIMAL(10,6)) AS score
+        |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DOUBLE) AS score
         |FROM j""".stripMargin,
 
     "q_dedup_embedding_lsh" ->
@@ -100,21 +100,27 @@ object SimilarityQueries {
          |  JOIN embeddings eb ON c.vb = eb.vec_id, range(1, 65) r(i)
          |  GROUP BY 1, 2, 3)
          |SELECT bucket, va AS vec_a, vb AS vec_b,
-         |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DECIMAL(10,6)) AS score
+         |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DOUBLE) AS score
          |FROM d""".stripMargin,
 
+    // Mirrors the engine's (label, LSH-bucket) blocking — label-only
+    // blocking is the quadratic-per-block anti-pattern at scale.
     "q_dedup_embedding" ->
-      """WITH p AS (SELECT a.label, a.vec_id AS va, b.vec_id AS vb,
-        |  sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
-        |  sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS na,
-        |  sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nb
-        |  FROM embeddings a JOIN embeddings b
-        |    ON a.label = b.label AND a.vec_id < b.vec_id, range(1, 65) r(i)
-        |  GROUP BY 1, 2, 3)
-        |SELECT label, va AS vec_a, vb AS vec_b,
-        |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DECIMAL(10,6)) AS score
-        |FROM (SELECT *, row_number() OVER (PARTITION BY label
-        |    ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, va, vb) AS rn FROM p)
-        |WHERE rn = 1""".stripMargin
+      s"""WITH $bucketsCte,
+         |eb AS (SELECT e.vec_id, e.label, e.embedding, b.bucket
+         |  FROM embeddings e JOIN buck b ON e.vec_id = b.vec_id),
+         |p AS (SELECT a.label, a.vec_id AS va, b.vec_id AS vb,
+         |  sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
+         |  sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS na,
+         |  sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nb
+         |  FROM eb a JOIN eb b
+         |    ON a.label = b.label AND a.bucket = b.bucket
+         |    AND a.vec_id < b.vec_id, range(1, 65) r(i)
+         |  GROUP BY 1, 2, 3)
+         |SELECT label, va AS vec_a, vb AS vec_b,
+         |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DOUBLE) AS score
+         |FROM (SELECT *, row_number() OVER (PARTITION BY label
+         |    ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, va, vb) AS rn FROM p)
+         |WHERE rn = 1""".stripMargin
   )
 }

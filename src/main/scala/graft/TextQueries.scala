@@ -122,11 +122,14 @@ object TextQueries {
          |FROM base""".stripMargin,
 
     "q_extract_numbers" ->
-      """SELECT doc_id, CAST(i - 1 AS INTEGER) AS match_idx,
-        |m[i] AS number_str, CAST(m[i] AS BIGINT) AS number_val
-        |FROM (SELECT doc_id, regexp_extract_all(text, '[0-9]+') AS m FROM documents),
-        |  range(1, 1000) r(i)
-        |WHERE i <= len(m)""".stripMargin,
+      """SELECT doc_id, match_idx, number_str,
+        |  CAST(number_str AS BIGINT) AS number_val
+        |FROM (SELECT doc_id,
+        |  CAST(unnest(range(len(m))) AS INTEGER) AS match_idx,
+        |  unnest(m) AS number_str
+        |  FROM (SELECT doc_id,
+        |    regexp_extract_all(text || ' ' || source, '[0-9]+') AS m
+        |    FROM documents))""".stripMargin,
 
     "q_quality_audit" ->
       """SELECT * FROM (
@@ -177,7 +180,7 @@ object TextQueries {
          |scored AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
          |  tf.tf * ln(n.n / df.df) AS score FROM tf JOIN df USING (token), n)
          |SELECT doc_id, token AS top_token, tf AS top_tf, df AS top_df,
-         |  CAST(round(score, 6) AS DECIMAL(18,6)) AS tfidf
+         |  CAST(round(score, 6) AS DOUBLE) AS tfidf
          |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
          |    ORDER BY score DESC, token) AS rn FROM scored)
          |WHERE rn = 1""".stripMargin,
@@ -288,15 +291,24 @@ object TextQueries {
          |FROM sig a JOIN sig b ON a.i = b.i AND a.source < b.source
          |GROUP BY a.source, b.source""".stripMargin,
 
+    // Mirrors the engine's inverted-index + stop-shingle form: shingles
+    // with within-source document frequency > 100 are excluded from the
+    // sets on BOTH sides (no shingle reaches df 100 in the fixture, so
+    // this is result-identical to the uncapped form — verified).
     "q_ngram_jaccard" ->
       s"""WITH $baseCte, $shinglesCte,
-         |dsh AS (SELECT doc_id, source, list_distinct(s) AS s FROM sh)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(len(list_intersect(a.s, b.s)) AS INTEGER) AS n_inter,
-         |  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS INTEGER) AS n_union,
-         |  len(list_intersect(a.s, b.s)) * 10 >=
-         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 8 AS near_dup
-         |FROM dsh a JOIN dsh b ON a.source = b.source AND a.doc_id < b.doc_id
-         |WHERE len(list_intersect(a.s, b.s)) > 0""".stripMargin
+         |ex AS (SELECT doc_id, source, unnest(list_distinct(s)) AS shingle FROM sh),
+         |stop AS (SELECT source, shingle FROM (
+         |  SELECT source, shingle, count(*) AS df FROM ex GROUP BY 1, 2) WHERE df > 100),
+         |kept AS (SELECT ex.* FROM ex ANTI JOIN stop USING (source, shingle)),
+         |szs AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM kept a JOIN kept b ON a.source = b.source AND a.shingle = b.shingle
+         |    AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(n_inter AS INTEGER) AS n_inter,
+         |  CAST(sa.sz + sb.sz - n_inter AS INTEGER) AS n_union,
+         |  n_inter * 10 >= (sa.sz + sb.sz - n_inter) * 8 AS near_dup
+         |FROM inter JOIN szs sa ON doc_a = sa.doc_id
+         |JOIN szs sb ON doc_b = sb.doc_id""".stripMargin
   )
 }

@@ -286,7 +286,7 @@ object TwseQueries {
 
     "q_cast_exact" -> {
       val casts = Schemas.investmentCols.tail.zip(golden12)
-        .map { case (c, v) => s"CAST('$v' AS DECIMAL(38,0)) AS $c" }
+        .map { case (c, v) => s"CAST(CAST('$v' AS DECIMAL(38,0)) AS BIGINT) AS $c" }
       s"SELECT '20220819' AS dt, ${casts.mkString(", ")}"
     },
 
@@ -327,10 +327,10 @@ object TwseQueries {
 
     "q_sign_math" ->
       """SELECT dt, unit,
-        |CAST(replace(buy, ',', '') AS DECIMAL(38,0)) AS buy,
-        |CAST(replace(sell, ',', '') AS DECIMAL(38,0)) AS sell,
-        |CAST(replace(dif, ',', '') AS DECIMAL(38,0)) AS dif,
-        |CAST(replace(buy, ',', '') AS DECIMAL(38,0)) - CAST(replace(sell, ',', '') AS DECIMAL(38,0)) AS derived_dif,
+        |CAST(CAST(replace(buy, ',', '') AS DECIMAL(38,0)) AS BIGINT) AS buy,
+        |CAST(CAST(replace(sell, ',', '') AS DECIMAL(38,0)) AS BIGINT) AS sell,
+        |CAST(CAST(replace(dif, ',', '') AS DECIMAL(38,0)) AS BIGINT) AS dif,
+        |CAST(CAST(replace(buy, ',', '') AS DECIMAL(38,0)) - CAST(replace(sell, ',', '') AS DECIMAL(38,0)) AS BIGINT) AS derived_dif,
         |CAST(replace(dif, ',', '') AS DECIMAL(38,0)) = CAST(replace(buy, ',', '') AS DECIMAL(38,0)) - CAST(replace(sell, ',', '') AS DECIMAL(38,0)) AS consistent
         |FROM (VALUES
         |('20220819', '自營商(自行買賣)', '2,279,109,983', '1,817,670,433', '461,439,550'),

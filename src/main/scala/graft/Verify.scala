@@ -8,7 +8,10 @@ object Verify {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      // local[cpus, 3]: 3 task attempts = the reference's retries: 2
+      // (one initial + two retries, Final_app.py:18-19) — G3 semantics.
+      .master(s"local[$cpus,3]")
+      .config("spark.task.maxFailures", "3")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

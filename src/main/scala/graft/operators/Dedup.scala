@@ -112,15 +112,30 @@ object Dedup {
     */
   def components(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashPairs(spark, sfDir).localCheckpoint()
+    val nodes = Tables.documents(spark, sfDir).select(col("doc_id"))
+    val out = componentsFromPairs(spark, pairs, nodes)
+    pairs.unpersist()
+    out
+  }
+
+  /** The label-propagation loop itself, over an explicit candidate-pair
+    * edge list and node set. Throws if the loop hits `maxRounds` without
+    * converging — silently returning partial labels would merge/split
+    * dedup groups wrongly downstream; a component with diameter beyond
+    * the bound is a signal to switch to the pointer-doubling variant, not
+    * to ship bad labels.
+    */
+  private[graft] def componentsFromPairs(spark: SparkSession, pairs: DataFrame,
+      nodes: DataFrame, maxRounds: Int = 50): DataFrame = {
     val edges = pairs.select(col("doc_a").as("n"), col("doc_b").as("m"))
       .unionByName(pairs.select(col("doc_b").as("n"), col("doc_a").as("m")))
       .localCheckpoint()
-    var labels = Tables.documents(spark, sfDir)
+    var labels = nodes
       .select(col("doc_id").as("n"), col("doc_id").as("lbl"))
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (changed > 0 && rounds < maxRounds) {
       val neigh = edges.join(labels.withColumnRenamed("n", "m"), "m")
         .groupBy(col("n")).agg(min(col("lbl")).as("nlbl"))
       val next = labels.join(neigh, Seq("n"), "left")
@@ -133,7 +148,14 @@ object Dedup {
       labels = next
       rounds += 1
     }
-    edges.unpersist(); pairs.unpersist()
+    edges.unpersist()
+    if (changed > 0) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds rounds " +
+          s"($changed labels still changing) — component diameter exceeds " +
+          "the round bound; raise maxRounds or use pointer doubling")
+    }
     labels.select(col("n").as("doc_id"), col("lbl").as("component_id"),
       (col("n") === col("lbl")).as("is_canonical"))
   }
@@ -184,7 +206,8 @@ object Dedup {
     * exact distinct-shingle overlap, with the ≥0.8 threshold expressed as
     * a cross-multiplication (no division anywhere).
     */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, sfDir: String, maxDf: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // Inverted-index shape: explode distinct shingles to (source, shingle,
     // doc) postings and equi-join postings with themselves — only pairs
     // that actually share a shingle ever materialize, and the group-count
@@ -192,11 +215,26 @@ object Dedup {
     // with array_intersect per pair is O(block²·len); this is
     // O(postings + collisions), the shape that survives 100 TB (and it
     // cut the sf0.1 bench time of this query ~5×).
-    def postings = Tables.documents(spark, sfDir)
+    //
+    // The shingle computation (regex splits + 3-gram assembly over the
+    // full corpus) is the expensive narrow stage — checkpoint it ONCE so
+    // neither the df aggregate nor the two self-join sides re-run it.
+    val sh = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
-        array_distinct(shingles3(col("text"))).as("sh"))
-      .select(col("doc_id"), col("source"), size(col("sh")).as("sz"),
-        explode(col("sh")).as("shingle"))
+        explode(array_distinct(shingles3(col("text")))).as("shingle"))
+      .localCheckpoint()
+    // Stop-shingle cap: a shingle present in > maxDf docs of one source
+    // contributes df² join rows (the quadratic hot bucket on skewed text
+    // at scale) and is uninformative for the ≥0.8 near-dup threshold.
+    // The stop list is tiny by construction → broadcast anti-join, so
+    // the cap costs one small aggregate, no extra corpus shuffle.
+    val stop = sh.groupBy(col("source"), col("shingle"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
+      .select(col("source"), col("shingle"))
+    val postings = sh.join(broadcast(stop), Seq("source", "shingle"), "left_anti")
+      .withColumn("sz",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))).cast("int"))
+      .localCheckpoint()
     val inter = postings.as("a").join(postings.as("b"),
         col("a.source") === col("b.source")
           && col("a.shingle") === col("b.shingle")

@@ -54,7 +54,7 @@ object Similarity {
       .orderBy(col("raw_score").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"),
-        round(col("raw_score"), 6).cast("decimal(10,6)").as("score"))
+        round(col("raw_score"), 6).as("score"))
 
   /** Sign-bucket assignment under 4 deterministic hyperplanes: 16 buckets,
     * so the candidate set shrinks ~16× at any scale. Bucket bits are a
@@ -86,7 +86,7 @@ object Similarity {
       .orderBy(col("raw_score").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), col("bucket"),
-        round(col("raw_score"), 6).cast("decimal(10,6)").as("score"))
+        round(col("raw_score"), 6).as("score"))
   }
 
   /** Per-label centroid distances: element-wise mean per label (long
@@ -112,7 +112,7 @@ object Similarity {
         sum(col("c") * col("c")).as("nb"))
       .select(col("vec_id"), col("label"),
         round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6)
-          .cast("decimal(10,6)").as("score"))
+          .as("score"))
   }
 
   /** Embedding near-dup via LSH blocking — the scale path: candidate
@@ -129,21 +129,23 @@ object Similarity {
       .select(col("a.bucket").as("bucket"),
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(score(col("a.embedding"), col("b.embedding")), 6)
-          .cast("decimal(10,6)").as("score"))
+          .as("score"))
   }
 
-  /** Embedding near-dup detection: the most-similar pair per label block.
-    * Blocked self-join (never all-pairs) + codegen'd cosine + one window
-    * rank. At scale the blocking key is the LSH bucket instead of the
-    * label.
+  /** Embedding near-dup detection: the most-similar intra-bucket pair per
+    * label. The self-join blocks on (label, LSH bucket) — never label
+    * alone: a low-cardinality label makes label-only blocking quadratic
+    * per block, while the bucket key divides every block by ~2^planes at
+    * any scale. Candidates that are true near-dups share a bucket with
+    * high probability (sign-LSH), so the per-label winner is preserved
+    * where it matters; codegen'd cosine + one window rank on top.
     */
   def nearestPairPerLabel(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def e = Tables.embeddings(spark, sfDir)
-      .select(col("label"), col("vec_id"), col("embedding"))
-      .repartition(col("label"))
+    val e = lshBuckets(spark, sfDir).localCheckpoint()
     val pairs = e.as("a").join(e.as("b"),
         col("a.label") === col("b.label")
+          && col("a.bucket") === col("b.bucket")
           && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.label").as("label"),
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -153,6 +155,6 @@ object Similarity {
     pairs.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("label"), col("vec_a"), col("vec_b"),
-        round(col("raw_score"), 6).cast("decimal(10,6)").as("score"))
+        round(col("raw_score"), 6).as("score"))
   }
 }

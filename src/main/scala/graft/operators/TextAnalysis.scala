@@ -88,12 +88,15 @@ object TextAnalysis {
 
   /** Regex row-generation (UDTF-shaped): every digit-run in every
     * document becomes a row — `regexp_extract_all` + `posexplode`, the
-    * generator pattern for mining structured fragments out of text.
+    * generator pattern for mining structured fragments out of text. Runs
+    * over text ∥ source so the generator is exercised on real matches
+    * (the fixture's text column is digit-free; source is not).
     */
   def extractNumbers(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        posexplode(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+        posexplode(regexp_extract_all(
+          concat(col("text"), lit(" "), col("source")), lit("[0-9]+"), lit(0)))
           .as(Seq("match_idx", "number_str")))
       .withColumn("number_val", col("number_str").cast("bigint"))
 
@@ -126,7 +129,10 @@ object TextAnalysis {
   def tfidfTop(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
-    val n = docs.count() // corpus size: one job, a scalar — not per-row
+    // Corpus size N stays inside the plan: a broadcast 1-row aggregate
+    // joined in (BNLJ over 1 row), so the whole query is one job — no
+    // separate driver-side count() scan.
+    val n = broadcast(docs.agg(count(lit(1)).cast("double").as("n_docs")))
     val toks = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
     val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val df = toks.select(col("doc_id"), col("token")).distinct()
@@ -134,12 +140,13 @@ object TextAnalysis {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("token"))
     tf.join(df, "token")
-      .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
+      .crossJoin(n)
+      .withColumn("score", col("tf") * log(col("n_docs") / col("df")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("token").as("top_token"),
         col("tf").as("top_tf"), col("df").as("top_df"),
-        round(col("score"), 6).cast("decimal(18,6)").as("tfidf"))
+        round(col("score"), 6).as("tfidf"))
   }
 
   /** Content fingerprints: order-insensitive md5-prefix fingerprint plus

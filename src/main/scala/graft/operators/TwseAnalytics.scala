@@ -32,12 +32,16 @@ object TwseAnalytics {
         try_element_at(col("row"), lit(3)).as("sell"),
         try_element_at(col("row"), lit(4)).as("dif"))
 
-  /** D2 — exact cast: comma-stripped amount strings → DECIMAL(38,0).
-    * Applied to the flagship row; any Double in this path is a
-    * correctness bug (oracle hash-compare would catch it).
+  /** D2 — exact cast: comma-stripped amount strings → DECIMAL(38,0)
+    * internally; the FINAL projection re-casts to BIGINT (observed
+    * magnitudes ≤ 11 digits ≪ 2^63) because decimal-typed output is not
+    * hash-canonical across engines while int64 is bit-exact. Any Double
+    * in this path is a correctness bug (oracle hash-compare would catch
+    * it).
     */
   def castExact(spark: SparkSession): DataFrame = {
-    val casts = Schemas.investmentCols.tail.map(c => col(c).cast(amountType).as(c))
+    val casts = Schemas.investmentCols.tail
+      .map(c => col(c).cast(amountType).cast("long").as(c))
     TwsePipeline.flagship(spark).select(col("dt") +: casts: _*)
   }
 
@@ -111,12 +115,15 @@ object TwseAnalytics {
     */
   def signMath(spark: SparkSession): DataFrame = {
     def amt(c: String) = regexp_replace(col(c), ",", "").cast(amountType)
+    // Arithmetic and the consistency compare stay in exact DECIMAL(38,0);
+    // only the FINAL emitted amounts re-cast to BIGINT (hash-canonical).
     explodeRows(spark)
       .filter(col("dif").isNotNull) // drift payload rows carry no dif column
       .select(
         col("date"), col("unit"),
-        amt("buy").as("buy"), amt("sell").as("sell"), amt("dif").as("dif"),
-        (amt("buy") - amt("sell")).as("derived_dif"),
+        amt("buy").cast("long").as("buy"), amt("sell").cast("long").as("sell"),
+        amt("dif").cast("long").as("dif"),
+        (amt("buy") - amt("sell")).cast("long").as("derived_dif"),
         (amt("dif") === amt("buy") - amt("sell")).as("consistent"))
   }
 }

@@ -32,22 +32,52 @@ object EventsStreaming {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  private def streamSource(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Stage the single-file testdata table into a per-sf temp dir (the
+    * file stream source wants a *directory*; in production: the
+    * daily-append landing dir). With `withEos`, additionally stage a
+    * second file holding one far-future sentinel event per user — it
+    * arrives as its own micro-batch (maxFilesPerTrigger=1) and closes
+    * every still-open session, the finite-stream stand-in for an
+    * event-time-timeout flush.
+    */
+  private def stagedDir(spark: SparkSession, sfDir: String, withEos: Boolean): String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The file stream source wants a *directory* of files (in production:
-    // the daily-append landing dir). The testdata table is a single file,
-    // so stage it into a per-sf temp dir once.
     val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val suffix = if (withEos) "_eos" else ""
     val dir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_stream_src_$safe")
+      sys.props("java.io.tmpdir"), s"graft_stream_src_$safe$suffix")
     val target = dir.resolve("events.parquet")
     if (!java.nio.file.Files.exists(target)) {
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(sfDir, "events.parquet"), target)
+      if (withEos) {
+        val ev = spark.read.schema(rawSchema).parquet(target.toString)
+        val maxTsNs = ev.agg(max(col("ts"))).head.getLong(0)
+        val eosTsNs = maxTsNs + gapUs * 1000 + 1000000000L
+        val tmp = dir.resolve("_eos_build")
+        ev.select(col("user_id")).distinct()
+          .select(lit(-1L).as("event_id"), lit(eosTsNs).as("ts"),
+            col("user_id"), lit("eos").as("event_type"),
+            lit(0.0).as("value"), lit(null).cast("string").as("props"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).filter(p =>
+          p.getFileName.toString.endsWith(".parquet")).findFirst.get
+        val eosFile = dir.resolve("zz_eos.parquet")
+        java.nio.file.Files.move(part, eosFile)
+        // the source orders batches by mod time: events strictly first
+        java.nio.file.Files.setLastModifiedTime(eosFile,
+          java.nio.file.attribute.FileTime.fromMillis(
+            java.nio.file.Files.getLastModifiedTime(target).toMillis + 60000))
+      }
     }
+    dir.toString
+  }
+
+  private def streamSource(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedDir(spark, sfDir, withEos = false)
     spark.readStream.schema(rawSchema)
-      .parquet(dir.toString)
+      .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
@@ -74,7 +104,7 @@ object EventsStreaming {
     val agg = streamSource(spark, sfDir)
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("total_value"))
     val q = agg.writeStream
@@ -91,22 +121,45 @@ object EventsStreaming {
   case class Ev(event_id: Long, user_id: Long, ts_us: Long, value: Double)
   case class SessionAgg(user_id: Long, session_id: Int, n_events: Long,
       session_start_us: Long, session_value: Double)
-  case class UserSessionState(nextSessionId: Int, lastTsUs: Long)
+
+  /** Per-user streaming state: the id of the currently-open session and
+    * its full running aggregate (nEvents == 0 ⇔ no open session). Carrying
+    * the aggregate — not just the last timestamp — is what lets a session
+    * span micro-batches: the next batch keeps accumulating instead of
+    * re-emitting or crashing on a continuation event.
+    */
+  case class UserSessionState(sessionId: Int, lastTsUs: Long,
+      nEvents: Long, startUs: Long, value: Double)
 
   private val gapUs = 30L * 60 * 1000000
 
   /** Custom streaming state: per-user 30-minute-gap sessionization via
-    * flatMapGroupsWithState. Events are sorted within each micro-batch
-    * (the file source delivers one batch here); state carries the last
-    * event time and running session id across batches. The batch
-    * gaps-and-islands form (`Analytics.eventsSessionized`) is the oracle
-    * — a spec asserts both agree.
+    * flatMapGroupsWithState. Events are sorted within each micro-batch;
+    * a session is emitted ONLY when a later event closes it (gap
+    * exceeded), so output is append-correct across any number of
+    * micro-batches. The staged sentinel batch (see `stagedDir`) closes
+    * the trailing open sessions; sentinel sessions themselves are never
+    * emitted. The batch gaps-and-islands form
+    * (`Analytics.eventsSessionized`) is the oracle — a spec asserts both
+    * agree, and a two-file spec asserts sessions survive a mid-session
+    * batch boundary.
     */
-  def sessionize(spark: SparkSession, sfDir: String): DataFrame = withStreamPartitions(spark, 8) {
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedDir(spark, sfDir, withEos = true)
+    sessionizeDir(spark, dir)
+  }
+
+  /** The streaming plan over an already-staged source directory; each
+    * file arrives as its own micro-batch (maxFilesPerTrigger=1).
+    */
+  def sessionizeDir(spark: SparkSession, srcDir: String): DataFrame = withStreamPartitions(spark, 8) {
     import spark.implicits._
     val name = s"graft_stream_sessions_${nameCounter.incrementAndGet()}"
 
-    val events: Dataset[Ev] = streamSource(spark, sfDir)
+    val events: Dataset[Ev] = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("ts_us"), col("value"))
       .as[Ev]
@@ -114,23 +167,19 @@ object EventsStreaming {
     def fn(userId: Long, it: Iterator[Ev],
         state: GroupState[UserSessionState]): Iterator[SessionAgg] = {
       val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
-      var st = state.getOption.getOrElse(UserSessionState(0, Long.MinValue))
+      var st = state.getOption.getOrElse(UserSessionState(0, Long.MinValue, 0, 0, 0.0))
       val out = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
-      var cur: Option[SessionAgg] = None
       sorted.foreach { e =>
-        val newSession = st.lastTsUs == Long.MinValue || e.ts_us - st.lastTsUs > gapUs
-        if (newSession) {
-          cur.foreach(out += _)
-          st = UserSessionState(st.nextSessionId + 1, e.ts_us)
-          cur = Some(SessionAgg(userId, st.nextSessionId, 1, e.ts_us, e.value))
-        } else {
-          st = st.copy(lastTsUs = e.ts_us)
-          cur = Some(cur.get.copy(
-            n_events = cur.get.n_events + 1,
-            session_value = cur.get.session_value + e.value))
+        if (st.nEvents == 0) { // first-ever event: open session 1
+          st = UserSessionState(st.sessionId + 1, e.ts_us, 1, e.ts_us, e.value)
+        } else if (e.ts_us - st.lastTsUs > gapUs) { // close + reopen
+          out += SessionAgg(userId, st.sessionId, st.nEvents, st.startUs, st.value)
+          st = UserSessionState(st.sessionId + 1, e.ts_us, 1, e.ts_us, e.value)
+        } else { // continuation — possibly from a previous micro-batch
+          st = UserSessionState(st.sessionId, e.ts_us,
+            st.nEvents + 1, st.startUs, st.value + e.value)
         }
       }
-      cur.foreach(out += _)
       state.update(st)
       out.iterator
     }

@@ -84,10 +84,16 @@ class AnalyticsSpec extends SparkTestBase {
   }
 
   test("pivot columns partition the quantity sum by linestatus") {
+    // qty_f/qty_o are DOUBLE casts of exact per-group decimal sums; cast
+    // back to decimal(38,2) before re-summing so the partition check is
+    // exact (group magnitudes ≪ 2^53, so the round-trip is lossless).
     val p = Analytics.pricingPivot(spark, d)
-      .agg(sum(col("qty_f")) + sum(col("qty_o"))).collect().head.getDecimal(0)
+      .agg((sum(col("qty_f").cast("decimal(38,2)"))
+        + sum(col("qty_o").cast("decimal(38,2)"))).cast("decimal(38,2)"))
+      .collect().head.getDecimal(0)
     val total = Tables.lineitem(spark, d)
-      .agg(sum(col("l_quantity").cast("decimal(18,2)"))).collect().head.getDecimal(0)
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)"))
+      .collect().head.getDecimal(0)
     assert(p.compareTo(total) === 0)
   }
 

@@ -93,4 +93,21 @@ class HashExpressionsSpec extends SparkTestBase {
     val again = df.select(TextFunctions.rollingHash(col("text"))).collect()
     assert(again.map(_.getLong(0)).toSeq === fps.map(_.getLong(1)).toSeq)
   }
+
+  test("connected components refuses to ship non-converged labels") {
+    import spark.implicits._
+    // A 10-node chain has diameter 9: min-label propagation needs 9
+    // rounds, so a 3-round bound must throw rather than return labels
+    // where the chain is still split into several partial components.
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val nodes = (0L to 9L).toDF("doc_id")
+    val e = intercept[IllegalStateException] {
+      graft.operators.Dedup.componentsFromPairs(spark, pairs, nodes, maxRounds = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // with enough rounds the same chain converges to a single component
+    val ok = graft.operators.Dedup
+      .componentsFromPairs(spark, pairs, nodes, maxRounds = 20).collect()
+    assert(ok.map(_.getAs[Long]("component_id")).toSet === Set(0L))
+  }
 }

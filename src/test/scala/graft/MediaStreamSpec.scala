@@ -54,8 +54,43 @@ class MediaStreamSpec extends SparkTestBase {
     val sv = EventsStreaming.sessionize(spark, d)
       .agg(sum(col("session_value"))).collect().head.getDouble(0)
     val bv = Analytics.eventsSessionized(spark, d)
-      .agg(sum(col("session_value"))).collect().head
-      .getDecimal(0).doubleValue()
+      .agg(sum(col("session_value"))).collect().head.getDouble(0)
     assert(math.abs(sv - bv) < 1e-6)
+  }
+
+  test("sessions span micro-batch boundaries without re-emission or crash") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val dir = Files.createTempDirectory("graft_two_batch_src")
+    def writeFile(name: String,
+        rows: Seq[(Long, Long, Long, String, Double, String)], mtime: Long): Unit = {
+      import spark.implicits._
+      val tmp = dir.resolve(name + "_build")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst.get
+      Files.move(part, dir.resolve(name))
+      Files.setLastModifiedTime(dir.resolve(name), FileTime.fromMillis(mtime))
+    }
+    val min = 60L * 1000000000L // one minute in ns
+    val base = 1600000000L * 1000000000L
+    val t0 = System.currentTimeMillis()
+    // user 7's session: two events in batch 1, a within-gap continuation
+    // in batch 2, then a far-future sentinel that closes it. The pre-fix
+    // code either crashed on the continuation (no open aggregate in
+    // state) or double-emitted the batch-1 prefix.
+    writeFile("a.parquet", Seq(
+      (1L, base, 7L, "view", 1.0, null),
+      (2L, base + 10 * min, 7L, "view", 2.0, null)), t0)
+    writeFile("b.parquet", Seq(
+      (3L, base + 20 * min, 7L, "view", 4.0, null),
+      (-1L, base + 600 * min, 7L, "eos", 0.0, null)), t0 + 60000)
+    val out = EventsStreaming.sessionizeDir(spark, dir.toString).collect()
+    assert(out.length === 1, out.mkString("; "))
+    val r = out.head
+    assert(r.getAs[Long]("n_events") === 3)
+    assert(r.getAs[Int]("session_id") === 1)
+    assert(math.abs(r.getAs[Double]("session_value") - 7.0) < 1e-9)
   }
 }

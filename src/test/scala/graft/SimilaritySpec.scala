@@ -19,8 +19,8 @@ class SimilaritySpec extends SparkTestBase {
   test("brute-force top-k: query vector ranks itself first") {
     val top = Similarity.topK(spark, d, 5).collect()
     assert(top.head.getAs[Long]("vec_id") === 0L)
-    assert(top.head.getAs[java.math.BigDecimal]("score").doubleValue() === 1.0)
-    val scores = top.map(_.getAs[java.math.BigDecimal]("score").doubleValue())
+    assert(top.head.getAs[Double]("score") === 1.0)
+    val scores = top.map(_.getAs[Double]("score"))
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
@@ -74,7 +74,7 @@ class SimilaritySpec extends SparkTestBase {
     val labels = Tables.embeddings(spark, d).select(col("label")).distinct().count()
     assert(r.length === labels)
     assert(r.forall { row =>
-      val s = row.getAs[java.math.BigDecimal]("score").doubleValue()
+      val s = row.getAs[Double]("score")
       s >= -1.0 && s <= 1.0 && row.getAs[Long]("vec_a") < row.getAs[Long]("vec_b")
     })
   }

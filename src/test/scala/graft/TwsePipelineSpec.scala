@@ -53,17 +53,22 @@ class TwsePipelineSpec extends SparkTestBase {
       "52999169995", "60297278126", "-7298108131"))
   }
 
+  test("G3: the task retry budget mirrors the reference's retries=2") {
+    // Final_app.py:18-19 — retries: 2, i.e. 3 total attempts per task.
+    assert(spark.sparkContext.getConf.get("spark.task.maxFailures") === "3")
+  }
+
   test("sign-math consistency: dif = buy - sell for every institution row") {
     val bad = TwseAnalytics.signMath(spark).filter(!col("consistent")).count()
     assert(bad === 0)
   }
 
-  test("exact casts never lose digits (DECIMAL(38,0), no doubles)") {
+  test("exact casts never lose digits (decimal internally, int64 out)") {
     val r = TwseAnalytics.castExact(spark).collect().head
-    assert(r.getAs[java.math.BigDecimal]("foreign_buy")
-      === new java.math.BigDecimal("52999169995"))
+    assert(r.getAs[Long]("foreign_buy") === 52999169995L)
+    // final projection is hash-canonical BIGINT (magnitudes ≤ 11 digits)
     val types = TwseAnalytics.castExact(spark).schema.fields.tail.map(_.dataType.sql).distinct
-    assert(types.toSeq === Seq("DECIMAL(38,0)"))
+    assert(types.toSeq === Seq("BIGINT"))
   }
 
   test("sink roundtrip: append then readback returns the written row") {
