@@ -42,6 +42,10 @@ object AnalyticsQueries {
     "q_events_sessionize" -> ((s, d) => Analytics.eventsSessionized(s, d)),
     "q_events_json" -> ((s, d) => Analytics.eventsPropsDistribution(s, d)),
     "q_asof_join" -> ((s, d) => AsOf.purchaseToLastView(s, d)),
+    // JDBC write + 4-way range-partitioned JDBC readback of the daily
+    // aggregate — the parallel-scan shape a JDBC source needs at volume.
+    "q_jdbc_partitioned" -> ((s, d) =>
+      graft.sources.JdbcStore.eventsDailyPartitioned(s, d)),
     "q_funnel" -> ((s, d) => Analytics.funnel(s, d)),
     "q_event_gaps" -> ((s, d) => Analytics.interEventGaps(s, d)),
     // The SQL front door: the same engine through spark.sql over temp
@@ -257,6 +261,14 @@ object AnalyticsQueries {
         |count(*) AS n FROM events GROUP BY 1""".stripMargin,
 
     "q_sql_api" -> sqlApiText,
+
+    // The JDBC write + partitioned readback must round-trip the daily
+    // aggregate unchanged — same oracle as the in-memory form.
+    "q_jdbc_partitioned" ->
+      """SELECT strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |event_type, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_event_gaps" ->
       """WITH g AS (SELECT event_type,

@@ -138,6 +138,10 @@ object TwseQueries {
     "q_csv_roundtrip" -> ((s, _) =>
       TwsePipeline.csvRoundtrip(s, s"${sys.props("java.io.tmpdir")}/graft_sink_csv")),
 
+    // E1/A3 against a real JDBC store (embedded Derby standing in for
+    // the reference's Postgres): DDL + append + full readback.
+    "q_jdbc_roundtrip" -> ((s, _) => graft.sources.JdbcStore.roundtrip(s)),
+
     // E2 — success-notification message rows.
     "q_notify_success" -> ((s, _) =>
       TwsePipeline.notifySuccess(s).select(col("date").as("dt"), col("message"))),
@@ -270,6 +274,7 @@ object TwseQueries {
     "q_sink_roundtrip" -> goldenRowSql,
     "q_sink_partitioned" -> goldenRowSql,
     "q_csv_roundtrip" -> goldenRowSql,
+    "q_jdbc_roundtrip" -> goldenRowSql,
 
     "q_explode_rows" ->
       """SELECT * FROM (VALUES

@@ -17,10 +17,17 @@ import graft.model.TwseFixtures
   * per trading day**, so a backfill over N days fans out to N parallel
   * fetch tasks and a daily run reads exactly one partition.
   *
-  * Here each partition yields the checked-in golden fixture for its date
-  * instead of calling the network (the zero-egress test form — a real
-  * deployment swaps `PayloadReader.fetch` for the HTTP GET; everything
-  * else, schema / partitioning / pushdown surface, is the real thing).
+  * Two modes, switched by read options:
+  *   - default: each partition yields the checked-in golden fixture for
+  *     its date (the zero-egress test form);
+  *   - `.option("baseUrl", "http://host/path")` [+ optional
+  *     `.option("dates", "20220819,...")`]: each partition reader
+  *     performs the REAL `GET baseUrl?response=json&dayDate=<dt>&type=day`
+  *     on its executor — the reference's `market_information()` request
+  *     shape — so fetch parallelism is exactly the partition count.
+  *     Everything else (schema, per-day partitioning, downstream plan)
+  *     is identical between the modes; a spec drives the HTTP mode
+  *     against a loopback server.
   *
   * Usage: `spark.read.format("graft.sources.TwseFixtureSource").load()`.
   */
@@ -43,6 +50,23 @@ object TwseFixtureSource {
     ("20220819", TwseFixtures.ok),
     ("20220820", TwseFixtures.closed),
     ("20100106", TwseFixtures.drift))
+
+  private[sources] val fixtureByDay: Map[String, String] = days.toMap
+
+  /** Executor-side GET with bounded timeouts — runs inside the partition
+    * reader, one request per (day) partition.
+    */
+  private[sources] def httpGet(url: String): String = {
+    val conn = new java.net.URI(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(30000)
+    try {
+      val in = conn.getInputStream
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    } finally conn.disconnect()
+  }
 }
 
 private class TwseFixtureTable extends Table with SupportsRead {
@@ -51,38 +75,50 @@ private class TwseFixtureTable extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TwseScanBuilder
+    new TwseScanBuilder(
+      Option(options.get("baseUrl")),
+      Option(options.get("dates")).map(_.split(",").toSeq))
 }
 
-private class TwseScanBuilder extends ScanBuilder {
-  override def build(): Scan = new TwseScan
+private class TwseScanBuilder(baseUrl: Option[String], dates: Option[Seq[String]])
+    extends ScanBuilder {
+  override def build(): Scan = new TwseScan(baseUrl, dates)
 }
 
-private class TwseScan extends Scan with Batch {
+private class TwseScan(baseUrl: Option[String], dates: Option[Seq[String]])
+    extends Scan with Batch {
   override def readSchema(): StructType = TwseFixtureSource.schema
   override def toBatch: Batch = this
 
   /** One partition per day — the unit of fetch parallelism. */
-  override def planInputPartitions(): Array[InputPartition] =
-    TwseFixtureSource.days.map { case (dt, body) =>
-      TwseDayPartition(dt, body): InputPartition
-    }.toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val ds = dates.getOrElse(TwseFixtureSource.days.map(_._1))
+    ds.map(dt => TwseDayPartition(dt, baseUrl): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new TwseReaderFactory
 }
 
-private case class TwseDayPartition(dt: String, body: String) extends InputPartition
+private case class TwseDayPartition(dt: String, baseUrl: Option[String])
+    extends InputPartition
 
 private class TwseReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TwseDayPartition]
     new PartitionReader[InternalRow] {
       private var emitted = false
-      // a real deployment fetches here: GET BFI82U?dayDate=${p.dt}
       override def next(): Boolean = !emitted && { emitted = true; true }
-      override def get(): InternalRow = InternalRow(
-        UTF8String.fromString(p.dt), UTF8String.fromString(p.body))
+      override def get(): InternalRow = {
+        // the reference's request: BFI82U?response=json&dayDate=<dt>&type=day
+        val body = p.baseUrl match {
+          case Some(u) => TwseFixtureSource.httpGet(
+            s"$u?response=json&dayDate=${p.dt}&type=day")
+          case None => TwseFixtureSource.fixtureByDay.getOrElse(p.dt,
+            throw new IllegalArgumentException(s"no fixture for date ${p.dt}"))
+        }
+        InternalRow(UTF8String.fromString(p.dt), UTF8String.fromString(body))
+      }
       override def close(): Unit = ()
     }
   }
