@@ -17,6 +17,7 @@ object MediaStreamQueries {
     "q_media_frames" -> ((s, d) => Multimodal.frameSample(s, d)),
     "q_media_decode" -> ((s, d) => Multimodal.decode(s, d).toDF()),
     "q_stream_events_window" -> ((s, d) => EventsStreaming.dailyCounts(s, d)),
+    "q_stream_events_append" -> ((s, d) => EventsStreaming.dailyCountsAppend(s, d)),
     "q_stream_flagship" -> ((s, _) => TwseStreaming.flagshipStream(s)),
     "q_stream_sessionize" -> ((s, d) =>
       EventsStreaming.sessionize(s, d).select(
@@ -72,6 +73,9 @@ object MediaStreamQueries {
     // The streaming window aggregation must equal the batch one — same
     // oracle (see AnalyticsQueries).
     "q_stream_events_window" -> AnalyticsQueries.oracleSql("q_events_window"),
+
+    // Append mode + watermark must emit exactly the same closed windows.
+    "q_stream_events_append" -> AnalyticsQueries.oracleSql("q_events_window"),
 
     // The streaming flagship append must produce exactly the batch
     // flagship's golden row.

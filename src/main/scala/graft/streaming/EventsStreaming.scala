@@ -43,7 +43,7 @@ object EventsStreaming {
   private def stagedDir(spark: SparkSession, sfDir: String, withEos: Boolean): String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val suffix = if (withEos) "_eos" else ""
+    val suffix = if (withEos) "_eos_v3" else ""
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_stream_src_$safe$suffix")
     val target = dir.resolve("events.parquet")
@@ -54,21 +54,37 @@ object EventsStreaming {
       if (withEos) {
         val ev = spark.read.schema(rawSchema).parquet(target.toString)
         val maxTsNs = ev.agg(max(col("ts"))).head.getLong(0)
-        val eosTsNs = maxTsNs + gapUs * 1000 + 1000000000L
-        val tmp = dir.resolve("_eos_build")
-        ev.select(col("user_id")).distinct()
-          .select(lit(-1L).as("event_id"), lit(eosTsNs).as("ts"),
+        // First sentinel batch: one flush marker per user, two days past
+        // the last event — beyond the session gap (closes every open
+        // session) and beyond any ≤1-day watermark lag past the final
+        // window boundary. Second sentinel batch: a single marker two
+        // days further out, because append-mode windows emit against the
+        // watermark of the PREVIOUS batch — the extra data batch is what
+        // finalizes the windows the first sentinel advanced past
+        // (AvailableNow runs no watermark-only empty batch).
+        def writeSentinel(df: DataFrame, fileName: String, mtimeOffsetMs: Long): Unit = {
+          val tmp = dir.resolve(s"_build_$fileName")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = java.nio.file.Files.list(tmp).filter(p =>
+            p.getFileName.toString.endsWith(".parquet")).findFirst.get
+          val f = dir.resolve(fileName)
+          java.nio.file.Files.move(part, f)
+          // the source orders batches by mod time: events strictly first
+          java.nio.file.Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime.fromMillis(
+              java.nio.file.Files.getLastModifiedTime(target).toMillis + mtimeOffsetMs))
+        }
+        val day = 86400L * 1000000000L
+        writeSentinel(ev.select(col("user_id")).distinct()
+          .select(lit(-1L).as("event_id"), lit(maxTsNs + 2 * day).as("ts"),
             col("user_id"), lit("eos").as("event_type"),
-            lit(0.0).as("value"), lit(null).cast("string").as("props"))
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).filter(p =>
-          p.getFileName.toString.endsWith(".parquet")).findFirst.get
-        val eosFile = dir.resolve("zz_eos.parquet")
-        java.nio.file.Files.move(part, eosFile)
-        // the source orders batches by mod time: events strictly first
-        java.nio.file.Files.setLastModifiedTime(eosFile,
-          java.nio.file.attribute.FileTime.fromMillis(
-            java.nio.file.Files.getLastModifiedTime(target).toMillis + 60000))
+            lit(0.0).as("value"), lit(null).cast("string").as("props")),
+          "zz_eos1.parquet", 60000)
+        writeSentinel(ev.limit(1)
+          .select(lit(-2L).as("event_id"), lit(maxTsNs + 4 * day).as("ts"),
+            col("user_id"), lit("eos").as("event_type"),
+            lit(0.0).as("value"), lit(null).cast("string").as("props")),
+          "zz_eos2.parquet", 120000)
       }
     }
     dir.toString
@@ -110,6 +126,46 @@ object EventsStreaming {
     val q = agg.writeStream
       .format("memory").queryName(name)
       .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** The production-shaped form of the daily window: APPEND mode with a
+    * one-hour watermark — each window row is emitted exactly once, when
+    * the watermark passes its end, instead of re-emitting the whole
+    * result per trigger (complete mode's memory-bound anti-pattern at
+    * scale). The finite-stream flush comes from the staged far-future
+    * sentinel batch: its event time advances the watermark past every
+    * real window; sentinel rows themselves are filtered out before the
+    * aggregation (the filter sits after watermark assignment, so they
+    * still advance it).
+    */
+  def dailyCountsAppend(spark: SparkSession, sfDir: String): DataFrame = withStreamPartitions(spark, 8) {
+    val name = s"graft_stream_daily_append_${nameCounter.incrementAndGet()}"
+    val dir = stagedDir(spark, sfDir, withEos = true)
+    val agg = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      // The disjunct referencing ts is vacuous (ts is never null) but
+      // load-bearing: predicates that mention the event-time column are
+      // NOT pushed below the EventTimeWatermark node, so sentinel rows
+      // still advance the watermark before dying here. A plain
+      // event_type filter would be pushed into the parquet scan —
+      // beneath the watermark collector — and the stream would never
+      // finalize its last windows.
+      .filter(col("event_type") =!= "eos" || col("ts").isNull)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("total_value"))
+    val q = agg.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -170,7 +226,12 @@ object EventsStreaming {
       var st = state.getOption.getOrElse(UserSessionState(0, Long.MinValue, 0, 0, 0.0))
       val out = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
       sorted.foreach { e =>
-        if (st.nEvents == 0) { // first-ever event: open session 1
+        if (e.event_id < 0) { // flush marker: close the open session, open none
+          if (st.nEvents > 0) {
+            out += SessionAgg(userId, st.sessionId, st.nEvents, st.startUs, st.value)
+            st = UserSessionState(st.sessionId, e.ts_us, 0, 0, 0.0)
+          }
+        } else if (st.nEvents == 0) { // first event: open the next session
           st = UserSessionState(st.sessionId + 1, e.ts_us, 1, e.ts_us, e.value)
         } else if (e.ts_us - st.lastTsUs > gapUs) { // close + reopen
           out += SessionAgg(userId, st.sessionId, st.nEvents, st.startUs, st.value)
