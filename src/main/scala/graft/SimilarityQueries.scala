@@ -17,9 +17,11 @@ object SimilarityQueries {
     "q_sim_lsh_buckets" -> ((s, d) =>
       Similarity.lshBuckets(s, d).select(col("vec_id"), col("label"), col("bucket"))),
     "q_sim_topk_lsh" -> ((s, d) => Similarity.topKLsh(s, d)),
+    "q_sim_topk_ivf" -> ((s, d) => Similarity.topKIvf(s, d)),
     "q_sim_centroid" -> ((s, d) => Similarity.centroidDistance(s, d)),
     "q_dedup_embedding" -> ((s, d) => Similarity.nearestPairPerLabel(s, d)),
-    "q_dedup_embedding_lsh" -> ((s, d) => Similarity.nearDupLsh(s, d))
+    "q_dedup_embedding_lsh" -> ((s, d) => Similarity.nearDupLsh(s, d)),
+    "q_dedup_embedding_cc" -> ((s, d) => Similarity.semanticDedup(s, d))
   )
 
   /** Shared oracle CTEs. */
@@ -72,6 +74,28 @@ object SimilarityQueries {
          |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DOUBLE) AS score
          |FROM d ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 10""".stripMargin,
 
+    "q_sim_topk_ivf" ->
+      """WITH ex AS (SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, range(1, 65) r(i)),
+        |cent AS (SELECT label, pos, sum(v) / count(*) AS c FROM ex GROUP BY 1, 2),
+        |q AS (SELECT i AS pos, CAST(embedding[i] AS DOUBLE) AS qv
+        |  FROM embeddings, range(1, 65) r(i) WHERE vec_id = 0),
+        |probe AS (SELECT label FROM (
+        |  SELECT cent.label,
+        |    sum(c * qv) / (sqrt(sum(c * c)) * sqrt(sum(qv * qv))) AS csim
+        |  FROM cent JOIN q USING (pos) GROUP BY cent.label)
+        |  ORDER BY csim DESC, label LIMIT 1),
+        |qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id, e.label,
+        |  sum(CAST(e.embedding[i] AS DOUBLE) * CAST(qe.qe[i] AS DOUBLE)) AS dot,
+        |  sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS na,
+        |  sum(CAST(qe.qe[i] AS DOUBLE) * CAST(qe.qe[i] AS DOUBLE)) AS nb
+        |  FROM embeddings e JOIN probe USING (label), qe, range(1, 65) r(i)
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, label,
+        |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DOUBLE) AS score
+        |FROM d ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 10""".stripMargin,
+
     "q_sim_centroid" ->
       """WITH ex AS (SELECT label, vec_id, i AS dim,
         |  CAST(embedding[i] AS DOUBLE) AS v
@@ -102,6 +126,32 @@ object SimilarityQueries {
          |SELECT bucket, va AS vec_a, vb AS vec_b,
          |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DOUBLE) AS score
          |FROM d""".stripMargin,
+
+    // Transitive closure over the thresholded LSH candidate graph —
+    // recursive CTE stands in for the engine's label-propagation loop.
+    "q_dedup_embedding_cc" ->
+      s"""WITH RECURSIVE $bucketsCte,
+         |cand AS (SELECT ba.vec_id AS va, bb.vec_id AS vb
+         |  FROM buck ba JOIN buck bb ON ba.bucket = bb.bucket
+         |    AND ba.vec_id < bb.vec_id),
+         |d AS (SELECT c.va, c.vb,
+         |  sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS dot,
+         |  sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)) AS na,
+         |  sum(CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS nb
+         |  FROM cand c JOIN embeddings ea ON c.va = ea.vec_id
+         |  JOIN embeddings eb ON c.vb = eb.vec_id, range(1, 65) r(i)
+         |  GROUP BY 1, 2),
+         |prs AS (SELECT va, vb FROM d
+         |  WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.3),
+         |edges AS (SELECT va AS n, vb AS m FROM prs
+         |  UNION ALL SELECT vb, va FROM prs),
+         |reach(n, m) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT reach.n, e.m FROM reach JOIN edges e ON reach.m = e.n)
+         |SELECT n AS vec_id, min(m) AS component_id,
+         |  min(m) = n AS is_canonical
+         |FROM reach GROUP BY n""".stripMargin,
 
     // Mirrors the engine's (label, LSH-bucket) blocking — label-only
     // blocking is the quadratic-per-block anti-pattern at scale.

@@ -115,6 +115,43 @@ object Similarity {
           .as("score"))
   }
 
+  /** IVF-style ANN (1-probe): coarse centroids are the per-label
+    * element-wise means; the query is assigned to its nearest centroid
+    * by cosine, and the exact top-k search runs ONLY inside that label's
+    * partition — the inverted-file pattern where the coarse key prunes
+    * the scan to 1/num_partitions of the corpus at any scale (store the
+    * table partitioned by the coarse key and the pruning is physical).
+    * Centroid assignment moves only (label, dim, scalar) rows — never
+    * whole vectors — and the probe side is a broadcast of one label key.
+    */
+  def topKIvf(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val ex = Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select(col("label"), col("pos"), col("vf").cast("double").as("v"))
+    val cent = ex.groupBy(col("label"), col("pos"))
+      .agg((sum(col("v")) / count(lit(1))).as("c"))
+    val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+      .select(posexplode(col("embedding")).as(Seq("pos", "qf")))
+      .select(col("pos"), col("qf").cast("double").as("qv"))
+    val probe = cent.join(broadcast(q), "pos")
+      .groupBy(col("label"))
+      .agg(sum(col("c") * col("qv")).as("dot"),
+        sum(col("c") * col("c")).as("na"),
+        sum(col("qv") * col("qv")).as("nb"))
+      .select(col("label"),
+        (col("dot") / (sqrt(col("na")) * sqrt(col("nb")))).as("csim"))
+      .orderBy(col("csim").desc, col("label")).limit(1)
+      .select(col("label"))
+    Tables.embeddings(spark, sfDir)
+      .join(broadcast(probe), "label")
+      .crossJoin(queryVec(spark, sfDir))
+      .withColumn("raw_score", score(col("embedding"), col("q_embedding")))
+      .orderBy(col("raw_score").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"),
+        round(col("raw_score"), 6).as("score"))
+  }
+
   /** Embedding near-dup via LSH blocking — the scale path: candidate
     * pairs come from sign-bucket collisions (≈ N²/16 of all-pairs at 4
     * planes, and 2^-p of it in general), then exact cosine on candidates
@@ -130,6 +167,27 @@ object Similarity {
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(score(col("a.embedding"), col("b.embedding")), 6)
           .as("score"))
+  }
+
+  /** Semantic dedup terminal: connected components over the thresholded
+    * embedding-similarity candidate graph — the embedding-space analogue
+    * of the minhash dedup pipeline (candidates from LSH buckets, exact
+    * cosine verification, threshold, cluster, canonical-per-cluster).
+    * Reuses the text pipeline's label-propagation loop; edges are the
+    * LSH-bucket pairs with cosine ≥ `threshold`, so the graph is built
+    * without ever going all-pairs.
+    */
+  def semanticDedup(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.3): DataFrame = {
+    val pairs = nearDupLsh(spark, sfDir)
+      .filter(col("score") >= threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      .localCheckpoint()
+    val nodes = Tables.embeddings(spark, sfDir).select(col("vec_id").as("doc_id"))
+    val out = Dedup.componentsFromPairs(spark, pairs, nodes)
+      .select(col("doc_id").as("vec_id"), col("component_id"), col("is_canonical"))
+    pairs.unpersist()
+    out
   }
 
   /** Embedding near-dup detection: the most-similar intra-bucket pair per
