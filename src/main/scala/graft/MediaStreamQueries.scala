@@ -19,6 +19,8 @@ object MediaStreamQueries {
     "q_stream_events_window" -> ((s, d) => EventsStreaming.dailyCounts(s, d)),
     "q_stream_events_append" -> ((s, d) => EventsStreaming.dailyCountsAppend(s, d)),
     "q_stream_flagship" -> ((s, _) => TwseStreaming.flagshipStream(s)),
+    "q_stream_dedup" -> ((s, d) =>
+      graft.streaming.DocsStreaming.dedupHashes(s, d)),
     "q_stream_sessionize" -> ((s, d) =>
       EventsStreaming.sessionize(s, d).select(
         col("user_id"), col("session_id"), col("n_events"),
@@ -80,6 +82,11 @@ object MediaStreamQueries {
     // The streaming flagship append must produce exactly the batch
     // flagship's golden row.
     "q_stream_flagship" -> TwseQueries.oracleSql("q_flagship"),
+
+    // Ingest-time dedup: the streamed distinct-hash set equals the
+    // batch DISTINCT.
+    "q_stream_dedup" ->
+      "SELECT DISTINCT md5(text) AS content_hash FROM documents",
 
     // Streaming sessionize must equal the batch gaps-and-islands form
     // (integer fields only; double session sums are checked in the spec).

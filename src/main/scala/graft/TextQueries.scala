@@ -31,6 +31,8 @@ object TextQueries {
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_dedup_verify_pairs" -> ((s, d) => Dedup.verifyPairs(s, d)),
     "q_dedup_components" -> ((s, d) => Dedup.components(s, d)),
+    "q_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
+    "q_repetition" -> ((s, d) => Dedup.repetition(s, d)),
     "q_dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
     "q_sketch_source" -> ((s, d) => Dedup.sourceSketch(s, d)),
     "q_sketch_source_sim" -> ((s, d) => Dedup.sourceSimilarity(s, d))
@@ -188,6 +190,33 @@ object TextQueries {
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
         |count(*) AS n_docs FROM documents GROUP BY 1""".stripMargin,
+
+    // Benchmark decontamination: any 3-shingle shared with the
+    // benchmark slice (doc_id < 5) flags the document.
+    "q_decontaminate" ->
+      s"""WITH $baseCte, $shinglesCte,
+         |ex AS (SELECT doc_id, unnest(list_distinct(s)) AS shingle FROM sh),
+         |bench AS (SELECT DISTINCT shingle FROM ex WHERE doc_id < 5),
+         |ov AS (SELECT doc_id, count(*) AS n_overlap
+         |  FROM ex SEMI JOIN bench USING (shingle)
+         |  WHERE doc_id >= 5 GROUP BY 1)
+         |SELECT d.doc_id, coalesce(ov.n_overlap, 0) AS n_overlap,
+         |  coalesce(ov.n_overlap, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+         |WHERE d.doc_id >= 5""".stripMargin,
+
+    // Degenerate-text detection: the most-repeated shingle's share of
+    // the document's shingle stream.
+    "q_repetition" ->
+      s"""WITH $baseCte, $shinglesCte,
+         |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         |g AS (SELECT doc_id, shingle, count(*) AS cnt FROM ex GROUP BY 1, 2),
+         |t AS (SELECT doc_id, max(cnt) AS top_count,
+         |  CAST(sum(cnt) AS BIGINT) AS n_shingles FROM g GROUP BY 1)
+         |SELECT doc_id, top_count, n_shingles,
+         |  CAST(round(CAST(top_count AS DOUBLE) / n_shingles, 6) AS DOUBLE) AS top_ratio,
+         |  top_count * 5 >= n_shingles AS degenerate
+         |FROM t""".stripMargin,
 
     "q_dedup_near" ->
       """SELECT md5(regexp_replace(regexp_replace(lower(trim(text)),

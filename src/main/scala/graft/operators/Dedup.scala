@@ -119,14 +119,33 @@ object Dedup {
   }
 
   /** The label-propagation loop itself, over an explicit candidate-pair
-    * edge list and node set. Throws if the loop hits `maxRounds` without
-    * converging — silently returning partial labels would merge/split
-    * dedup groups wrongly downstream; a component with diameter beyond
-    * the bound is a signal to switch to the pointer-doubling variant, not
-    * to ship bad labels.
+    * edge list and node set. Each round is min-label propagation over
+    * edges PLUS a pointer-doubling shortcut (label ← label's label) —
+    * the shortcut doubles the distance a minimum travels per round, so
+    * the loop converges in O(log diameter) rounds instead of
+    * O(diameter); with driver-paced rounds that is the difference
+    * between ~5 and ~50 jobs on a long-chain graph, and the standard
+    * trick that makes distributed CC viable on 100 TB graphs. Throws if
+    * the loop hits `maxRounds` without converging — silently returning
+    * partial labels would merge/split dedup groups wrongly downstream.
     */
   private[graft] def componentsFromPairs(spark: SparkSession, pairs: DataFrame,
       nodes: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // The loop's working set is (node, label) and (node, node) tuples —
+    // orders of magnitude smaller than the corpus that produced the
+    // pairs — so a handful of shuffle partitions minimizes per-round
+    // fixed job cost; at warehouse scale this is sized to the edge
+    // count (or left to AQE), not to the corpus.
+    val pKey = "spark.sql.shuffle.partitions"
+    val oldP = spark.conf.get(pKey)
+    spark.conf.set(pKey, "8")
+    try {
+      componentsLoop(spark, pairs, nodes, maxRounds)
+    } finally spark.conf.set(pKey, oldP)
+  }
+
+  private def componentsLoop(spark: SparkSession, pairs: DataFrame,
+      nodes: DataFrame, maxRounds: Int): DataFrame = {
     val edges = pairs.select(col("doc_a").as("n"), col("doc_b").as("m"))
       .unionByName(pairs.select(col("doc_b").as("n"), col("doc_a").as("m")))
       .localCheckpoint()
@@ -138,15 +157,28 @@ object Dedup {
     while (changed > 0 && rounds < maxRounds) {
       val neigh = edges.join(labels.withColumnRenamed("n", "m"), "m")
         .groupBy(col("n")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(neigh, Seq("n"), "left")
+      // checkpoint the propagation so the doubling self-join below reads
+      // it twice instead of executing the edge join twice
+      val prop = labels.join(neigh, Seq("n"), "left")
         .select(col("n"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      // shortcut: follow the label pointer one hop (labels only ever
+      // decrease, and a node's label is always in its own component, so
+      // the substitution is safe and monotone)
+      val next = prop
+        .join(prop.select(col("n").as("lbl"), col("lbl").as("lbl2")),
+          Seq("lbl"), "left")
+        .select(col("n"),
+          least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("lbl", "old"), "n")
         .filter(col("lbl") =!= col("old")).count()
       labels.unpersist() // release the superseded round's checkpoint blocks
+      prop.unpersist()
       labels = next
       rounds += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"[cc] round=$rounds changed=$changed t=${System.nanoTime()/1000000}")
     }
     edges.unpersist()
     if (changed > 0) {
@@ -154,7 +186,7 @@ object Dedup {
       throw new IllegalStateException(
         s"connected components did not converge in $maxRounds rounds " +
           s"($changed labels still changing) — component diameter exceeds " +
-          "the round bound; raise maxRounds or use pointer doubling")
+          "the doubling bound; raise maxRounds")
     }
     labels.select(col("n").as("doc_id"), col("lbl").as("component_id"),
       (col("n") === col("lbl")).as("is_canonical"))
@@ -172,6 +204,47 @@ object Dedup {
       .join(sizes, "component_id")
       .select(col("doc_id"), col("lang"), col("source"), col("n_members"))
   }
+
+  /** Benchmark decontamination — the training-data hygiene pass: flag
+    * every corpus document sharing ANY 3-gram shingle with a benchmark
+    * set (here: doc_id < 5 stands in for the held-out eval set). The
+    * benchmark's distinct shingles are a broadcast set (benchmarks are
+    * tiny next to the corpus), so the overlap test is one narrow
+    * semi-join over exploded postings + one count per document — the
+    * corpus is scanned once and never shuffled on text.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String,
+      benchBound: Long = 5L): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(array_distinct(shingles3(col("text")))).as("shingle"))
+    val bench = sh.filter(col("doc_id") < benchBound)
+      .select(col("shingle")).distinct()
+    val overlap = sh.filter(col("doc_id") >= benchBound)
+      .join(broadcast(bench), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") >= benchBound)
+      .select(col("doc_id"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Degenerate-text detection by n-gram repetition: the most-repeated
+    * 3-shingle's share of a document's shingle stream. Looping/generated
+    * text shows top-shingle ratios near 1; clean prose stays low. The
+    * flag threshold (≥20%) is cross-multiplied so no engine divides.
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
+      .groupBy(col("doc_id"), col("shingle")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("top_count"), sum(col("cnt")).as("n_shingles"))
+      .select(col("doc_id"), col("top_count"), col("n_shingles"),
+        round(col("top_count") / col("n_shingles"), 6).as("top_ratio"),
+        (col("top_count") * 5 >= col("n_shingles")).as("degenerate"))
 
   /** Corpus-level sketching: per-source minhash signature via the
     * `minhash_union` TypedImperativeAggregate — element-wise minimum of

@@ -104,7 +104,7 @@ object EventsStreaming {
     * conf is restored after the query has fully executed — batch queries
     * plan at their own execution time, so they never see the override.
     */
-  private def withStreamPartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+  private[streaming] def withStreamPartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val old = spark.conf.get(key)
     spark.conf.set(key, n.toString)

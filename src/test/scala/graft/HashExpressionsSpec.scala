@@ -96,16 +96,18 @@ class HashExpressionsSpec extends SparkTestBase {
 
   test("connected components refuses to ship non-converged labels") {
     import spark.implicits._
-    // A 10-node chain has diameter 9: min-label propagation needs 9
-    // rounds, so a 3-round bound must throw rather than return labels
-    // where the chain is still split into several partial components.
-    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val nodes = (0L to 9L).toDF("doc_id")
+    // A 100-node chain has diameter 99. With pointer doubling the
+    // frontier reach is ~2^r per round (d3 ≈ 14), so a 3-round bound
+    // must throw rather than return labels where the chain is still
+    // split into partial components — and ~7 doubling rounds converge
+    // it, where plain propagation would need 99.
+    val pairs = (0L until 99L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val nodes = (0L to 99L).toDF("doc_id")
     val e = intercept[IllegalStateException] {
       graft.operators.Dedup.componentsFromPairs(spark, pairs, nodes, maxRounds = 3).collect()
     }
     assert(e.getMessage.contains("did not converge"))
-    // with enough rounds the same chain converges to a single component
+    // with the doubling bound the same chain converges to one component
     val ok = graft.operators.Dedup
       .componentsFromPairs(spark, pairs, nodes, maxRounds = 20).collect()
     assert(ok.map(_.getAs[Long]("component_id")).toSet === Set(0L))
