@@ -21,6 +21,8 @@ object AnalyticsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, d) => Analytics.pricingSummary(s, d)),
     "q_join_enrich" -> ((s, d) => Analytics.revenueByNation(s, d)),
+    "q_part_brand" -> ((s, d) => Analytics.partBrandRevenue(s, d)),
+    "q_supplier_nation" -> ((s, d) => Analytics.supplierNationRevenue(s, d)),
     "q_agg_rollup" -> ((s, d) => Analytics.pricingRollup(s, d)),
     "q_agg_cube" -> ((s, d) => Analytics.pricingCube(s, d)),
     "q_join_outer" -> ((s, d) => Analytics.customerOrdersOuter(s, d)),
@@ -95,6 +97,20 @@ object AnalyticsQueries {
          |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
          |  AND o_orderdate < TIMESTAMP '1997-01-01'
          |GROUP BY r_name, n_name""".stripMargin,
+
+    "q_part_brand" ->
+      s"""SELECT p_brand, count(*) AS n_items,
+         |CAST(sum($discPrice) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand""".stripMargin,
+
+    "q_supplier_nation" ->
+      s"""SELECT n_name, count(*) AS n_items,
+         |CAST(sum($discPrice) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY n_name""".stripMargin,
 
     "q_agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,

@@ -162,14 +162,14 @@ object TextQueries {
         |  FROM documents) WHERE rn <= 5""".stripMargin,
 
     "q_pack_sequences" ->
-      """WITH t AS (SELECT doc_id,
+      """WITH t AS (SELECT doc_id, source,
         |  CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS INTEGER) AS n_tokens
         |  FROM documents),
-        |c AS (SELECT doc_id, n_tokens,
-        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |c AS (SELECT doc_id, source, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
         |  FROM t)
-        |SELECT doc_id, n_tokens, tokens_before,
+        |SELECT doc_id, source, n_tokens, tokens_before,
         |  tokens_before // 512 AS pack_id FROM c""".stripMargin,
 
     "q_tfidf_top" ->

@@ -125,6 +125,36 @@ object Analytics {
           .cast("double").as("revenue"))
   }
 
+  /** Revenue by part brand: fact ⋈ broadcast part dim on l_partkey —
+    * the canonical star-schema probe (dim broadcast, fact never
+    * shuffles for the join; the only exchange is the small group-by).
+    */
+  def partBrandRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+          .cast("double").as("revenue"))
+
+  /** Revenue by supplier nation: fact ⋈ broadcast supplier ⋈ broadcast
+    * nation — a two-hop dim chain resolved entirely map-side.
+    */
+  def supplierNationRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+          .cast("double").as("revenue"))
+
   /** Full cube over (flag, status) — all four grouping levels. */
   def pricingCube(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)

@@ -45,23 +45,25 @@ object DataPrep {
       .filter(col("rn") <= k)
   }
 
-  /** Greedy sequence packing: documents in doc_id order accumulate into
-    * fixed token-budget packs — pack_id = floor(tokens-before / budget).
-    * Token counts come from the single-pass TokenStats expression; the
-    * running sum is one ordered window. At scale packing runs per shard
-    * (partition the corpus first, pack within shards) — the global
-    * window here is the per-shard form.
+  /** Greedy sequence packing, sharded: documents accumulate into fixed
+    * token-budget packs per `source` shard — pack_id = (source,
+    * floor(tokens-before / budget)). Token counts come from the
+    * single-pass TokenStats expression; the running sum is one window
+    * PARTITIONED on the shard key, so every shard packs independently
+    * and in parallel — the shape that scales (a single global ordered
+    * window funnels the whole corpus through one partition).
     */
   def packSequences(spark: SparkSession, sfDir: String, budget: Int = 512): DataFrame = {
-    val w = Window.orderBy(col("doc_id"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("source"),
         graft.functions.HashExpressions.token_stats(col("text"))
           .getField("n_tokens").as("n_tokens"))
       .withColumn("tokens_before",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)).cast("bigint"))
       .withColumn("pack_id", expr(s"tokens_before div $budget"))
-      .select(col("doc_id"), col("n_tokens"), col("tokens_before"), col("pack_id"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("tokens_before"), col("pack_id"))
   }
 }

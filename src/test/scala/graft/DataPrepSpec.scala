@@ -28,17 +28,18 @@ class DataPrepSpec extends SparkTestBase {
     assert(bad === 0)
   }
 
-  test("sequence packing: packs are contiguous and within-budget at the boundary") {
-    val p = DataPrep.packSequences(spark, d, budget = 512).orderBy("doc_id").collect()
-    // tokens_before is the running sum of everything earlier
-    var cum = 0L
-    p.foreach { r =>
-      assert(r.getAs[Long]("tokens_before") === cum)
-      assert(r.getAs[Long]("pack_id") === cum / 512)
-      cum += r.getAs[Int]("n_tokens")
+  test("sequence packing: per-shard packs are contiguous and budget-aligned") {
+    val p = DataPrep.packSequences(spark, d, budget = 512)
+      .orderBy("source", "doc_id").collect()
+    // within each source shard, tokens_before is the running sum of
+    // everything earlier in the shard and pack ids are non-decreasing
+    p.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("tokens_before") === cum)
+        assert(r.getAs[Long]("pack_id") === cum / 512)
+        cum += r.getAs[Int]("n_tokens")
+      }
     }
-    // pack ids are non-decreasing in doc order
-    val ids = p.map(_.getAs[Long]("pack_id"))
-    assert(ids.zip(ids.tail).forall { case (a, b) => a <= b })
   }
 }
