@@ -21,6 +21,8 @@ object MediaStreamQueries {
     "q_stream_flagship" -> ((s, _) => TwseStreaming.flagshipStream(s)),
     "q_stream_dedup" -> ((s, d) =>
       graft.streaming.DocsStreaming.dedupHashes(s, d)),
+    "q_stream_interval_join" -> ((s, d) =>
+      EventsStreaming.viewPurchaseJoin(s, d)),
     "q_stream_sessionize" -> ((s, d) =>
       EventsStreaming.sessionize(s, d).select(
         col("user_id"), col("session_id"), col("n_events"),
@@ -87,6 +89,15 @@ object MediaStreamQueries {
     // batch DISTINCT.
     "q_stream_dedup" ->
       "SELECT DISTINCT md5(text) AS content_hash FROM documents",
+
+    // The stream-stream interval join equals the batch interval join.
+    "q_stream_interval_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""".stripMargin,
 
     // Streaming sessionize must equal the batch gaps-and-islands form
     // (integer fields only; double session sums are checked in the spec).

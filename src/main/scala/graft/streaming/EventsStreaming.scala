@@ -172,6 +172,39 @@ object EventsStreaming {
     spark.table(name)
   }
 
+  /** Stream-stream interval join: purchases matched to the views they
+    * followed within one hour, per user — both sides watermarked so the
+    * join state is bounded (a view older than watermark − 1 h can never
+    * match again and is evicted). Inner-join matches emit as soon as
+    * both sides arrive; the batch oracle is the identical interval join
+    * in SQL. The scale story is the state bound: without the time
+    * constraint the join would buffer both streams forever.
+    */
+  def viewPurchaseJoin(spark: SparkSession, sfDir: String): DataFrame = withStreamPartitions(spark, 8) {
+    val name = s"graft_stream_vpjoin_${nameCounter.incrementAndGet()}"
+    def side(t: String, idAs: String, tsAs: String): DataFrame =
+      streamSource(spark, sfDir)
+        .filter(col("event_type") === t)
+        .select(col("user_id").as(s"${t}_user"), col("event_id").as(idAs),
+          col("ts").as(tsAs))
+        .withWatermark(tsAs, "1 hour")
+    val views = side("view", "view_id", "view_ts")
+    val purchases = side("purchase", "purchase_id", "purchase_ts")
+    val joined = views.join(purchases,
+        col("view_user") === col("purchase_user")
+          && col("purchase_ts") >= col("view_ts")
+          && col("purchase_ts") <= col("view_ts") + expr("interval 1 hour"))
+      .select(col("view_user").as("user_id"), col("view_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+          .as("gap_us"))
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   case class Ev(event_id: Long, user_id: Long, ts_us: Long, value: Double)
