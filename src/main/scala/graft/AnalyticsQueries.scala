@@ -50,6 +50,8 @@ object AnalyticsQueries {
       graft.sources.JdbcStore.eventsDailyPartitioned(s, d)),
     "q_funnel" -> ((s, d) => Analytics.funnel(s, d)),
     "q_event_gaps" -> ((s, d) => Analytics.interEventGaps(s, d)),
+    "q_gap_fill" -> ((s, d) => Analytics.eventsGapFill(s, d)),
+    "q_window_funcs" -> ((s, d) => Analytics.windowFuncs(s, d)),
     // The SQL front door: the same engine through spark.sql over temp
     // views — dialect-common text that the DuckDB oracle runs verbatim.
     "q_sql_api" -> ((s, d) => {
@@ -295,6 +297,39 @@ object AnalyticsQueries {
         |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
         |  CAST(sum(gap_us) AS BIGINT) AS total_gap_us
         |FROM g WHERE gap_us IS NOT NULL GROUP BY event_type""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS hr, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT min(hr) AS lo, max(hr) AS hi FROM hourly),
+        |grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr,
+        |  et.event_type
+        |  FROM bounds, (SELECT DISTINCT event_type FROM events) et),
+        |j AS (SELECT g.hr, g.event_type, coalesce(h.n, 0) AS n, h.total_value
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON g.hr = h.hr AND g.event_type = h.event_type)
+        |SELECT strftime(CAST(hr AS TIMESTAMP), '%Y-%m-%d %H:00') AS hour,
+        |  event_type, CAST(n AS BIGINT) AS n,
+        |  last_value(total_value IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value
+        |FROM j""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |lead(o_orderkey, 1) OVER w AS next_order,
+        |lag(o_orderkey, 1) OVER w AS prev_order,
+        |CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |  AND CURRENT ROW) AS first_order,
+        |nth_value(o_orderkey, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |  AND CURRENT ROW) AS second_order,
+        |round(percent_rank() OVER w, 6) AS pr,
+        |round(cume_dist() OVER w, 6) AS cd
+        |FROM orders WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
 
     "q_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

@@ -377,6 +377,51 @@ object Analytics {
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Time-series gap fill + forward fill: the hourly event grid is made
+    * dense (every hour × every event type, via one 1-row bounds
+    * aggregate exploded into the calendar — no driver round-trip), then
+    * missing hours take n = 0 and carry the last observed hourly total
+    * forward (`last` with ignoreNulls over an ordered per-type window).
+    * The standard resample→fill shape of time-series pipelines; grid
+    * size is calendar × types, independent of event volume.
+    */
+  def eventsGapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec("value")).cast("double").as("total_value"))
+    val bounds = hourly.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+    val grid = bounds
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hr"))
+      .crossJoin(Tables.events(spark, sfDir).select(col("event_type")).distinct())
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(hourly, Seq("hr", "event_type"), "left")
+      .select(
+        date_format(col("hr"), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("total_value"), ignoreNulls = true).over(w).as("carried_value"))
+  }
+
+  /** Windowed-analytics breadth over orders: lead/lag, quartile ntile,
+    * running first, positional nth, percent_rank/cume_dist — one
+    * (custkey) exchange shared by every function.
+    */
+  def windowFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    Tables.orders(spark, sfDir).filter(col("o_custkey") <= 100)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        ntile(4).over(w).as("quartile"),
+        first(col("o_orderkey")).over(run).as("first_order"),
+        nth_value(col("o_orderkey"), 2).over(run).as("second_order"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+  }
+
   /** Inter-event interval statistics per event type: integer-microsecond
     * gaps between consecutive events of the same user+type — min/max/
     * count exact, the latency-profile query of an event stream.
