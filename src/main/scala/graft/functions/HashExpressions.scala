@@ -85,20 +85,71 @@ object HashExpressions {
     expressionColumn(MinHashUnionAgg(expressionOf(c))
       .toAggregateExpression(isDistinct = false))
 
-  /** Shared signature computation (one tight pass). */
+  private def hexOf(bytes: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Unsigned lexicographic digest compare — identical ordering to
+    * comparing the two digests' lowercase-hex renderings (each byte maps
+    * monotonically to its two hex chars).
+    */
+  private def digestLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    false
+  }
+
+  /** Shared signature computation (one tight pass). Semantics are
+    * unchanged from `min over md5hex(i ∥ "|" ∥ shingle)`; the loop works
+    * byte-level — shingle UTF-8 encoded once (not once per hash), the
+    * digest written into a reusable scratch buffer, minima kept as raw
+    * digest bytes (same order as hex strings) and hex-rendered only for
+    * the 16 winners. The per-(i, shingle) String/encode/hex allocations
+    * this removes were the dominant cost of the corpus sketch queries.
+    */
   private[functions] def signatureOf(text: String, numHashes: Int): Array[String] = {
     val sh = shingles(text)
-    val sig = new Array[String](numHashes)
+    val md = digestTL.get()
+    val prefixes = new Array[Array[Byte]](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      prefixes(i) = (i.toString + "|").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    val minDigest = new Array[Array[Byte]](numHashes)
+    val scratch = new Array[Byte](16)
     var si = 0
     while (si < sh.length) {
-      val s = sh(si)
-      var i = 0
+      val sBytes = sh(si).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i = 0
       while (i < numHashes) {
-        val h = md5Hex(i.toString + "|" + s)
-        if (sig(i) == null || h.compareTo(sig(i)) < 0) sig(i) = h
+        md.reset()
+        md.update(prefixes(i))
+        md.update(sBytes)
+        md.digest(scratch, 0, 16)
+        if (minDigest(i) == null || digestLess(scratch, minDigest(i))) {
+          minDigest(i) = scratch.clone()
+        }
         i += 1
       }
       si += 1
+    }
+    val sig = new Array[String](numHashes)
+    i = 0
+    while (i < numHashes) {
+      sig(i) = if (minDigest(i) == null) null else hexOf(minDigest(i))
+      i += 1
     }
     sig
   }
