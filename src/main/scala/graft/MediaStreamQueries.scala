@@ -16,6 +16,7 @@ object MediaStreamQueries {
     "q_media_features" -> ((s, d) => Multimodal.featuresStub(s, d)),
     "q_media_frames" -> ((s, d) => Multimodal.frameSample(s, d)),
     "q_media_decode" -> ((s, d) => Multimodal.decode(s, d).toDF()),
+    "q_media_resize" -> ((s, d) => Multimodal.resize(s, d).toDF()),
     "q_stream_events_window" -> ((s, d) => EventsStreaming.dailyCounts(s, d)),
     "q_stream_events_append" -> ((s, d) => EventsStreaming.dailyCountsAppend(s, d)),
     "q_stream_flagship" -> ((s, _) => TwseStreaming.flagshipStream(s)),
@@ -73,6 +74,28 @@ object MediaStreamQueries {
          |  CAST(CAST(('0x' || substr(hex(payload), 11, 2)) AS UBIGINT) % 128 + 1 AS INTEGER) AS height,
          |  CAST(octet_length(payload) AS INTEGER) AS n_bytes
          |FROM p""".stripMargin,
+
+    // Resize stage: aspect-preserving integer fit to 64 + deterministic
+    // fingerprint of the resampled output.
+    "q_media_resize" ->
+      s"""WITH $mediaCte,
+         |dec AS (SELECT doc_id, mt AS media_type,
+         |  CAST(CAST(('0x' || substr(hex(payload), 9, 2)) AS UBIGINT) % 128 + 1 AS INTEGER) AS width,
+         |  CAST(CAST(('0x' || substr(hex(payload), 11, 2)) AS UBIGINT) % 128 + 1 AS INTEGER) AS height
+         |  FROM p),
+         |t AS (SELECT *, greatest(width, height) AS longer FROM dec),
+         |r AS (SELECT doc_id, media_type, width, height,
+         |  CASE WHEN longer <= 64 THEN width
+         |    ELSE greatest(1, (width * 64) // longer) END AS target_w,
+         |  CASE WHEN longer <= 64 THEN height
+         |    ELSE greatest(1, (height * 64) // longer) END AS target_h
+         |  FROM t)
+         |SELECT doc_id, media_type, width, height,
+         |  CAST(target_w AS INTEGER) AS target_w,
+         |  CAST(target_h AS INTEGER) AS target_h,
+         |  md5(CAST(doc_id AS VARCHAR) || '|' || CAST(target_w AS VARCHAR)
+         |    || '|' || CAST(target_h AS VARCHAR)) AS resized_md5
+         |FROM r""".stripMargin,
 
     // The streaming window aggregation must equal the batch one — same
     // oracle (see AnalyticsQueries).

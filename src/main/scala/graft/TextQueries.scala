@@ -28,6 +28,7 @@ object TextQueries {
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashBands(s, d)),
     "q_dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "q_dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_dedup_verify_pairs" -> ((s, d) => Dedup.verifyPairs(s, d)),
     "q_dedup_components" -> ((s, d) => Dedup.components(s, d)),
@@ -248,6 +249,32 @@ object TextQueries {
         |    THEN '1' ELSE '0' END), '') AS simhash
         |  FROM h)
         |SELECT doc_id, simhash, substr(simhash, 1, 16) AS bucket16 FROM sim""".stripMargin,
+
+    // Same-prefix simhash blocking + exact Hamming on collisions only.
+    "q_dedup_simhash_pairs" ->
+      """WITH h AS (SELECT doc_id,
+        |  list_transform(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    w -> md5(w)) AS hs
+        |  FROM documents),
+        |sim AS (SELECT doc_id, array_to_string(
+        |  list_transform(range(64), b -> CASE WHEN list_sum(
+        |    list_transform(hs, x ->
+        |      (((strpos('0123456789abcdef', substr(x, CAST(b//4 AS INTEGER)+1, 1)) - 1
+        |         >> CAST(b%4 AS INTEGER)) & 1) * 2 - 1))) > 0
+        |    THEN '1' ELSE '0' END), '') AS simhash
+        |  FROM h)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(list_sum(list_transform(range(64), i ->
+        |    CASE WHEN substr(a.simhash, CAST(i AS INTEGER) + 1, 1)
+        |      != substr(b.simhash, CAST(i AS INTEGER) + 1, 1)
+        |    THEN 1 ELSE 0 END)) AS INTEGER) AS hamming,
+        |  list_sum(list_transform(range(64), i ->
+        |    CASE WHEN substr(a.simhash, CAST(i AS INTEGER) + 1, 1)
+        |      != substr(b.simhash, CAST(i AS INTEGER) + 1, 1)
+        |    THEN 1 ELSE 0 END)) <= 8 AS near_dup
+        |FROM sim a JOIN sim b
+        |  ON substr(a.simhash, 1, 8) = substr(b.simhash, 1, 8)
+        |  AND a.doc_id < b.doc_id""".stripMargin,
 
     "q_dedup_verify_pairs" ->
       s"""$bandsCte,

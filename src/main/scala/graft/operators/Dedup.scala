@@ -81,6 +81,30 @@ object Dedup {
         graft.functions.HashExpressions.simhash64(col("text")).as("simhash"))
       .withColumn("bucket16", substring(col("simhash"), 1, 16))
 
+  /** Simhash candidate pairs: same-8-bit-prefix blocking + exact Hamming
+    * distance on the 64-bit signatures. Near-dups differ in O(1) bits,
+    * so they collide on the prefix with high probability; at scale the
+    * standard trick is blocking on several rotations of the signature so
+    * any ≤k-bit difference collides in at least one block. The Hamming
+    * computation runs only on bucket collisions, never all-pairs.
+    */
+  def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 8): DataFrame = {
+    val s = simhash(spark, sfDir)
+      .select(col("doc_id"), col("simhash"),
+        substring(col("simhash"), 1, 8).as("bucket8"))
+      .localCheckpoint()
+    val ham = (0 until 64).map { i =>
+      when(substring(col("a.simhash"), i + 1, 1)
+        =!= substring(col("b.simhash"), i + 1, 1), 1).otherwise(0)
+    }.reduce(_ + _)
+    s.as("a").join(s.as("b"),
+        col("a.bucket8") === col("b.bucket8")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        ham.cast("int").as("hamming"))
+      .withColumn("near_dup", col("hamming") <= maxHamming)
+  }
+
   /** The verification stage of LSH dedup: candidate pairs from the
     * minhash buckets get exact checks — Levenshtein edit distance and
     * distinct-token Jaccard (cross-multiplied, no division). Only

@@ -107,4 +107,42 @@ object Multimodal {
         }
       }
   }
+
+  case class ResizedMedia(doc_id: Long, media_type: String,
+      width: Int, height: Int, target_w: Int, target_h: Int,
+      resized_md5: String)
+
+  /** STUB resampler — deterministic fake standing in for the pixel
+    * resample: target dims fit the longer side to `maxDim` preserving
+    * aspect ratio (integer arithmetic, floor), and the "resized bytes"
+    * are fingerprinted deterministically. A real implementation swaps
+    * the fingerprint line for the resampled buffer.
+    */
+  private[operators] def resizeStub(d: DecodedMedia, maxDim: Int): ResizedMedia = {
+    val longer = math.max(d.width, d.height)
+    val (tw, th) =
+      if (longer <= maxDim) (d.width, d.height)
+      else (math.max(1, d.width * maxDim / longer),
+        math.max(1, d.height * maxDim / longer))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = md.digest(s"${d.doc_id}|$tw|$th"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = digest.map(b => f"$b%02x").mkString
+    ResizedMedia(d.doc_id, d.media_type, d.width, d.height, tw, th, hex)
+  }
+
+  /** Resize stage: decode → batched mapPartitions resample — same batch
+    * shape as decode, chained without a shuffle (both stages are narrow,
+    * so Catalyst fuses them into one task pipeline).
+    */
+  def resize(spark: SparkSession, sfDir: String, maxDim: Int = 64,
+      batchSize: Int = 32): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    decode(spark, sfDir, batchSize)
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map(resizeStub(_, maxDim))
+        }
+      }
+  }
 }
