@@ -173,18 +173,21 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("n"), col("doc_b").as("m"))
       .unionByName(pairs.select(col("doc_b").as("n"), col("doc_a").as("m")))
       .localCheckpoint()
-    var labels = nodes
+    var persisted = nodes
       .select(col("doc_id").as("n"), col("doc_id").as("lbl"))
       .localCheckpoint()
+    var labels = persisted
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
       val neigh = edges.join(labels.withColumnRenamed("n", "m"), "m")
         .groupBy(col("n")).agg(min(col("lbl")).as("nlbl"))
       // checkpoint the propagation so the doubling self-join below reads
-      // it twice instead of executing the edge join twice
+      // it twice instead of executing the edge join twice; carry the
+      // round's starting label (`old`) through so the convergence check
+      // is a filter over the final checkpoint, not another join
       val prop = labels.join(neigh, Seq("n"), "left")
-        .select(col("n"),
+        .select(col("n"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
       // shortcut: follow the label pointer one hop (labels only ever
@@ -193,20 +196,20 @@ object Dedup {
       val next = prop
         .join(prop.select(col("n").as("lbl"), col("lbl").as("lbl2")),
           Seq("lbl"), "left")
-        .select(col("n"),
+        .select(col("n"), col("old"),
           least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "n")
-        .filter(col("lbl") =!= col("old")).count()
-      labels.unpersist() // release the superseded round's checkpoint blocks
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      persisted.unpersist() // release the superseded round's checkpoint blocks
       prop.unpersist()
-      labels = next
+      persisted = next
+      labels = next.select(col("n"), col("lbl"))
       rounds += 1
       if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"[cc] round=$rounds changed=$changed t=${System.nanoTime()/1000000}")
     }
     edges.unpersist()
     if (changed > 0) {
-      labels.unpersist()
+      persisted.unpersist()
       throw new IllegalStateException(
         s"connected components did not converge in $maxRounds rounds " +
           s"($changed labels still changing) — component diameter exceeds " +
