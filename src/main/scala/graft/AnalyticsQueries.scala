@@ -44,6 +44,9 @@ object AnalyticsQueries {
     "q_events_sessionize" -> ((s, d) => Analytics.eventsSessionized(s, d)),
     "q_events_json" -> ((s, d) => Analytics.eventsPropsDistribution(s, d)),
     "q_asof_join" -> ((s, d) => AsOf.purchaseToLastView(s, d)),
+    // The same as-of semantics through the custom Catalyst operator
+    // (AsofJoin LogicalPlan + strategy + exec) — oracle shared below.
+    "q_asof_join_native" -> ((s, d) => AsOf.purchaseToLastViewNative(s, d)),
     // JDBC write + 4-way range-partitioned JDBC readback of the daily
     // aggregate — the parallel-scan shape a JDBC source needs at volume.
     "q_jdbc_partitioned" -> ((s, d) =>
@@ -344,8 +347,14 @@ object AnalyticsQueries {
         |UNION ALL SELECT '3_purchase', count(*) FROM p""".stripMargin,
 
     // Same union+window as-of construction as the Spark side (NOT DuckDB's
-    // native ASOF JOIN) so tie-breaking is bit-identical.
-    "q_asof_join" ->
+    // native ASOF JOIN) so tie-breaking is bit-identical. The native
+    // Catalyst-operator variant shares the oracle: same semantics, two
+    // independent engine-side constructions checked against one SQL.
+    "q_asof_join" -> asofOracleSql,
+    "q_asof_join_native" -> asofOracleSql
+  )
+
+  private lazy val asofOracleSql: String =
       """WITH ev AS (
         |  SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
         |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view
@@ -366,5 +375,4 @@ object AnalyticsQueries {
         |  last_view_id AS view_id,
         |  (ts_us - last_view_us) // 1000000 AS gap_seconds
         |FROM m WHERE is_view = 0""".stripMargin
-  )
 }

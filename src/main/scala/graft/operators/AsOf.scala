@@ -24,6 +24,34 @@ object AsOf {
     * before it (views at the identical timestamp count as prior — side
     * ordering puts the reference row first on ties).
     */
+  /** Same result as [[purchaseToLastView]], through the custom
+    * [[graft.plans.AsofJoin]] Catalyst operator (SURVEY §7.2 case (c):
+    * LogicalPlan + SparkStrategy + SparkPlan via SparkSessionExtensions)
+    * instead of the union+window composition. One hash exchange per
+    * side, in-partition sort, single forward merge pass — the plan shape
+    * an as-of join should have at 100 TB. The spec asserts both
+    * constructions agree row-for-row; the oracle is shared.
+    */
+  def purchaseToLastViewNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        unix_micros(col("ts")).as("view_us"))
+    graft.plans.AsofJoinSupport.asofJoin(
+        purchases, views,
+        leftKey = "user_id", rightKey = "v_user",
+        leftTime = "ts_us", rightTime = "view_us",
+        rightTiebreak = Seq("view_id"))
+      .select(
+        col("event_id").as("purchase_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("view_id"),
+        expr("(ts_us - view_us) div 1000000").as("gap_seconds"))
+  }
+
   def purchaseToLastView(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .filter(col("event_type").isin("view", "purchase"))

@@ -1,0 +1,28 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.SparkStrategy
+
+/** Bridge to the `private[sql]` plan-level surfaces graft's custom
+  * operator needs: analyzed-plan extraction, DataFrame construction from
+  * a LogicalPlan, and runtime strategy registration on an EXISTING
+  * session (the driver builds plain sessions, so config-time
+  * `spark.sql.extensions` alone is not enough). Same one-file shim
+  * technique as [[GraftExpressionBridge]].
+  */
+object GraftPlanBridge {
+
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotent: registering the same strategy object twice is a no-op. */
+  def registerStrategy(spark: SparkSession, strategy: SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(strategy)) {
+      exp.extraStrategies = exp.extraStrategies :+ strategy
+    }
+  }
+}
