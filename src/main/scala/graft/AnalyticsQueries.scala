@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, AsOf}
+import graft.operators.{Analytics, AsOf, Formats}
 
 /** Oracle-checked registrations for the relational analytics operators
   * (SURVEY.md §2.I). Oracle SQL is DuckDB dialect over the same sf
@@ -51,6 +51,12 @@ object AnalyticsQueries {
     // aggregate — the parallel-scan shape a JDBC source needs at volume.
     "q_jdbc_partitioned" -> ((s, d) =>
       graft.sources.JdbcStore.eventsDailyPartitioned(s, d)),
+    // Format breadth + table maintenance (operators/Formats.scala).
+    "q_orc_roundtrip" -> ((s, d) => Formats.orcRoundtrip(s, d)),
+    "q_json_roundtrip" -> ((s, d) => Formats.jsonRoundtrip(s, d)),
+    "q_scd2" -> ((s, d) => Formats.scd2PriorityHistory(s, d)),
+    "q_merge_upsert" -> ((s, d) => Formats.mergeUpsert(s, d)),
+    "q_session_window" -> ((s, d) => Formats.sessionWindowNative(s, d)),
     "q_funnel" -> ((s, d) => Analytics.funnel(s, d)),
     "q_event_gaps" -> ((s, d) => Analytics.interEventGaps(s, d)),
     "q_gap_fill" -> ((s, d) => Analytics.eventsGapFill(s, d)),
@@ -281,6 +287,67 @@ object AnalyticsQueries {
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |count(*) AS n FROM events GROUP BY 1""".stripMargin,
 
+    // Spark's native session_window merges at exactly `gap` (inclusive —
+    // pinned by FormatsSpec), so the islands construction splits only on
+    // diff > gap. Same output as q_events_sessionize minus the ordinal.
+    "q_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    // ORC / JSON round-trips are lossless, so the oracle is the same
+    // summary computed straight from the parquet table.
+    "q_orc_roundtrip" -> ordersSummarySql,
+    "q_json_roundtrip" -> ordersSummarySql,
+
+    "q_scd2" ->
+      """WITH h AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+        |    lag(o_orderpriority) OVER w AS prev_p
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |), c AS (
+        |  SELECT * FROM h WHERE prev_p IS NULL OR prev_p <> o_orderpriority
+        |)
+        |SELECT o_custkey AS custkey, o_orderpriority AS priority,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS effective_from,
+        |  strftime(lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey), '%Y-%m-%d') AS effective_to
+        |FROM c""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH b AS (
+        |  SELECT user_id, event_type, ts FROM (
+        |    SELECT user_id, event_type, ts, row_number() OVER
+        |      (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-16') WHERE rn = 1
+        |), u AS (
+        |  SELECT user_id, event_type, ts FROM (
+        |    SELECT user_id, event_type, ts, row_number() OVER
+        |      (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts >= TIMESTAMP '2024-01-16') WHERE rn = 1
+        |)
+        |SELECT coalesce(b.user_id, u.user_id) AS user_id,
+        |  coalesce(u.event_type, b.event_type) AS last_type,
+        |  strftime(coalesce(u.ts, b.ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+        |  CASE WHEN b.user_id IS NULL THEN 'insert'
+        |       WHEN u.user_id IS NULL THEN 'carry'
+        |       ELSE 'update' END AS merge_action
+        |FROM b FULL OUTER JOIN u ON b.user_id = u.user_id""".stripMargin,
+
     "q_sql_api" -> sqlApiText,
 
     // The JDBC write + partitioned readback must round-trip the daily
@@ -353,6 +420,13 @@ object AnalyticsQueries {
     "q_asof_join" -> asofOracleSql,
     "q_asof_join_native" -> asofOracleSql
   )
+
+  private lazy val ordersSummarySql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total,
+      |  CAST(min(o_orderdate) AS DATE) AS first_day,
+      |  CAST(max(o_orderdate) AS DATE) AS last_day
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
 
   private lazy val asofOracleSql: String =
       """WITH ev AS (

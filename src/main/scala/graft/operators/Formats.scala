@@ -1,0 +1,122 @@
+package graft.operators
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Storage-format breadth beyond parquet/CSV/JDBC (SURVEY §2.E1 family)
+  * plus the table-maintenance operators a 100 TB pipeline needs: SCD2
+  * history compaction and merge/upsert. Each readback aggregates so the
+  * oracle (reading the original parquet) checks the round-trip was
+  * lossless, not just non-empty.
+  */
+object Formats {
+
+  private def dec(c: String) = col(c).cast("decimal(12,2)")
+
+  /** Per-sf temp dir so different scale factors never share a sink. */
+  private def fmtDir(fmt: String, sfDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${fmt}_${new File(sfDir).getName}"
+
+  private def ordersSummary(df: DataFrame): DataFrame =
+    df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec("o_totalprice")).cast("double").as("sum_total"),
+        min(col("o_orderdate")).cast("date").as("first_day"),
+        max(col("o_orderdate")).cast("date").as("last_day"))
+
+  /** ORC round-trip: columnar like parquet (predicate pushdown, column
+    * pruning, splittable) — the interchange format when a consumer is
+    * ORC-native. Write orders, read back, summarize.
+    */
+  def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = fmtDir("orc", sfDir)
+    Tables.orders(spark, sfDir).write.mode("overwrite").orc(dir)
+    ordersSummary(spark.read.orc(dir))
+  }
+
+  /** JSON-lines round-trip: the lingua franca for row-oriented
+    * interchange. Schema is pinned on read (inference is a full extra
+    * pass at 100 TB and infers timestamps as strings).
+    */
+  def jsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = fmtDir("json", sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    orders.write.mode("overwrite").json(dir)
+    ordersSummary(spark.read.schema(orders.schema).json(dir))
+  }
+
+  /** SCD2 compaction of each customer's order-priority timeline: keep
+    * only change rows, each valid [effective_from, effective_to). Two
+    * window passes over ONE (custkey)-clustered shuffle — lag to detect
+    * changes, lead after compaction to close intervals; open rows keep
+    * null effective_to. The standard dimension-history build, expressed
+    * so Catalyst reuses the partitioning across both windows.
+    */
+  def scd2PriorityHistory(spark: SparkSession, sfDir: String): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("prev_p", lag(col("o_orderpriority"), 1).over(byCust))
+      .filter(col("prev_p").isNull || col("prev_p") =!= col("o_orderpriority"))
+      // dates emitted as strings: a nullable DATE column canonicalizes
+      // differently across engines (None vs NaT) in the driver compare;
+      // a nullable STRING does not
+      .withColumn("effective_to",
+        date_format(lead(col("o_orderdate"), 1).over(byCust), "yyyy-MM-dd"))
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderpriority").as("priority"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("effective_from"),
+        col("effective_to"))
+  }
+
+  /** Merge/upsert (SCD1, "MERGE INTO" semantics without a lakehouse
+    * format): base = per-user state from events before the cutover day,
+    * updates = events on/after it. Full outer join on the key, coalesce
+    * updates over base — matched keys update, unmatched-update keys
+    * insert, unmatched-base keys carry over. One shuffle per side on
+    * user_id; at 100 TB the updates side is typically small enough to
+    * broadcast, which Catalyst/AQE picks from stats automatically.
+    */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutover = "2024-01-16" // events span 2024-01; mid-month split
+    val ev = Tables.events(spark, sfDir)
+    def lastState(df: DataFrame, prefix: String): DataFrame = {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      df.withColumn("rn", row_number().over(byUser))
+        .filter(col("rn") === 1)
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("event_type").as(s"${prefix}_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as(s"${prefix}_ts"))
+    }
+    val base = lastState(ev.filter(col("ts") < lit(cutover).cast("timestamp")), "b")
+    val upd = lastState(ev.filter(col("ts") >= lit(cutover).cast("timestamp")), "u")
+    base.join(upd, col("b_user") === col("u_user"), "full_outer")
+      .select(
+        coalesce(col("b_user"), col("u_user")).as("user_id"),
+        coalesce(col("u_type"), col("b_type")).as("last_type"),
+        coalesce(col("u_ts"), col("b_ts")).as("last_ts"),
+        when(col("b_user").isNull, lit("insert"))
+          .when(col("u_user").isNull, lit("carry"))
+          .otherwise(lit("update")).as("merge_action"))
+  }
+
+  /** Sessionization through Spark's NATIVE session_window (dynamic-gap
+    * session windows merged by the aggregation itself — no explicit
+    * lag/cumsum pass): same 30-minute gap and output as the
+    * gaps-and-islands construction in [[Analytics.eventsSessionized]],
+    * minus the per-user ordinal. One shuffle on user_id.
+    */
+  def sessionWindowNative(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec("value")).cast("double").as("session_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("session_value"))
+}

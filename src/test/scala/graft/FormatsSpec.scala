@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Formats}
+
+class FormatsSpec extends SparkTestBase {
+  private val d = sf()
+
+  test("orc and json round-trips agree with the parquet-derived summary") {
+    val fromParquet = Formats.orcRoundtrip(spark, d) // reads back what it wrote
+    val viaJson = Formats.jsonRoundtrip(spark, d)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(canon(fromParquet) === canon(viaJson))
+    assert(fromParquet.count() > 0)
+  }
+
+  test("scd2 history: intervals chain per customer, change rows only") {
+    val h = Formats.scd2PriorityHistory(spark, d)
+    // every non-final interval closes exactly where the next one opens
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("custkey")).orderBy(col("effective_from"))
+    val bad = h.withColumn("next_from", lead(col("effective_from"), 1).over(w))
+      .filter(col("effective_to").isNotNull && col("effective_to") =!= col("next_from"))
+    assert(bad.count() === 0)
+    // compaction: no two consecutive rows share a priority
+    val rep = h.withColumn("next_p", lead(col("priority"), 1).over(w))
+      .filter(col("next_p").isNotNull && col("next_p") === col("priority"))
+    assert(rep.count() === 0)
+    // exactly one open (null effective_to) row per customer with history
+    assert(h.filter(col("effective_to").isNull).groupBy(col("custkey"))
+      .count().filter(col("count") > 1).count() === 0)
+  }
+
+  test("merge upsert: actions partition the key space correctly") {
+    val m = Formats.mergeUpsert(spark, d)
+    // one row per user, total users preserved
+    val users = graft.sources.Tables.events(spark, d)
+      .select(col("user_id")).distinct().count()
+    assert(m.count() === users)
+    assert(m.select(col("user_id")).distinct().count() === users)
+    // every action value is one of the three
+    assert(m.filter(!col("merge_action").isin("insert", "carry", "update")).count() === 0)
+    assert(m.filter(col("merge_action") === "update").count() > 0)
+  }
+
+  test("native session_window matches gaps-and-islands on the events table") {
+    val native = Formats.sessionWindowNative(spark, d)
+      .select("user_id", "session_start", "n_events", "session_value")
+    val islands = Analytics.eventsSessionized(spark, d)
+      .select("user_id", "session_start", "n_events", "session_value")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(canon(native) === canon(islands))
+  }
+
+  test("session_window boundary is inclusive: exactly gap-after still merges") {
+    // Empirically pinned: Spark's session_window window is [ts, ts+gap]
+    // for merging purposes — an event exactly `gap` after the previous
+    // one joins the SAME session. The gaps-and-islands twin must
+    // therefore split only on diff > gap (not >=), and so must the
+    // DuckDB oracle.
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val gapMs = 30 * 60 * 1000
+    def sessions(ts: Long*): Long = ts.map(o => (1L, new java.sql.Timestamp(t0.getTime + o)))
+      .toDF("user_id", "ts")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .count().count()
+    assert(sessions(0L, gapMs.toLong) === 1, "exactly +gap must merge")
+    assert(sessions(0L, gapMs + 1L) === 2, "one ms past the gap must split")
+  }
+}
