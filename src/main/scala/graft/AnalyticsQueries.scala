@@ -57,6 +57,9 @@ object AnalyticsQueries {
     "q_scd2" -> ((s, d) => Formats.scd2PriorityHistory(s, d)),
     "q_merge_upsert" -> ((s, d) => Formats.mergeUpsert(s, d)),
     "q_session_window" -> ((s, d) => Formats.sessionWindowNative(s, d)),
+    // Range join by interval decomposition: equi-join on hour buckets
+    // instead of a nested-loop inequality join.
+    "q_range_join" -> ((s, d) => Analytics.activeSessionsPerHour(s, d)),
     "q_funnel" -> ((s, d) => Analytics.funnel(s, d)),
     "q_event_gaps" -> ((s, d) => Analytics.interEventGaps(s, d)),
     "q_gap_fill" -> ((s, d) => Analytics.eventsGapFill(s, d)),
@@ -286,6 +289,36 @@ object AnalyticsQueries {
     "q_events_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |count(*) AS n FROM events GROUP BY 1""".stripMargin,
+
+    // The oracle runs the range join directly as an inequality join over
+    // the hour grid — small data; the Spark side's bucket-equi-join
+    // rewrite must produce identical counts.
+    "q_range_join" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked
+        |), s AS (
+        |  SELECT min(epoch_us(ts)) // 3600000000 AS h_lo,
+        |    max(epoch_us(ts)) // 3600000000 AS h_hi
+        |  FROM sess GROUP BY user_id, session_id
+        |), g AS (
+        |  SELECT unnest(range((SELECT min(h_lo) FROM s),
+        |    (SELECT max(h_hi) FROM s) + 1)) AS hour_idx
+        |)
+        |SELECT strftime(make_timestamp(hour_idx * 3600000000),
+        |    '%Y-%m-%d %H:00:00') AS hour,
+        |  (SELECT count(*) FROM s
+        |    WHERE s.h_lo <= g.hour_idx AND g.hour_idx <= s.h_hi) AS n_active
+        |FROM g""".stripMargin,
 
     // Spark's native session_window merges at exactly `gap` (inclusive —
     // pinned by FormatsSpec), so the islands construction splits only on

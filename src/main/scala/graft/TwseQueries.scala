@@ -98,6 +98,9 @@ object TwseQueries {
     // C3 — positional pivot to the 13 named columns.
     "q_pivot_wide" -> ((s, _) => TwsePipeline.flagship(s)),
 
+    // C3 inverse — melt the wide contract row back to long form.
+    "q_unpivot" -> ((s, _) => TwsePipeline.unpivotLong(s)),
+
     // The full flagship plan (source→…→pivot) — same contract output.
     "q_flagship" -> ((s, _) => TwsePipeline.flagship(s)),
 
@@ -270,6 +273,12 @@ object TwseQueries {
         |) t(dt, vec_len, arity_ok)""".stripMargin,
 
     "q_pivot_wide" -> goldenRowSql,
+    "q_unpivot" -> {
+      // melt = union of one SELECT per value column over the golden row
+      val parts = Schemas.investmentCols.tail.map(c =>
+        s"SELECT dt, '$c' AS series, $c AS amount FROM g")
+      s"WITH g AS ($goldenRowSql) " + parts.mkString(" UNION ALL ")
+    },
     "q_flagship" -> goldenRowSql,
     "q_sink_roundtrip" -> goldenRowSql,
     "q_sink_partitioned" -> goldenRowSql,

@@ -488,6 +488,44 @@ object Analytics {
         sum(dec("value")).cast("double").as("session_value"))
   }
 
+  /** Range join (point-in-interval / interval-overlap), by interval
+    * decomposition: how many 30-min-gap sessions are ACTIVE in each hour
+    * of the calendar. The naive formulation is an inequality join
+    * (`grid.hr BETWEEN session.start AND session.end`) which Spark can
+    * only run as a broadcast-nested-loop — O(sessions × hours). Instead
+    * each session explodes into the hour buckets it covers (bounded by
+    * session length / bucket width, here ≤ a few buckets) and the grid
+    * joins EQUI on the bucket key — shuffle-hash scaling at 100 TB, with
+    * bucket width as the knob trading explode factor against join
+    * selectivity. Hours no session touches report 0.
+    */
+  def activeSessionsPerHour(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourUs = 3600L * 1000000
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    val sessions = Tables.events(spark, sfDir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_us").isNull || col("us") - col("prev_us") > gapUs).cast("int"))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+    val covered = sessions.select(
+      explode(sequence(expr(s"start_us div $hourUs"), expr(s"end_us div $hourUs")))
+        .as("hour_idx"))
+      .groupBy(col("hour_idx")).agg(count(lit(1)).as("n_active"))
+    val grid = sessions
+      .agg(min(expr(s"start_us div $hourUs")).as("lo"), max(expr(s"end_us div $hourUs")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("hour_idx"))
+    grid.join(covered, Seq("hour_idx"), "left")
+      .select(
+        date_format(expr(s"timestamp_micros(hour_idx * $hourUs)"), "yyyy-MM-dd HH:00:00")
+          .as("hour"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"))
+  }
+
   /** Semi-structured props extraction: JSON field → typed column →
     * distribution. `get_json_object` evaluates inside codegen; no UDF.
     */

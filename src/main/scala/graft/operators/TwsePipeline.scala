@@ -113,6 +113,19 @@ object TwsePipeline {
     */
   def flagship(spark: SparkSession): DataFrame = pivotWide(valid(spark))
 
+  /** The inverse of [[pivotWide]]: melt the wide 13-column contract row
+    * back to long (series, amount) form — `Dataset.unpivot`, the
+    * shuffle-free per-row transform (C3's positional pivot run in
+    * reverse). Round-trip closure over the golden row is oracle-checked.
+    */
+  def unpivotLong(spark: SparkSession): DataFrame = {
+    val wide = flagship(spark)
+    wide.unpivot(
+      Array(col("dt")),
+      graft.model.Schemas.investmentCols.tail.map(col).toArray,
+      "series", "amount")
+  }
+
   /** E1 — append sink + A3 readback round-trip. The reference appends one
     * row per day into Postgres (`Final_app.py:106-128`) and verifies by
     * `SELECT *` readback (`insert_data.py:53-61`). Here: append Parquet

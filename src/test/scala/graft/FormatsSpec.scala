@@ -54,6 +54,52 @@ class FormatsSpec extends SparkTestBase {
     assert(canon(native) === canon(islands))
   }
 
+  test("range join via bucket decomposition equals the direct inequality join") {
+    val decomposed = Analytics.activeSessionsPerHour(spark, d)
+    // reference: the naive inequality join (fine at spec scale)
+    val gapUs = 30L * 60 * 1000000
+    val hourUs = 3600L * 1000000
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = graft.sources.Tables.events(spark, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("ns", (col("prev_us").isNull || col("us") - col("prev_us") > gapUs).cast("int"))
+      .withColumn("sid", sum(col("ns")).over(byUser.rowsBetween(Long.MinValue, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg((min(col("us")) / hourUs).cast("long").as("h_lo"),
+        (max(col("us")) / hourUs).cast("long").as("h_hi"))
+    val bounds = sessions.agg(min(col("h_lo")).as("lo"), max(col("h_hi")).as("hi"))
+    val grid = bounds.select(explode(sequence(col("lo"), col("hi"))).as("hour_idx"))
+    val naive = grid.join(sessions,
+        col("h_lo") <= col("hour_idx") && col("hour_idx") <= col("h_hi"), "left")
+      .groupBy(col("hour_idx"))
+      .agg(count(col("h_lo")).as("n_active"))
+      .select(date_format(expr(s"timestamp_micros(hour_idx * $hourUs)"),
+        "yyyy-MM-dd HH:00:00").as("hour"), col("n_active"))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(canon(decomposed) === canon(naive))
+    // and the decomposed plan must not contain the nested loop the
+    // naive one needs
+    decomposed.collect()
+    val plan = decomposed.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("unpivot melts the wide row and pivoting it back restores the flagship") {
+    val long = graft.operators.TwsePipeline.unpivotLong(spark)
+    val wide = graft.operators.TwsePipeline.flagship(spark)
+    assert(long.count() === graft.model.Schemas.investmentCols.tail.length)
+    val restored = long.groupBy(col("dt"))
+      .pivot(col("series"), graft.model.Schemas.investmentCols.tail)
+      .agg(first(col("amount")))
+      .select(wide.columns.map(col).toIndexedSeq: _*)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(canon(restored) === canon(wide))
+  }
+
   test("session_window boundary is inclusive: exactly gap-after still merges") {
     // Empirically pinned: Spark's session_window window is [ts, ts+gap]
     // for merging purposes — an event exactly `gap` after the previous
