@@ -20,6 +20,9 @@ object TextQueries {
     "q_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q_extract_numbers" -> ((s, d) => TextAnalysis.extractNumbers(s, d)),
     "q_quality_audit" -> ((s, d) => TextAnalysis.qualityAudit(s, d)),
+    // The curation terminal: dedup ∧ quality ∧ language-verified,
+    // accounted per (source, lang) stratum.
+    "q_curate" -> ((s, d) => TextAnalysis.curate(s, d)),
     "q_train_split" -> ((s, d) => graft.operators.DataPrep.trainSplit(s, d)),
     "q_sample_stratified" -> ((s, d) => graft.operators.DataPrep.stratifiedSample(s, d)),
     "q_pack_sequences" -> ((s, d) => graft.operators.DataPrep.packSequences(s, d)),
@@ -99,6 +102,39 @@ object TextQueries {
         |      WHEN de_n = greatest(zh_n, en_n, es_n, de_n, fr_n) THEN 'de'
         |      ELSE 'fr' END AS pred_lang
         |  FROM scored)""".stripMargin,
+
+    // Same metric definitions as q_quality_score / q_lang_id /
+    // q_dedup_exact, composed: the oracle recomputes all three gates.
+    "q_curate" ->
+      """WITH base AS (SELECT doc_id, source, lang, md5(text) AS h,
+        |  CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS INTEGER) AS n_tokens,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INTEGER) AS n_punct,
+        |  CAST(len(regexp_extract_all(lower(trim(text)), '\b(the|a|of|and|to)\b')) AS INTEGER) AS n_stop,
+        |  CAST(len(regexp_extract_all(lower(trim(text)), '[\x{4e00}-\x{9fff}]')) AS INTEGER) AS zh_n,
+        |  CAST(len(regexp_extract_all(lower(trim(text)), '\b(the|and|of|to|is)\b')) AS INTEGER) AS en_n,
+        |  CAST(len(regexp_extract_all(lower(trim(text)), '\b(el|la|los|de|que)\b')) AS INTEGER) AS es_n,
+        |  CAST(len(regexp_extract_all(lower(trim(text)), '\b(der|die|das|und|ist)\b')) AS INTEGER) AS de_n,
+        |  CAST(len(regexp_extract_all(lower(trim(text)), '\b(le|les|des|et|est)\b')) AS INTEGER) AS fr_n
+        |  FROM documents
+        |), scored AS (SELECT *,
+        |  CAST(n_tokens >= 10 AS INTEGER) + CAST(n_chars >= 50 AS INTEGER)
+        |    + CAST(n_punct * 20 <= n_chars AS INTEGER)
+        |    + CAST(n_stop > 0 AS INTEGER) AS q,
+        |  CASE WHEN greatest(zh_n, en_n, es_n, de_n, fr_n) = 0 THEN 'und'
+        |    WHEN zh_n = greatest(zh_n, en_n, es_n, de_n, fr_n) THEN 'zh'
+        |    WHEN en_n = greatest(zh_n, en_n, es_n, de_n, fr_n) THEN 'en'
+        |    WHEN es_n = greatest(zh_n, en_n, es_n, de_n, fr_n) THEN 'es'
+        |    WHEN de_n = greatest(zh_n, en_n, es_n, de_n, fr_n) THEN 'de'
+        |    ELSE 'fr' END AS pred_lang,
+        |  doc_id = min(doc_id) OVER (PARTITION BY h) AS canon
+        |  FROM base)
+        |SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(CAST(canon AS INTEGER)) AS BIGINT) AS n_canonical,
+        |  CAST(sum(CAST((canon AND q >= 3 AND pred_lang = lang) AS INTEGER)) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN canon AND q >= 3 AND pred_lang = lang
+        |    THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM scored GROUP BY source, lang""".stripMargin,
 
     "q_quality_score" ->
       """WITH m AS (SELECT doc_id,

@@ -157,4 +157,41 @@ object TextAnalysis {
       col("doc_id"),
       fingerprint(col("text")).as("fp64"),
       rollingHash(col("text")).as("rolling_fp"))
+
+  /** The corpus-curation terminal: exact dedup ∧ quality gate ∧
+    * language verification composed into one pass, reported per
+    * (source, lang) stratum — raw count, post-dedup canonical count,
+    * kept count, and the kept token budget. This is the end-of-pipeline
+    * accounting a training-data run emits before writing shards.
+    *
+    * One scan, one (content-hash) window exchange for canonicality, one
+    * final aggregation — the per-document metrics are the same
+    * codegen'd expressions the standalone q_quality_score / q_lang_id
+    * queries use, so every filter stays scan-speed at 100 TB.
+    */
+  def curate(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTokens = size(wsTokens(col("text")))
+    val nChars = length(col("text"))
+    val punct = nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    val stop = patternCount(col("text"), "\\b(the|a|of|and|to)\\b")
+    val quality = (nTokens >= 10).cast("int") + (nChars >= 50).cast("int") +
+      (punct * 20 <= nChars).cast("int") + (stop > 0).cast("int")
+    val m = greatest(langMarkers.map { case (l, p) => patternCount(col("text"), p) }: _*)
+    val pred = langMarkers.foldLeft(when(m === 0, lit("und"))) {
+      case (acc, (l, p)) => acc.when(patternCount(col("text"), p) === m, lit(l))
+    }
+    val canon = col("doc_id") === min(col("doc_id"))
+      .over(Window.partitionBy(md5(col("text"))))
+    val kept = col("canon") && col("q") >= 3 && col("pred_lang") === col("lang")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        nTokens.as("n_tok"), quality.as("q"), pred.as("pred_lang"),
+        canon.as("canon"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("canon").cast("int")).as("n_canonical"),
+        sum(kept.cast("int")).as("n_kept"),
+        sum(when(kept, col("n_tok")).otherwise(0)).cast("bigint").as("kept_tokens"))
+  }
 }

@@ -100,6 +100,25 @@ class FormatsSpec extends SparkTestBase {
     assert(canon(restored) === canon(wide))
   }
 
+  test("curation terminal agrees with the standalone gate queries") {
+    import graft.operators.TextAnalysis
+    val docs = graft.sources.Tables.documents(spark, d)
+    val c = TextAnalysis.curate(spark, d)
+    val t = c.agg(sum(col("n_docs")), sum(col("n_canonical")), sum(col("n_kept"))).head()
+    assert(t.getLong(0) === docs.count())
+    assert(t.getLong(1) === docs.select(md5(col("text"))).distinct().count())
+    // recompose kept from the standalone oracle-checked queries
+    val canonical = docs.groupBy(md5(col("text")))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val kept = TextAnalysis.qualityScore(spark, d)
+      .filter(col("quality_score") >= 3).select("doc_id")
+      .join(TextAnalysis.langId(spark, d)
+        .filter(col("lang_match")).select("doc_id"), "doc_id")
+      .join(canonical, "doc_id")
+    assert(t.getLong(2) === kept.count())
+    assert(t.getLong(2) > 0, "curation must keep a non-trivial corpus")
+  }
+
   test("session_window boundary is inclusive: exactly gap-after still merges") {
     // Empirically pinned: Spark's session_window window is [ts, ts+gap]
     // for merging purposes — an event exactly `gap` after the previous
