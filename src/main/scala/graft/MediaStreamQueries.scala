@@ -24,6 +24,8 @@ object MediaStreamQueries {
       graft.streaming.DocsStreaming.dedupHashes(s, d)),
     "q_stream_interval_join" -> ((s, d) =>
       EventsStreaming.viewPurchaseJoin(s, d)),
+    "q_stream_enrich" -> ((s, d) =>
+      EventsStreaming.cohortEnrichedCounts(s, d)),
     "q_stream_sessionize" -> ((s, d) =>
       EventsStreaming.sessionize(s, d).select(
         col("user_id"), col("session_id"), col("n_events"),
@@ -103,6 +105,16 @@ object MediaStreamQueries {
 
     // Append mode + watermark must emit exactly the same closed windows.
     "q_stream_events_append" -> AnalyticsQueries.oracleSql("q_events_window"),
+
+    // Stream-static join result must equal the all-batch formulation.
+    "q_stream_enrich" ->
+      """WITH dim AS (
+        |  SELECT user_id, strftime(min(ts), '%Y-%m-%d') AS cohort
+        |  FROM events GROUP BY user_id)
+        |SELECT cohort, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events JOIN dim USING (user_id)
+        |GROUP BY cohort, event_type""".stripMargin,
 
     // The streaming flagship append must produce exactly the batch
     // flagship's golden row.

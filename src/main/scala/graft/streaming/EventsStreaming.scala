@@ -205,6 +205,32 @@ object EventsStreaming {
     spark.table(name)
   }
 
+  /** Stream-static join: the event stream enriched with a BATCH-computed
+    * dimension (each user's first-seen cohort day) and aggregated per
+    * (cohort, event_type). The static side is planned once and
+    * broadcast into every micro-batch — no state store for the join, no
+    * watermark needed on the dimension; this is the canonical shape for
+    * joining a stream against reference data at scale (dims refresh by
+    * restarting the query or via a slowly-refreshed broadcast).
+    */
+  def cohortEnrichedCounts(spark: SparkSession, sfDir: String): DataFrame = withStreamPartitions(spark, 8) {
+    val name = s"graft_stream_cohort_${nameCounter.incrementAndGet()}"
+    val cohorts = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(date_format(min(col("ts")), "yyyy-MM-dd").as("cohort"))
+    val agg = streamSource(spark, sfDir)
+      .join(broadcast(cohorts), "user_id") // stream-static equi join
+      .groupBy(col("cohort"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   case class Ev(event_id: Long, user_id: Long, ts_us: Long, value: Double)

@@ -42,6 +42,21 @@ class MediaStreamSpec extends SparkTestBase {
     assert(stream.toSeq === batch.toSeq)
   }
 
+  test("stream-static cohort join equals the all-batch formulation") {
+    val stream = EventsStreaming.cohortEnrichedCounts(spark, d)
+      .orderBy("cohort", "event_type").collect().map(_.toSeq)
+    val ev = graft.sources.Tables.events(spark, d)
+    val dim = ev.groupBy(col("user_id"))
+      .agg(date_format(min(col("ts")), "yyyy-MM-dd").as("cohort"))
+    val batch = ev.join(dim, "user_id")
+      .groupBy(col("cohort"), col("event_type"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("cohort", "event_type").collect().map(_.toSeq)
+    assert(stream.nonEmpty)
+    assert(stream.toSeq === batch.toSeq)
+  }
+
   test("streaming sessionization equals the batch gaps-and-islands form") {
     val stream = EventsStreaming.sessionize(spark, d)
       .select(col("user_id"), col("session_id"), col("n_events"))
