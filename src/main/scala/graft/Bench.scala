@@ -34,9 +34,17 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => () }
     }
+    // Drain warm-pass garbage before timing starts — otherwise the GC
+    // debt of the whole warm pass lands on whichever timed query runs
+    // first (observed as 4× run-to-run variance on q1_agg).
+    System.gc()
+    Thread.sleep(500)
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(fn) catch { case _: Throwable => () }
+      try run(fn) catch {
+        case e: Throwable => // keep benching, but never hide a failure
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -42,6 +42,10 @@ object TwseQueries {
     // describe. Mirrors create_table.sql:2-16 (13 TEXT columns).
     "q_create_table" -> ((s, _) => {
       val loc = s"${sys.props("java.io.tmpdir")}/graft_investment_data_tbl"
+      // external-table DDL races a missing location dir (transient
+      // FileNotFoundException observed when a tmp reaper removed it
+      // between runs) — pre-create it; CREATE stays idempotent
+      new java.io.File(loc).mkdirs()
       val ddlCols = Schemas.investmentCols.map(c => s"$c STRING").mkString(", ")
       val ddl = s"CREATE TABLE IF NOT EXISTS graft_investment_data ($ddlCols) " +
         s"USING parquet LOCATION '$loc'"
