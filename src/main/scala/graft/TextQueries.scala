@@ -23,6 +23,8 @@ object TextQueries {
     // The curation terminal: dedup ∧ quality ∧ language-verified,
     // accounted per (source, lang) stratum.
     "q_curate" -> ((s, d) => TextAnalysis.curate(s, d)),
+    // Vocabulary build: min-frequency cut + contiguous top-K token ids.
+    "q_vocab" -> ((s, d) => TextAnalysis.vocab(s, d)),
     "q_train_split" -> ((s, d) => graft.operators.DataPrep.trainSplit(s, d)),
     "q_sample_stratified" -> ((s, d) => graft.operators.DataPrep.stratifiedSample(s, d)),
     "q_pack_sequences" -> ((s, d) => graft.operators.DataPrep.packSequences(s, d)),
@@ -102,6 +104,18 @@ object TextQueries {
         |      WHEN de_n = greatest(zh_n, en_n, es_n, de_n, fr_n) THEN 'de'
         |      ELSE 'fr' END AS pred_lang
         |  FROM scored)""".stripMargin,
+
+    "q_vocab" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |  FROM documents
+        |), counts AS (
+        |  SELECT token, count(*) AS n FROM toks GROUP BY token HAVING count(*) >= 5
+        |  ORDER BY n DESC, token LIMIT 500
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER) - 1 AS token_id,
+        |  token, n
+        |FROM counts""".stripMargin,
 
     // Same metric definitions as q_quality_score / q_lang_id /
     // q_dedup_exact, composed: the oracle recomputes all three gates.

@@ -158,6 +158,27 @@ object TextAnalysis {
       fingerprint(col("text")).as("fp64"),
       rollingHash(col("text")).as("rolling_fp"))
 
+  /** Vocabulary build — the tokenizer-training step: corpus-wide token
+    * frequencies, a minimum-frequency cut, and contiguous ids for the
+    * top-K by (count desc, token). The frequency table and the top-K
+    * prune are fully distributed (hash aggregate + TakeOrdered); only
+    * the id-assigning row_number runs single-partition, and only over
+    * the K surviving rows — bounded by the vocab size, not the corpus,
+    * so the shape holds at 100 TB.
+    */
+  def vocab(spark: SparkSession, sfDir: String, minCount: Int = 5, k: Int = 500): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(wsTokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+    counts.withColumn("token_id",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))) - 1)
+      .select(col("token_id"), col("token"), col("n"))
+  }
+
   /** The corpus-curation terminal: exact dedup ∧ quality gate ∧
     * language verification composed into one pass, reported per
     * (source, lang) stratum — raw count, post-dedup canonical count,

@@ -100,6 +100,16 @@ class FormatsSpec extends SparkTestBase {
     assert(canon(restored) === canon(wide))
   }
 
+  test("vocab build: contiguous ids, count-ordered, min-frequency enforced") {
+    import graft.operators.TextAnalysis
+    val v = TextAnalysis.vocab(spark, d).collect()
+    assert(v.nonEmpty)
+    assert(v.map(_.getInt(0)).toSeq === v.indices.toSeq) // ids 0..n-1 in order
+    val counts = v.map(_.getLong(2)).toSeq
+    assert(counts === counts.sorted.reverse, "ids must follow count desc")
+    assert(counts.forall(_ >= 5))
+  }
+
   test("curation terminal agrees with the standalone gate queries") {
     import graft.operators.TextAnalysis
     val docs = graft.sources.Tables.documents(spark, d)
