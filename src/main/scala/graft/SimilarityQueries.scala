@@ -14,6 +14,9 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk" -> ((s, d) => Similarity.topK(s, d)),
+    // int8 scalar quantization: range + checksum view of the quantized
+    // vectors (scalars, because array rendering differs per engine).
+    "q_embed_quantize" -> ((s, d) => Similarity.quantize(s, d)),
     "q_sim_lsh_buckets" -> ((s, d) =>
       Similarity.lshBuckets(s, d).select(col("vec_id"), col("label"), col("bucket"))),
     "q_sim_topk_lsh" -> ((s, d) => Similarity.topKLsh(s, d)),
@@ -42,6 +45,24 @@ object SimilarityQueries {
        |  FROM sig GROUP BY vec_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings
+        |), m AS (
+        |  SELECT vec_id, emb, list_min(emb) AS mn, list_max(emb) AS mx FROM e
+        |), q AS (
+        |  SELECT vec_id, mn, mx,
+        |    list_transform(emb, x -> CAST(CASE WHEN mx > mn
+        |      THEN floor((x - mn) * 127.0 / (mx - mn)) ELSE 0.0 END AS INTEGER)) AS qv
+        |  FROM m
+        |)
+        |SELECT vec_id, mn AS emb_min, mx AS emb_max,
+        |  CAST(len(qv) AS INTEGER) AS n_dims,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_min(qv) AS INTEGER) AS q_min,
+        |  CAST(list_max(qv) AS INTEGER) AS q_max
+        |FROM q""".stripMargin,
     "q_sim_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |d AS (SELECT e.vec_id,

@@ -215,4 +215,29 @@ object Similarity {
       .select(col("label"), col("vec_a"), col("vec_b"),
         round(col("raw_score"), 6).as("score"))
   }
+
+  /** Per-vector int8 scalar quantization — the 4× storage compression an
+    * embedding store applies before ANN serving. Pure per-row map (no
+    * shuffle): min/max over the vector, then floor((x−mn)·127/(mx−mn))
+    * per dimension. All arithmetic is float→double→IEEE ops evaluated in
+    * the same order on both engines, so the oracle matches bit-for-bit;
+    * the emitted columns are range + checksum aggregates of the
+    * quantized vector (per-engine array rendering differs, scalars
+    * don't).
+    */
+  def quantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = transform(col("embedding"), _.cast("double"))
+    val mn = array_min(e)
+    val mx = array_max(e)
+    val q = transform(e, x =>
+      when(mx > mn, floor((x - mn) * lit(127.0) / (mx - mn)))
+        .otherwise(lit(0.0)).cast("int"))
+    Tables.embeddings(spark, sfDir).select(
+      col("vec_id"),
+      mn.as("emb_min"), mx.as("emb_max"),
+      size(q).as("n_dims"),
+      aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
+      array_min(q).as("q_min"),
+      array_max(q).as("q_max"))
+  }
 }

@@ -110,6 +110,16 @@ class FormatsSpec extends SparkTestBase {
     assert(counts.forall(_ >= 5))
   }
 
+  test("int8 quantization: values span [0,127], dims preserved, monotone") {
+    val q = graft.operators.Similarity.quantize(spark, d)
+    assert(q.count() > 0)
+    assert(q.filter(col("q_min") < 0 || col("q_max") > 127).count() === 0)
+    // a non-constant vector always hits both rails after min-max scaling
+    assert(q.filter(col("emb_max") > col("emb_min") &&
+      (col("q_min") =!= 0 || col("q_max") =!= 127)).count() === 0)
+    assert(q.select(countDistinct(col("n_dims"))).head.getLong(0) === 1)
+  }
+
   test("curation terminal agrees with the standalone gate queries") {
     import graft.operators.TextAnalysis
     val docs = graft.sources.Tables.documents(spark, d)
