@@ -58,6 +58,24 @@ class AsofJoinSpec extends SparkTestBase {
     assert(r === Map(100L -> -1L, 101L -> 3L, 102L -> 3L, 103L -> 4L, 104L -> -1L))
   }
 
+  test("as-of edge cases: empty right side, all-later right side, empty left") {
+    import spark.implicits._
+    val left = Seq(("a", 10L, 1L), ("b", 20L, 2L)).toDF("lk", "lt", "lid")
+    val emptyRight = Seq.empty[(String, Long, Long)].toDF("rk", "rt", "rid")
+    val r1 = AsofJoinSupport.asofJoin(left, emptyRight, "lk", "rk", "lt", "rt")
+      .select("lid", "rid").collect()
+    assert(r1.length === 2 && r1.forall(_.isNullAt(1)), "empty right → all null matches")
+
+    val laterRight = Seq(("a", 11L, 9L), ("b", 21L, 8L)).toDF("rk", "rt", "rid")
+    val r2 = AsofJoinSupport.asofJoin(left, laterRight, "lk", "rk", "lt", "rt")
+      .select("lid", "rid").collect()
+    assert(r2.length === 2 && r2.forall(_.isNullAt(1)), "all-later right → all null matches")
+
+    val emptyLeft = Seq.empty[(String, Long, Long)].toDF("lk", "lt", "lid")
+    val r3 = AsofJoinSupport.asofJoin(emptyLeft, laterRight, "lk", "rk", "lt", "rt")
+    assert(r3.count() === 0)
+  }
+
   test("as-of join is partition-invariant (pre-scrambled inputs)") {
     import spark.implicits._
     val n = 500
