@@ -6,8 +6,10 @@ import org.apache.spark.sql.{DataFrame, GraftPlanBridge, SparkSession, SparkSess
   * "graft.plans.GraftSparkExtensions")` at session build time.
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => AsofJoinFilterPushdown)
+  }
 }
 
 /** DataFrame-level API over the [[AsofJoin]] logical operator. */
@@ -16,8 +18,10 @@ object AsofJoinSupport {
   /** Runtime registration for sessions built without the extensions
     * config (the driver's own sessions). Idempotent.
     */
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     GraftPlanBridge.registerStrategy(spark, AsofJoinStrategy)
+    GraftPlanBridge.registerOptimization(spark, AsofJoinFilterPushdown)
+  }
 
   /** `left` asof-joined to `right`: each left row gains the columns of
     * the last right row with equal key and `rightTime <= leftTime`

@@ -25,4 +25,15 @@ object GraftPlanBridge {
       exp.extraStrategies = exp.extraStrategies :+ strategy
     }
   }
+
+  /** Idempotent runtime registration of an optimizer rule. */
+  def registerOptimization(
+      spark: SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraOptimizations.contains(rule)) {
+      exp.extraOptimizations = exp.extraOptimizations :+ rule
+    }
+  }
 }

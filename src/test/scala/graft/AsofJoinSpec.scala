@@ -76,6 +76,34 @@ class AsofJoinSpec extends SparkTestBase {
     assert(r3.count() === 0)
   }
 
+  test("optimizer rule pushes left-side filters through AsofJoin to the scan") {
+    // filter AFTER the as-of join on a left-side column: without the
+    // rule it stalls above the custom node (Catalyst cannot see through
+    // unknown operators) and the scan reads every user
+    val df = AsOf.purchaseToLastViewNative(spark, d)
+      .filter(col("user_id") <= 10)
+    // logical proof: no Filter remains above the AsofJoin node...
+    val optimized = df.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val stalled = optimized.collect {
+      case LFilter(_, _: graft.plans.AsofJoin) => true
+    }
+    assert(stalled.isEmpty, s"filter stalled above AsofJoin:\n$optimized")
+    // ...and physical proof: the predicate reached the parquet scans of
+    // BOTH sides? No — only the LEFT side legally; assert the left scan
+    // carries the pushed user_id filter.
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // (the PushedFilters list is truncated in toString, so match the
+    // predicate name without its literal)
+    assert(plan.contains("LessThanOrEqual(user_id"), plan)
+    // results equal the filter-before-join formulation
+    val viaPre = AsOf.purchaseToLastViewNative(spark, d)
+      .collect().filter(r => r.getLong(1) <= 10).map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val viaPost = df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(viaPost === viaPre)
+  }
+
   test("as-of join is partition-invariant (pre-scrambled inputs)") {
     import spark.implicits._
     val n = 500
