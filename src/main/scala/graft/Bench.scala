@@ -43,7 +43,7 @@ object Bench {
       val t0 = System.nanoTime()
       try run(fn) catch {
         case e: Throwable => // keep benching, but never hide a failure
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          System.err.println(s"[bench] $name failed: $e")
       }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap

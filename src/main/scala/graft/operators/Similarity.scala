@@ -239,12 +239,16 @@ object Similarity {
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
       .withColumn("emb_min", array_min(col("emb")))
       .withColumn("emb_max", array_max(col("emb")))
+      // materialize the quantized array ONCE: lambda expressions are
+      // excluded from subexpression elimination, so referencing `q`
+      // four times below would quantize each vector four times
+      .withColumn("qv", q)
       .select(
         col("vec_id"),
         col("emb_min"), col("emb_max"),
-        size(q).as("n_dims"),
-        aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
-        array_min(q).as("q_min"),
-        array_max(q).as("q_max"))
+        size(col("qv")).as("n_dims"),
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        array_min(col("qv")).as("q_min"),
+        array_max(col("qv")).as("q_max"))
   }
 }

@@ -36,6 +36,14 @@ case class AsofJoin(
     rightTime: Expression,
     rightTiebreak: Seq[Expression]) extends BinaryNode {
 
+  // the interpreted orderings and hash co-partitioning below both assume
+  // identical key/time types on the two sides — fail at construction,
+  // not as a ClassCastException inside an executor task
+  require(leftKey.dataType == rightKey.dataType,
+    s"asofJoin: key types differ — ${leftKey.dataType.sql} vs ${rightKey.dataType.sql}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"asofJoin: time types differ — ${leftTime.dataType.sql} vs ${rightTime.dataType.sql}")
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
@@ -128,7 +136,11 @@ case class AsofJoinExec(
                 val rt = rTimeB.eval(rRow)
                 if (rt == null) advanceRight() // null time sorts first; skip
                 else if (timeOrd.compare(rt, lt) <= 0) {
-                  bufRow = rRow.copy(); bufKey = rk
+                  // re-evaluate the key against the COPY: `rk` may be a
+                  // reference (UTF8String, array) into the sorter's
+                  // reused read buffer, which the next advance overwrites
+                  // once the sort has spilled
+                  bufRow = rRow.copy(); bufKey = rKeyB.eval(bufRow)
                   advanceRight()
                 } else advancing = false
               }

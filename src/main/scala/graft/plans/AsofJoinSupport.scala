@@ -44,10 +44,21 @@ object AsofJoinSupport {
     // Resolve the key/time columns against the analyzed children so the
     // node enters analysis fully resolved.
     def resolve(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-                name: String): org.apache.spark.sql.catalyst.expressions.Attribute =
-      plan.output.find(_.name.equalsIgnoreCase(name)) // default case-insensitive resolver
-        .getOrElse(throw new IllegalArgumentException(
-          s"asofJoin: no column '$name' in ${plan.output.map(_.name).mkString(", ")}"))
+                name: String): org.apache.spark.sql.catalyst.expressions.Attribute = {
+      // exact match first (covers case-sensitive schemas), then the
+      // default case-insensitive resolution — refusing ambiguity rather
+      // than silently picking a column
+      val exact = plan.output.filter(_.name == name)
+      val matches = if (exact.nonEmpty) exact
+        else plan.output.filter(_.name.equalsIgnoreCase(name))
+      matches match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"asofJoin: no column '$name' in ${plan.output.map(_.name).mkString(", ")}")
+        case many => throw new IllegalArgumentException(
+          s"asofJoin: ambiguous column '$name' (${many.map(_.name).mkString(", ")})")
+      }
+    }
     val node = AsofJoin(lPlan, rPlan,
       resolve(lPlan, leftKey), resolve(rPlan, rightKey),
       resolve(lPlan, leftTime), resolve(rPlan, rightTime),

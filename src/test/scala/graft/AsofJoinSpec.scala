@@ -12,8 +12,6 @@ import graft.plans.AsofJoinSupport
 class AsofJoinSpec extends SparkTestBase {
   private val d = sf()
 
-  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
-    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
 
   test("native as-of join equals the union+window composition row-for-row") {
     val native = AsOf.purchaseToLastViewNative(spark, d)
@@ -97,11 +95,11 @@ class AsofJoinSpec extends SparkTestBase {
     // (the PushedFilters list is truncated in toString, so match the
     // predicate name without its literal)
     assert(plan.contains("LessThanOrEqual(user_id"), plan)
-    // results equal the filter-before-join formulation
+    // results equal the driver-side-filtered unoptimized formulation
     val viaPre = AsOf.purchaseToLastViewNative(spark, d)
-      .collect().filter(r => r.getLong(1) <= 10).map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
-    val viaPost = df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
-    assert(viaPost === viaPre)
+      .collect().filter(_.getLong(1) <= 10)
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(canon(df) === viaPre)
   }
 
   test("as-of join is partition-invariant (pre-scrambled inputs)") {

@@ -9,8 +9,6 @@ class FormatsSpec extends SparkTestBase {
   test("orc and json round-trips agree with the parquet-derived summary") {
     val fromParquet = Formats.orcRoundtrip(spark, d) // reads back what it wrote
     val viaJson = Formats.jsonRoundtrip(spark, d)
-    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
-      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
     assert(canon(fromParquet) === canon(viaJson))
     assert(fromParquet.count() > 0)
   }
@@ -49,8 +47,6 @@ class FormatsSpec extends SparkTestBase {
       .select("user_id", "session_start", "n_events", "session_value")
     val islands = Analytics.eventsSessionized(spark, d)
       .select("user_id", "session_start", "n_events", "session_value")
-    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
-      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
     assert(canon(native) === canon(islands))
   }
 
@@ -77,8 +73,6 @@ class FormatsSpec extends SparkTestBase {
       .agg(count(col("h_lo")).as("n_active"))
       .select(date_format(expr(s"timestamp_micros(hour_idx * $hourUs)"),
         "yyyy-MM-dd HH:00:00").as("hour"), col("n_active"))
-    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
-      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
     assert(canon(decomposed) === canon(naive))
     // and the decomposed plan must not contain the nested loop the
     // naive one needs
@@ -95,8 +89,6 @@ class FormatsSpec extends SparkTestBase {
       .pivot(col("series"), graft.model.Schemas.investmentCols.tail)
       .agg(first(col("amount")))
       .select(wide.columns.map(col).toIndexedSeq: _*)
-    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
-      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
     assert(canon(restored) === canon(wide))
   }
 

@@ -9,6 +9,12 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.session
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
+
+  /** Engine-agnostic row canonicalization for result comparison: every
+    * row as a sorted "v1|v2|…" string (mirrors the driver's compare).
+    */
+  def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
 }
 
 object SparkTestBase {
