@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
+import graft.Checkpoints.TruncateOps
 import graft.sources.Tables
 
 /** Deduplication operators over the `documents` corpus — the core of a
@@ -62,7 +63,7 @@ object Dedup {
     // relation is tiny (doc_id + 4×32-byte keys per document — this is
     // the "signatures, not text, flow into the shuffle" property). At
     // warehouse scale this is a persisted intermediate table.
-    val b = minhashBands(spark, sfDir).localCheckpoint()
+    val b = minhashBands(spark, sfDir).truncateLineage()
     val a = b.as("a"); val c = b.as("b")
     a.join(c, col("a.band_id") === col("b.band_id")
         && col("a.band_key") === col("b.band_key")
@@ -92,7 +93,7 @@ object Dedup {
     val s = simhash(spark, sfDir)
       .select(col("doc_id"), col("simhash"),
         substring(col("simhash"), 1, 8).as("bucket8"))
-      .localCheckpoint()
+      .truncateLineage()
     // Hamming via 8 chunk-wise popcounts (parse 8 binary chars → int,
     // xor, bit_count) — a 24-node codegen-friendly expression; the
     // per-character form (64 chained substring compares) is a 128-deep
@@ -141,7 +142,7 @@ object Dedup {
     * canonical.
     */
   def components(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = minhashPairs(spark, sfDir).localCheckpoint()
+    val pairs = minhashPairs(spark, sfDir).truncateLineage()
     val nodes = Tables.documents(spark, sfDir).select(col("doc_id"))
     val out = componentsFromPairs(spark, pairs, nodes)
     pairs.unpersist()
@@ -178,10 +179,10 @@ object Dedup {
       nodes: DataFrame, maxRounds: Int): DataFrame = {
     val edges = pairs.select(col("doc_a").as("n"), col("doc_b").as("m"))
       .unionByName(pairs.select(col("doc_b").as("n"), col("doc_a").as("m")))
-      .localCheckpoint()
+      .truncateLineage()
     var persisted = nodes
       .select(col("doc_id").as("n"), col("doc_id").as("lbl"))
-      .localCheckpoint()
+      .truncateLineage()
     var labels = persisted
     var changed = 1L
     var rounds = 0
@@ -195,7 +196,7 @@ object Dedup {
       val prop = labels.join(neigh, Seq("n"), "left")
         .select(col("n"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .truncateLineage()
       // shortcut: follow the label pointer one hop (labels only ever
       // decrease, and a node's label is always in its own component, so
       // the substitution is safe and monotone)
@@ -204,7 +205,7 @@ object Dedup {
           Seq("lbl"), "left")
         .select(col("n"), col("old"),
           least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .truncateLineage()
       changed = next.filter(col("lbl") =!= col("old")).count()
       persisted.unpersist() // release the superseded round's checkpoint blocks
       prop.unpersist()
@@ -230,7 +231,7 @@ object Dedup {
     * absorbed. What actually ships to training.
     */
   def dedupApply(spark: SparkSession, sfDir: String): DataFrame = {
-    val comp = components(spark, sfDir).localCheckpoint()
+    val comp = components(spark, sfDir).truncateLineage()
     val sizes = comp.groupBy(col("component_id")).agg(count(lit(1)).as("n_members"))
     Tables.documents(spark, sfDir)
       .join(comp.filter(col("is_canonical")), "doc_id")
@@ -300,7 +301,7 @@ object Dedup {
     * shingle sets — no document data touched after the sketch pass.
     */
   def sourceSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
-    val s = sourceSketch(spark, sfDir).localCheckpoint()
+    val s = sourceSketch(spark, sfDir).truncateLineage()
     s.as("a").join(s.as("b"),
         col("a.i") === col("b.i") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
@@ -328,7 +329,7 @@ object Dedup {
     val sh = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         explode(array_distinct(shingles3(col("text")))).as("shingle"))
-      .localCheckpoint()
+      .truncateLineage()
     // Stop-shingle cap: a shingle present in > maxDf docs of one source
     // contributes df² join rows (the quadratic hot bucket on skewed text
     // at scale) and is uninformative for the ≥0.8 near-dup threshold.
@@ -340,7 +341,7 @@ object Dedup {
     val postings = sh.join(broadcast(stop), Seq("source", "shingle"), "left_anti")
       .withColumn("sz",
         count(lit(1)).over(Window.partitionBy(col("doc_id"))).cast("int"))
-      .localCheckpoint()
+      .truncateLineage()
     val inter = postings.as("a").join(postings.as("b"),
         col("a.source") === col("b.source")
           && col("a.shingle") === col("b.shingle")

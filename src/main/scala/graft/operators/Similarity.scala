@@ -5,6 +5,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorExpressions.cosine_similarity
+import graft.Checkpoints.TruncateOps
 import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2.I3 + the
@@ -159,7 +160,7 @@ object Similarity {
     * pipeline thresholds downstream.
     */
   def nearDupLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val b = lshBuckets(spark, sfDir).localCheckpoint()
+    val b = lshBuckets(spark, sfDir).truncateLineage()
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket")
           && col("a.vec_id") < col("b.vec_id"))
@@ -182,7 +183,7 @@ object Similarity {
     val pairs = nearDupLsh(spark, sfDir)
       .filter(col("score") >= threshold)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-      .localCheckpoint()
+      .truncateLineage()
     val nodes = Tables.embeddings(spark, sfDir).select(col("vec_id").as("doc_id"))
     val out = Dedup.componentsFromPairs(spark, pairs, nodes)
       .select(col("doc_id").as("vec_id"), col("component_id"), col("is_canonical"))
@@ -200,7 +201,7 @@ object Similarity {
     */
   def nearestPairPerLabel(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = lshBuckets(spark, sfDir).localCheckpoint()
+    val e = lshBuckets(spark, sfDir).truncateLineage()
     val pairs = e.as("a").join(e.as("b"),
         col("a.label") === col("b.label")
           && col("a.bucket") === col("b.bucket")

@@ -45,15 +45,13 @@ object DocsStreaming {
   def dedupHashes(spark: SparkSession, sfDir: String): DataFrame =
       EventsStreaming.withStreamPartitions(spark, 8) {
     val name = s"graft_stream_docs_dedup_${nameCounter.incrementAndGet()}"
-    val q = spark.readStream.schema(docSchema)
+    val deduped = spark.readStream.schema(docSchema)
       .parquet(stagedDir(sfDir))
       .select(md5(col("text")).as("content_hash"))
       .dropDuplicates("content_hash")
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    // foreachBatch parquet append + readback: the distinct-hash rows
+    // stream executor-side to files instead of accumulating in driver
+    // memory (see EventsStreaming.runToParquet)
+    EventsStreaming.runToParquet(spark, deduped, name)
   }
 }

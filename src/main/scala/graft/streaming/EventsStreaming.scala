@@ -20,6 +20,44 @@ import org.apache.spark.sql.types._
 object EventsStreaming {
 
   private val nameCounter = new AtomicInteger()
+  // unique per JVM so a stale checkpoint/sink from an earlier process
+  // (possibly older code) can never replay into this run's output
+  private val jvmTag = java.util.UUID.randomUUID().toString.take(8)
+
+  /** Distributed streaming terminal: run the query through a
+    * `foreachBatch` parquet sink and hand back the readback. Unlike a
+    * `format("memory")` sink — which materializes every emitted row in
+    * driver memory, the moral equivalent of `.collect()` for a
+    * row-per-match stream — each micro-batch is written executor-side
+    * straight to files, so the terminal scales with the cluster, not the
+    * driver heap. Append-mode streams append per trigger (each row is
+    * emitted exactly once); complete-mode aggregates overwrite per
+    * trigger (the final trigger holds the full result). This is the same
+    * terminal shape `TwseStreaming.flagshipStream` uses for the flagship
+    * pipeline (reference `Final_app.py:109`'s append-only INSERT).
+    */
+  private[streaming] def runToParquet(spark: SparkSession, result: DataFrame,
+      name: String, mode: OutputMode = OutputMode.Append): DataFrame = {
+    val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_sink_${jvmTag}_$name")
+    val sink = base.resolve("out").toString
+    val checkpoint = base.resolve("checkpoint").toString
+    val saveMode = if (mode == OutputMode.Complete()) "overwrite" else "append"
+    val q = result.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode(saveMode).parquet(sink)
+      }
+      .start()
+    q.awaitTermination()
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(sink)))
+      spark.read.schema(result.schema).parquet(sink)
+    else // zero triggers fired (empty source): typed empty result
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], result.schema)
+  }
 
   /** Raw events schema as stored (ns timestamps as long — see
     * Tables.events).
@@ -112,8 +150,9 @@ object EventsStreaming {
   }
 
   /** Streaming daily window aggregation — identical result contract to
-    * the batch `Analytics.eventsDaily`; complete-mode memory sink for the
-    * finite source. In production: append mode + watermark + a real sink.
+    * the batch `Analytics.eventsDaily`; complete-mode foreachBatch
+    * parquet terminal (full result overwritten per trigger). In
+    * production: append mode + watermark (see `dailyCountsAppend`).
     */
   def dailyCounts(spark: SparkSession, sfDir: String): DataFrame = withStreamPartitions(spark, 8) {
     val name = s"graft_stream_daily_${nameCounter.incrementAndGet()}"
@@ -123,13 +162,7 @@ object EventsStreaming {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("total_value"))
-    val q = agg.writeStream
-      .format("memory").queryName(name)
-      .outputMode(OutputMode.Complete)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    runToParquet(spark, agg, name, OutputMode.Complete)
   }
 
   /** The production-shaped form of the daily window: APPEND mode with a
@@ -163,13 +196,7 @@ object EventsStreaming {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("total_value"))
-    val q = agg.writeStream
-      .format("memory").queryName(name)
-      .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    runToParquet(spark, agg, name)
   }
 
   /** Stream-stream interval join: purchases matched to the views they
@@ -197,12 +224,7 @@ object EventsStreaming {
       .select(col("view_user").as("user_id"), col("view_id"), col("purchase_id"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
           .as("gap_us"))
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    runToParquet(spark, joined, name)
   }
 
   /** Stream-static join: the event stream enriched with a BATCH-computed
@@ -223,12 +245,7 @@ object EventsStreaming {
       .groupBy(col("cohort"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    runToParquet(spark, agg, name, OutputMode.Complete)
   }
 
   // ---- stateful sessionization (flatMapGroupsWithState) ----
@@ -304,13 +321,8 @@ object EventsStreaming {
       out.iterator
     }
 
-    val q = events.groupByKey(_.user_id)
+    val sessions = events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    runToParquet(spark, sessions.toDF(), name)
   }
 }
