@@ -21,6 +21,7 @@ object SimilarityQueries {
       Similarity.lshBuckets(s, d).select(col("vec_id"), col("label"), col("bucket"))),
     "q_sim_topk_lsh" -> ((s, d) => Similarity.topKLsh(s, d)),
     "q_sim_topk_ivf" -> ((s, d) => Similarity.topKIvf(s, d)),
+    "q_sim_topk_ivf_mp" -> ((s, d) => Similarity.topKIvf(s, d, nprobe = 2)),
     "q_sim_centroid" -> ((s, d) => Similarity.centroidDistance(s, d)),
     "q_dedup_embedding" -> ((s, d) => Similarity.nearestPairPerLabel(s, d)),
     "q_dedup_embedding_lsh" -> ((s, d) => Similarity.nearDupLsh(s, d)),
@@ -106,6 +107,30 @@ object SimilarityQueries {
         |    sum(c * qv) / (sqrt(sum(c * c)) * sqrt(sum(qv * qv))) AS csim
         |  FROM cent JOIN q USING (pos) GROUP BY cent.label)
         |  ORDER BY csim DESC, label LIMIT 1),
+        |qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id, e.label,
+        |  sum(CAST(e.embedding[i] AS DOUBLE) * CAST(qe.qe[i] AS DOUBLE)) AS dot,
+        |  sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS na,
+        |  sum(CAST(qe.qe[i] AS DOUBLE) * CAST(qe.qe[i] AS DOUBLE)) AS nb
+        |  FROM embeddings e JOIN probe USING (label), qe, range(1, 65) r(i)
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, label,
+        |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DOUBLE) AS score
+        |FROM d ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 10""".stripMargin,
+
+    // multi-probe (nprobe=2): identical shape, probe CTE keeps the TWO
+    // nearest coarse partitions — the IVF recall knob.
+    "q_sim_topk_ivf_mp" ->
+      """WITH ex AS (SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, range(1, 65) r(i)),
+        |cent AS (SELECT label, pos, sum(v) / count(*) AS c FROM ex GROUP BY 1, 2),
+        |q AS (SELECT i AS pos, CAST(embedding[i] AS DOUBLE) AS qv
+        |  FROM embeddings, range(1, 65) r(i) WHERE vec_id = 0),
+        |probe AS (SELECT label FROM (
+        |  SELECT cent.label,
+        |    sum(c * qv) / (sqrt(sum(c * c)) * sqrt(sum(qv * qv))) AS csim
+        |  FROM cent JOIN q USING (pos) GROUP BY cent.label)
+        |  ORDER BY csim DESC, label LIMIT 2),
         |qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |d AS (SELECT e.vec_id, e.label,
         |  sum(CAST(e.embedding[i] AS DOUBLE) * CAST(qe.qe[i] AS DOUBLE)) AS dot,

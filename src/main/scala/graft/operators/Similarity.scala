@@ -40,17 +40,19 @@ object Similarity {
   }
 
   /** The query vector row (vec_id = 0), broadcast to every executor. */
-  private def queryVec(spark: SparkSession, sfDir: String): DataFrame =
-    broadcast(Tables.embeddings(spark, sfDir)
-      .filter(col("vec_id") === 0)
+  private def queryVecFrom(emb: DataFrame): DataFrame =
+    broadcast(emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("q_embedding")))
 
   private def score(e: Column, q: Column): Column = cosine_similarity(e, q)
 
   /** Brute-force top-k cosine against the query vector. */
   def topK(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =
-    Tables.embeddings(spark, sfDir)
-      .crossJoin(queryVec(spark, sfDir))
+    topKFrom(Tables.embeddings(spark, sfDir), k)
+
+  /** Brute force over an explicit (vec_id, label, embedding) relation. */
+  private[graft] def topKFrom(emb: DataFrame, k: Int): DataFrame =
+    emb.crossJoin(queryVecFrom(emb))
       .withColumn("raw_score", score(col("embedding"), col("q_embedding")))
       .orderBy(col("raw_score").desc, col("vec_id"))
       .limit(k)
@@ -124,14 +126,25 @@ object Similarity {
     * table partitioned by the coarse key and the pruning is physical).
     * Centroid assignment moves only (label, dim, scalar) rows — never
     * whole vectors — and the probe side is a broadcast of one label key.
+    *
+    * `nprobe` > 1 is the standard IVF recall knob: search the `nprobe`
+    * nearest coarse partitions instead of one, trading a linear scan-cost
+    * increase (still nprobe/num_partitions of the corpus) for recall on
+    * queries that fall near a partition boundary. The probe set stays a
+    * broadcast of `nprobe` label keys, so the plan shape is unchanged.
     */
-  def topKIvf(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
-    val ex = Tables.embeddings(spark, sfDir)
+  def topKIvf(spark: SparkSession, sfDir: String, k: Int = 10,
+      nprobe: Int = 1): DataFrame =
+    topKIvfFrom(Tables.embeddings(spark, sfDir), k, nprobe)
+
+  /** IVF over an explicit (vec_id, label, embedding) relation. */
+  private[graft] def topKIvfFrom(emb: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val ex = emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "vf")))
       .select(col("label"), col("pos"), col("vf").cast("double").as("v"))
     val cent = ex.groupBy(col("label"), col("pos"))
       .agg((sum(col("v")) / count(lit(1))).as("c"))
-    val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+    val q = emb.filter(col("vec_id") === 0)
       .select(posexplode(col("embedding")).as(Seq("pos", "qf")))
       .select(col("pos"), col("qf").cast("double").as("qv"))
     val probe = cent.join(broadcast(q), "pos")
@@ -141,11 +154,11 @@ object Similarity {
         sum(col("qv") * col("qv")).as("nb"))
       .select(col("label"),
         (col("dot") / (sqrt(col("na")) * sqrt(col("nb")))).as("csim"))
-      .orderBy(col("csim").desc, col("label")).limit(1)
+      .orderBy(col("csim").desc, col("label")).limit(nprobe)
       .select(col("label"))
-    Tables.embeddings(spark, sfDir)
+    emb
       .join(broadcast(probe), "label")
-      .crossJoin(queryVec(spark, sfDir))
+      .crossJoin(queryVecFrom(emb))
       .withColumn("raw_score", score(col("embedding"), col("q_embedding")))
       .orderBy(col("raw_score").desc, col("vec_id"))
       .limit(k)

@@ -28,6 +28,22 @@ object JdbcStore {
   private def url(db: String) =
     s"jdbc:derby:${sys.props("java.io.tmpdir")}/graft_derby_$db;create=true"
 
+  /** The production write configuration — Postgres, pinned to the
+    * reference's DDL (`database/sql/create_table.sql:2-16`: table
+    * `investment_data`, 13 TEXT NOT NULL columns led by `dt`). The same
+    * `write.format("jdbc")` call used in `roundtrip` takes exactly these
+    * options; Spark's PostgresDialect maps the StringType columns to
+    * TEXT, so the created table matches the reference DDL column for
+    * column. No Postgres server exists in the sandbox — the spec asserts
+    * this mapping; Derby below exercises the identical codepath live.
+    */
+  def postgresWriteOptions(host: String, db: String): Map[String, String] = Map(
+    "url" -> s"jdbc:postgresql://$host/$db",
+    "driver" -> "org.postgresql.Driver",
+    "dbtable" -> "investment_data",
+    "createTableColumnTypes" ->
+      Schemas.investmentCols.map(c => s"$c TEXT").mkString(", "))
+
   /** E1/A3 over JDBC: create the reference DDL (13 TEXT columns —
     * `README.md:292` stores amounts as text; VARCHAR here), append the
     * flagship row, read the table back.

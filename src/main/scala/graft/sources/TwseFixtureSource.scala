@@ -80,14 +80,23 @@ private class TwseFixtureTable extends Table with SupportsRead {
       Option(options.get("dates")).map(_.split(",").toSeq))
 }
 
+/** Column pruning (SupportsPushDownRequiredColumns): a metadata-only
+  * query — `select(dt)`, `count(*)` — prunes `body` out of the scan, and
+  * the partition reader then NEVER fetches or materializes the payload
+  * (no HTTP GET in live mode). At scale this is the difference between a
+  * listing query and a full re-crawl.
+  */
 private class TwseScanBuilder(baseUrl: Option[String], dates: Option[Seq[String]])
-    extends ScanBuilder {
-  override def build(): Scan = new TwseScan(baseUrl, dates)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = TwseFixtureSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new TwseScan(baseUrl, dates, required)
 }
 
-private class TwseScan(baseUrl: Option[String], dates: Option[Seq[String]])
-    extends Scan with Batch {
-  override def readSchema(): StructType = TwseFixtureSource.schema
+private class TwseScan(baseUrl: Option[String], dates: Option[Seq[String]],
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   /** One partition per day — the unit of fetch parallelism. */
@@ -97,27 +106,31 @@ private class TwseScan(baseUrl: Option[String], dates: Option[Seq[String]])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TwseReaderFactory
+    new TwseReaderFactory(required.fieldNames)
 }
 
 private case class TwseDayPartition(dt: String, baseUrl: Option[String])
     extends InputPartition
 
-private class TwseReaderFactory extends PartitionReaderFactory {
+private class TwseReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TwseDayPartition]
     new PartitionReader[InternalRow] {
       private var emitted = false
       override def next(): Boolean = !emitted && { emitted = true; true }
       override def get(): InternalRow = {
+        // the payload is fetched ONLY when the pruned schema asks for it —
         // the reference's request: BFI82U?response=json&dayDate=<dt>&type=day
-        val body = p.baseUrl match {
+        def body: String = p.baseUrl match {
           case Some(u) => TwseFixtureSource.httpGet(
             s"$u?response=json&dayDate=${p.dt}&type=day")
           case None => TwseFixtureSource.fixtureByDay.getOrElse(p.dt,
             throw new IllegalArgumentException(s"no fixture for date ${p.dt}"))
         }
-        InternalRow(UTF8String.fromString(p.dt), UTF8String.fromString(body))
+        InternalRow(cols.map {
+          case "dt" => UTF8String.fromString(p.dt)
+          case "body" => UTF8String.fromString(body)
+        }.toIndexedSeq: _*)
       }
       override def close(): Unit = ()
     }

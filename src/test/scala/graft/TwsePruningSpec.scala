@@ -1,0 +1,48 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+/** A1 column pruning: the DSv2 source must push required columns into
+  * the scan, and a pruned-out payload column must never be fetched.
+  */
+class TwsePruningSpec extends SparkTestBase {
+
+  private def source = spark.read.format("graft.sources.TwseFixtureSource")
+
+  test("select(dt) prunes body out of the scan's read schema") {
+    val df = source.load().select("dt")
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: BatchScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.readSchema().fieldNames.toSeq === Seq("dt"))
+  }
+
+  test("a metadata-only query performs zero HTTP fetches in live mode") {
+    val hits = new AtomicInteger()
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/BFI82U", (ex: HttpExchange) => {
+      hits.incrementAndGet()
+      val body = graft.sources.TwseFixtureSource.days.head._2.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/BFI82U"
+      val live = source.option("baseUrl", base).load()
+      assert(live.select("dt").collect().map(_.getString(0)).sorted
+        === Array("20100106", "20220819", "20220820"))
+      assert(live.count() === 3)
+      assert(hits.get() === 0, "pruned scans must not re-crawl")
+      // sanity: asking for the payload does fetch
+      assert(live.select("body").collect().length === 3)
+      assert(hits.get() === 3)
+    } finally server.stop(0)
+  }
+}
