@@ -20,6 +20,8 @@ object MediaStreamQueries {
     "q_stream_events_window" -> ((s, d) => EventsStreaming.dailyCounts(s, d)),
     "q_stream_events_append" -> ((s, d) => EventsStreaming.dailyCountsAppend(s, d)),
     "q_stream_flagship" -> ((s, _) => TwseStreaming.flagshipStream(s)),
+    "q_stream_flagship_jdbc" -> ((s, _) =>
+      graft.streaming.JdbcStreamSink.flagshipStreamJdbc(s)),
     "q_stream_dedup" -> ((s, d) =>
       graft.streaming.DocsStreaming.dedupHashes(s, d)),
     "q_stream_interval_join" -> ((s, d) =>
@@ -119,6 +121,8 @@ object MediaStreamQueries {
     // The streaming flagship append must produce exactly the batch
     // flagship's golden row.
     "q_stream_flagship" -> TwseQueries.oracleSql("q_flagship"),
+    // exactly-once JDBC terminal: same golden row as the parquet terminal
+    "q_stream_flagship_jdbc" -> TwseQueries.oracleSql("q_flagship"),
 
     // Ingest-time dedup: the streamed distinct-hash set equals the
     // batch DISTINCT.
