@@ -54,6 +54,7 @@ object AnalyticsQueries {
     // Format breadth + table maintenance (operators/Formats.scala).
     "q_orc_roundtrip" -> ((s, d) => Formats.orcRoundtrip(s, d)),
     "q_json_roundtrip" -> ((s, d) => Formats.jsonRoundtrip(s, d)),
+    "q_compact" -> ((s, d) => Formats.compactRoundtrip(s, d)),
     "q_scd2" -> ((s, d) => Formats.scd2PriorityHistory(s, d)),
     "q_merge_upsert" -> ((s, d) => Formats.mergeUpsert(s, d)),
     "q_session_window" -> ((s, d) => Formats.sessionWindowNative(s, d)),
@@ -345,6 +346,8 @@ object AnalyticsQueries {
     // summary computed straight from the parquet table.
     "q_orc_roundtrip" -> ordersSummarySql,
     "q_json_roundtrip" -> ordersSummarySql,
+    // compaction is content-preserving: same lossless summary oracle
+    "q_compact" -> ordersSummarySql,
 
     "q_scd2" ->
       """WITH h AS (

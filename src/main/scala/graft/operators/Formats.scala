@@ -119,4 +119,46 @@ object Formats {
       .select(col("user_id"),
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"), col("session_value"))
+
+  /** Total bytes under a table directory, via the Hadoop FS API (works
+    * the same on local disk, HDFS, or object storage).
+    */
+  private[graft] def tableBytes(spark: SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.getContentSummary(path).getLength
+  }
+
+  /** Small-file compaction — the maintenance pass that keeps a streaming
+    * or micro-batch landing table scannable at warehouse scale: each
+    * trigger/task leaves one small file, and a 100 TB table fragmented
+    * into millions of them pays per-file open/seek/footer cost on every
+    * scan plus a giant driver-side listing. Rewrite into
+    * ceil(bytes / targetBytes) files via a round-robin `repartition` —
+    * output size tracks the target regardless of input fragmentation,
+    * and content is untouched (the oracle checks the lossless summary).
+    * At scale this runs per partition (`dt=...`) so compaction of a hot
+    * day never rewrites the table.
+    */
+  def compact(spark: SparkSession, srcDir: String, outDir: String,
+      targetBytes: Long): DataFrame = {
+    val n = math.max(1L,
+      (tableBytes(spark, srcDir) + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(srcDir).repartition(n)
+      .write.mode("overwrite").parquet(outDir)
+    spark.read.parquet(outDir)
+  }
+
+  /** Compaction round-trip on a deliberately fragmented copy of `orders`
+    * (64 shards — the "one file per micro-batch" shape): compact to
+    * ~4 MB files, summarize the readback; lossless vs the original table
+    * by oracle.
+    */
+  def compactRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val frag = fmtDir("frag", sfDir)
+    if (!new File(frag, "_SUCCESS").exists())
+      Tables.orders(spark, sfDir).repartition(64)
+        .write.mode("overwrite").parquet(frag)
+    ordersSummary(compact(spark, frag, fmtDir("compacted", sfDir), 4L << 20))
+  }
 }
