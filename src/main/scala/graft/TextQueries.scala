@@ -38,6 +38,7 @@ object TextQueries {
     "q_dedup_verify_pairs" -> ((s, d) => Dedup.verifyPairs(s, d)),
     "q_dedup_components" -> ((s, d) => Dedup.components(s, d)),
     "q_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
+    "q_decontaminate_bloom" -> ((s, d) => Dedup.decontaminateBloom(s, d)),
     "q_repetition" -> ((s, d) => Dedup.repetition(s, d)),
     "q_dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
     "q_sketch_source" -> ((s, d) => Dedup.sourceSketch(s, d)),
@@ -245,6 +246,21 @@ object TextQueries {
     // Benchmark decontamination: any 3-shingle shared with the
     // benchmark slice (doc_id < 5) flags the document.
     "q_decontaminate" ->
+      s"""WITH $baseCte, $shinglesCte,
+         |ex AS (SELECT doc_id, unnest(list_distinct(s)) AS shingle FROM sh),
+         |bench AS (SELECT DISTINCT shingle FROM ex WHERE doc_id < 5),
+         |ov AS (SELECT doc_id, count(*) AS n_overlap
+         |  FROM ex SEMI JOIN bench USING (shingle)
+         |  WHERE doc_id >= 5 GROUP BY 1)
+         |SELECT d.doc_id, coalesce(ov.n_overlap, 0) AS n_overlap,
+         |  coalesce(ov.n_overlap, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+         |WHERE d.doc_id >= 5""".stripMargin,
+
+    // The bloom prefilter is exact end-to-end (false positives are
+    // removed by the verify join), so the oracle is the same exact
+    // semi-join overlap count as q_decontaminate.
+    "q_decontaminate_bloom" ->
       s"""WITH $baseCte, $shinglesCte,
          |ex AS (SELECT doc_id, unnest(list_distinct(s)) AS shingle FROM sh),
          |bench AS (SELECT DISTINCT shingle FROM ex WHERE doc_id < 5),

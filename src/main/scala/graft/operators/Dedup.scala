@@ -265,6 +265,46 @@ object Dedup {
         (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Bloom-prefiltered decontamination — identical output contract to
+    * [[decontaminate]], different scale envelope. [[decontaminate]]
+    * broadcasts the benchmark's distinct shingles as a hash set, which
+    * caps the benchmark at executor-memory size (~50+ bytes/shingle in a
+    * hash relation). Here the benchmark side is collapsed to ONE bloom
+    * sketch (~1 bit-per-key × 8-10, so 10 M shingles ≈ 10 MB) that rides
+    * the corpus scan as a codegen'd literal predicate
+    * ([[graft.functions.SketchFunctions]]); only the candidate shingles
+    * that pass the bloom — true overlaps plus the ~1% false positives —
+    * reach the exact semi-join that restores exact semantics. The corpus
+    * is still scanned once; what changed is the 100 TB-side shuffle: it
+    * carries only bloom survivors instead of every corpus shingle or a
+    * memory-bound broadcast set.
+    */
+  def decontaminateBloom(spark: SparkSession, sfDir: String,
+      benchBound: Long = 5L): DataFrame = {
+    import graft.functions.SketchFunctions._
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(array_distinct(shingles3(col("text")))).as("shingle"))
+    val bench = sh.filter(col("doc_id") < benchBound)
+      .select(col("shingle")).distinct()
+    // benchmarks are tiny next to the corpus: the collect moves one
+    // ~128 KB sketch to the driver, never the shingle rows
+    val bloom = buildBloom(bench, col("shingle"), expectedItems = 100000L, numBits = 1L << 20)
+    val candidates = sh.filter(col("doc_id") >= benchBound)
+      .filter(bloom_might_contain(bloom, col("shingle")))
+    // exact verify on the (now tiny) bloom survivors removes the false
+    // positives — the end result is exactly decontaminate()'s
+    val overlap = candidates
+      .join(broadcast(bench), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") >= benchBound)
+      .select(col("doc_id"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Degenerate-text detection by n-gram repetition: the most-repeated
     * 3-shingle's share of a document's shingle stream. Looping/generated
     * text shows top-shingle ratios near 1; clean prose stays low. The

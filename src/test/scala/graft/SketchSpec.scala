@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.SketchFunctions._
+import graft.operators.Dedup
+
+/** Bloom-filter sketch surface + the bloom-prefiltered decontamination
+  * path: no false negatives ever, exact end-to-end parity with the
+  * broadcast-set implementation, and the prefilter must actually prune
+  * (otherwise it's just overhead in front of the verify join).
+  */
+class SketchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bloom has no false negatives and prunes most non-members") {
+    val members = (0 until 1000).map(i => s"member_$i").toDF("s")
+    val bloom = buildBloom(members, col("s"), expectedItems = 1000L, numBits = 1L << 16)
+
+    val missedMembers = members.filter(!bloom_might_contain(bloom, col("s"))).count()
+    assert(missedMembers === 0, "bloom false negative — must be impossible")
+
+    val nonMembers = (0 until 10000).map(i => s"other_$i").toDF("s")
+    val passed = nonMembers.filter(bloom_might_contain(bloom, col("s"))).count()
+    // 2^16 bits / 1000 items ≈ 65 bits/key → FP rate well under 5%
+    assert(passed < 500, s"bloom passed $passed of 10000 non-members — not pruning")
+  }
+
+  test("decontaminateBloom is exactly decontaminate (false positives verified away)") {
+    val exact = canon(Dedup.decontaminate(spark, sf()))
+    val bloomed = canon(Dedup.decontaminateBloom(spark, sf()))
+    assert(bloomed === exact)
+  }
+
+  test("decontaminateBloom flags contaminated docs at sf0.001") {
+    val out = Dedup.decontaminateBloom(spark, sf())
+    assert(out.count() > 0)
+    assert(out.filter(col("contaminated")).count() > 0,
+      "fixture corpus shares shingles with the benchmark slice; expected hits")
+  }
+}
