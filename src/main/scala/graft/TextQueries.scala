@@ -18,6 +18,8 @@ object TextQueries {
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q_doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "q_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
+    "q_lm_score" -> ((s, d) => TextAnalysis.lmScore(s, d)),
+    "q_redact_pii" -> ((s, d) => TextAnalysis.redactPiiQuery(s, d)),
     "q_extract_numbers" -> ((s, d) => TextAnalysis.extractNumbers(s, d)),
     "q_quality_audit" -> ((s, d) => TextAnalysis.qualityAudit(s, d)),
     // The curation terminal: dedup ∧ quality ∧ language-verified,
@@ -256,6 +258,52 @@ object TextQueries {
          |  coalesce(ov.n_overlap, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
          |WHERE d.doc_id >= 5""".stripMargin,
+
+    // Identical deterministic PII injection (the corpus itself is
+    // sanitized), then the same three-pattern redaction chain; DuckDB
+    // regexp_replace needs the explicit 'g' flag to match Spark's
+    // replace-all default.
+    "q_redact_pii" ->
+      """WITH dirty AS (SELECT doc_id,
+        |  text ||
+        |  CASE WHEN doc_id % 3 > 0 THEN printf(' contact user%d@example.com', doc_id) ELSE '' END ||
+        |  CASE WHEN doc_id % 2 = 0 THEN printf(' tel +1-555-%04d', doc_id % 10000) ELSE '' END ||
+        |  printf(' see https://corpus.example/doc/%d', doc_id) AS text
+        |  FROM documents),
+        |red AS (SELECT doc_id, text,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    'https?://[^\s]+', '[URL]', 'g'),
+        |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS r
+        |  FROM dirty)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_email,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INTEGER) AS n_url,
+        |  CAST(len(regexp_extract_all(text, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phone,
+        |  md5(r) AS redacted_hash,
+        |  CAST(length(r) AS BIGINT) AS redacted_len
+        |FROM red""".stripMargin,
+
+    // Fixed-point (×1e6 BIGINT) per-bigram log-probs summed exactly,
+    // divided and rounded only at the end — mirrors the Spark side so
+    // float summation order can never split the engines.
+    "q_lm_score" ->
+      s"""WITH $baseCte,
+         |bg AS (SELECT doc_id, u['prev'] AS prev, u['cur'] AS cur
+         |  FROM (SELECT doc_id, unnest(list_transform(range(len(toks)-1),
+         |      i -> {'prev': toks[i+1], 'cur': toks[i+2]})) AS u
+         |    FROM base WHERE len(toks) >= 2)),
+         |bi AS (SELECT prev, cur, count(*) AS c_bi FROM bg GROUP BY 1, 2),
+         |uni AS (SELECT prev, sum(c_bi) AS c_prev FROM bi GROUP BY 1),
+         |model AS (SELECT prev, cur,
+         |  CAST(round(ln(CAST(c_bi AS DOUBLE) / c_prev) * 1e6) AS BIGINT) AS logp_f
+         |  FROM bi JOIN uni USING (prev)),
+         |sc AS (SELECT doc_id, count(*) AS n_bigrams, sum(logp_f) AS sum_f
+         |  FROM bg JOIN model USING (prev, cur) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(round(CAST(sum_f AS DOUBLE) / (n_bigrams * 1e6), 6) AS DOUBLE) AS lm_score
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
 
     // The bloom prefilter is exact end-to-end (false positives are
     // removed by the verify join), so the oracle is the same exact

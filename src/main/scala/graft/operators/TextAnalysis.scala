@@ -149,6 +149,102 @@ object TextAnalysis {
         round(col("score"), 6).as("tfidf"))
   }
 
+  /** PII patterns in the Java∩RE2 common subset (so DuckDB oracles match
+    * byte-for-byte): email, international-ish phone, http(s) URL.
+    */
+  private val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "[EMAIL]"),
+    ("url", "https?://[^\\s]+", "[URL]"),
+    ("phone", "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}", "[PHONE]"))
+
+  /** PII redaction over a text column — the mandatory scrub pass before
+    * corpus text ships to training: emails, phones, and URLs replaced by
+    * typed placeholder tokens, with per-document match counts. A chain
+    * of codegen'd `regexp_replace`/`regexp_extract_all` calls — per-row,
+    * narrow, zero shuffles; a 100 TB corpus scrubs at scan speed.
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val redacted = piiPatterns.foldLeft(col(textCol)) {
+      case (acc, (_, pat, repl)) => regexp_replace(acc, lit(pat), lit(repl))
+    }
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).as(s"n_$name")
+    }
+    df.select((col("doc_id") +: counts :+
+      md5(redacted).as("redacted_hash") :+
+      length(redacted).cast("bigint").as("redacted_len")): _*)
+  }
+
+  /** Oracle-checked registration of [[redactPii]]. The synthetic corpus
+    * is sanitized word salad (no PII by construction), so this query
+    * first injects deterministic doc_id-derived PII fragments — email on
+    * doc_id%3>0, phone on doc_id%2=0, URL always — then redacts; the
+    * counts and redacted hashes vary per document and the oracle
+    * reproduces the identical injection.
+    */
+  def redactPiiQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val dirty = docs.select(col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 3 > 0,
+          format_string(" contact user%d@example.com", col("doc_id")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          format_string(" tel +1-555-%04d", col("doc_id") % 10000))
+          .otherwise(lit("")),
+        format_string(" see https://corpus.example/doc/%d", col("doc_id"))).as("text"))
+    redactPii(dirty, "text")
+  }
+
+  /** Bigram language-model quality score — the perplexity-style signal
+    * a training-data pipeline uses to rank fluency: build an MLE bigram
+    * model over the corpus (p(cur|prev) = c(prev,cur)/c(prev)), then
+    * score each document by its mean log-probability per bigram.
+    *
+    * Determinism at scale: per-bigram log-probs are snapped to
+    * fixed-point (×10⁶, BIGINT) *before* the per-document sum, so the
+    * distributed aggregation is exact integer math — immune to
+    * floating-point summation order across partitions. Only the final
+    * per-document division touches doubles, rounded to 6 places.
+    *
+    * Shuffle shape: one shuffle of (prev,cur) pairs builds the bigram
+    * counts; the unigram denominators re-aggregate the (already tiny)
+    * bigram table rather than re-shuffling the token stream; scoring is
+    * a shuffle join of doc-bigrams against the model. At 100 TB the
+    * model side is Zipf-concentrated — prune to top-K bigrams with an
+    * out-of-vocabulary floor and broadcast it, turning the scoring join
+    * into a map-side probe.
+    */
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val t = wsTokens(col("text"))
+    val n = size(t)
+    val bigrams = when(n >= 2,
+      zip_with(slice(t, lit(1), n - 1), slice(t, lit(2), n - 1),
+        (x, y) => struct(x.as("prev"), y.as("cur"))))
+      .otherwise(array().cast("array<struct<prev:string,cur:string>>"))
+    val docBi = docs
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val bi = docBi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c_bi"))
+    val uni = bi.groupBy(col("prev")).agg(sum(col("c_bi")).as("c_prev"))
+    val model = bi.join(uni, "prev")
+      .withColumn("logp_f",
+        round(log(col("c_bi").cast("double") / col("c_prev")) * lit(1e6)).cast("bigint"))
+    // every doc bigram is in the model by construction (same corpus), so
+    // the inner join keeps exactly the n_bigrams rows per document
+    val scored = docBi.join(model, Seq("prev", "cur"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("logp_f")).as("sum_f"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("sum_f").cast("double") / (col("n_bigrams") * lit(1e6)), 6)
+          .as("lm_score"))
+  }
+
   /** Content fingerprints: order-insensitive md5-prefix fingerprint plus
     * an order-sensitive rolling hash over the token stream.
     */
