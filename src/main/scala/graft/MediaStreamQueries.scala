@@ -26,6 +26,8 @@ object MediaStreamQueries {
       graft.streaming.DocsStreaming.dedupHashes(s, d)),
     "q_stream_interval_join" -> ((s, d) =>
       EventsStreaming.viewPurchaseJoin(s, d)),
+    "q_stream_left_join" -> ((s, d) =>
+      EventsStreaming.viewPurchaseLeftJoin(s, d)),
     "q_stream_enrich" -> ((s, d) =>
       EventsStreaming.cohortEnrichedCounts(s, d)),
     "q_stream_sessionize" -> ((s, d) =>
@@ -136,6 +138,17 @@ object MediaStreamQueries {
         |FROM events v JOIN events p
         |  ON v.user_id = p.user_id
         |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""".stripMargin,
+
+    // Left-outer adds exactly the unmatched views with NULL purchase
+    // columns — the streaming null-emission-on-expiry must equal the
+    // batch LEFT JOIN.
+    "q_stream_left_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id
         |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""".stripMargin,
 
     // Streaming sessionize must equal the batch gaps-and-islands form

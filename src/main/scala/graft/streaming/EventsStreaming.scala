@@ -227,6 +227,44 @@ object EventsStreaming {
     runToParquet(spark, joined, name)
   }
 
+  /** LEFT OUTER stream-stream interval join — the semantically hard
+    * streaming shape: matched (view, purchase) pairs emit like the
+    * inner join, and a view with NO purchase within its hour emits
+    * exactly once WITH NULLs, only after the watermark proves no future
+    * purchase can still match (view_ts + 1 h interval + 1 h watermark
+    * lag). The EOS sentinel batches drive the watermark past every
+    * view's expiry so the AvailableNow run flushes all unmatched rows
+    * — same mechanism that finalizes append-mode windows. Sentinels
+    * must pass the watermark collector but not the join, hence the
+    * post-watermark filter with the vacuous event-time disjunct (see
+    * dailyCountsAppend).
+    */
+  def viewPurchaseLeftJoin(spark: SparkSession, sfDir: String): DataFrame = withStreamPartitions(spark, 8) {
+    val name = s"graft_stream_vpleft_${nameCounter.incrementAndGet()}"
+    val dir = stagedDir(spark, sfDir, withEos = true)
+    def side(t: String, idAs: String, tsAs: String): DataFrame =
+      spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .select(col("user_id").as(s"${t}_user"), col("event_id").as(idAs),
+          col("ts").as(tsAs), col("event_type"))
+        .withWatermark(tsAs, "1 hour")
+        .filter(col("event_type") === t || col(tsAs).isNull)
+        .drop("event_type")
+    val views = side("view", "view_id", "view_ts")
+    val purchases = side("purchase", "purchase_id", "purchase_ts")
+    val joined = views.join(purchases,
+        col("view_user") === col("purchase_user")
+          && col("purchase_ts") >= col("view_ts")
+          && col("purchase_ts") <= col("view_ts") + expr("interval 1 hour"),
+        "leftOuter")
+      .select(col("view_user").as("user_id"), col("view_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+          .as("gap_us"))
+    runToParquet(spark, joined, name)
+  }
+
   /** Stream-static join: the event stream enriched with a BATCH-computed
     * dimension (each user's first-seen cohort day) and aggregated per
     * (cohort, event_type). The static side is planned once and

@@ -42,6 +42,28 @@ class MediaStreamSpec extends SparkTestBase {
     assert(stream.toSeq === batch.toSeq)
   }
 
+  test("left-outer stream join emits unmatched views with nulls, equals batch left join") {
+    import org.apache.spark.sql.functions._
+    val stream = EventsStreaming.viewPurchaseLeftJoin(spark, d)
+    // null-emission really happened: views with no purchase in the hour
+    assert(stream.filter(col("purchase_id").isNull).count() > 0,
+      "expected watermark-expired unmatched views with NULL purchase columns")
+    val ev = graft.sources.Tables.events(spark, d)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val batch = v.join(p,
+        col("user_id") === col("p_user")
+          && col("purchase_ts") >= col("view_ts")
+          && col("purchase_ts") <= col("view_ts") + expr("interval 1 hour"),
+        "leftOuter")
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+    assert(canon(stream) === canon(batch))
+  }
+
   test("stream-static cohort join equals the all-batch formulation") {
     val stream = EventsStreaming.cohortEnrichedCounts(spark, d)
       .orderBy("cohort", "event_type").collect().map(_.toSeq)
