@@ -28,6 +28,7 @@ object TextQueries {
     // Vocabulary build: min-frequency cut + contiguous top-K token ids.
     "q_vocab" -> ((s, d) => TextAnalysis.vocab(s, d)),
     "q_train_split" -> ((s, d) => graft.operators.DataPrep.trainSplit(s, d)),
+    "q_split_leakage_safe" -> ((s, d) => graft.operators.DataPrep.leakageSafeSplit(s, d)),
     "q_sample_stratified" -> ((s, d) => graft.operators.DataPrep.stratifiedSample(s, d)),
     "q_pack_sequences" -> ((s, d) => graft.operators.DataPrep.packSequences(s, d)),
     "q_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
@@ -208,6 +209,31 @@ object TextQueries {
         |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
         |    % 10 AS BIGINT) AS bucket
         |  FROM documents)""".stripMargin,
+
+    // Near-dup components (same recursive CTE as q_dedup_components)
+    // split by the hash of their canonical id — the whole cluster lands
+    // in one split, so the test set can never contain a soft copy of a
+    // training document.
+    "q_split_leakage_safe" ->
+      (bandsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        s""",
+           |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b ON a.band_id = b.band_id
+           |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |edges AS (SELECT doc_a AS n, doc_b AS m FROM prs
+           |  UNION ALL SELECT doc_b, doc_a FROM prs),
+           |reach(n, m) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT reach.n, e.m FROM reach JOIN edges e ON reach.m = e.n),
+           |comp AS (SELECT n AS doc_id, min(m) AS component_id FROM reach GROUP BY n)
+           |SELECT doc_id, component_id, bucket,
+           |  CASE WHEN bucket < 8 THEN 'train' WHEN bucket < 9 THEN 'val'
+           |    ELSE 'test' END AS split
+           |FROM (SELECT doc_id, component_id,
+           |  CAST(CAST(('0x' || substr(md5(CAST(component_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+           |    % 10 AS BIGINT) AS bucket
+           |  FROM comp)""".stripMargin),
 
     "q_sample_stratified" ->
       """SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn FROM (

@@ -31,6 +31,26 @@ object DataPrep {
           .when(col("bucket") < 9, "val")
           .otherwise("test"))
 
+  /** Leakage-safe split — the guard `trainSplit` lacks: near-duplicate
+    * documents MUST land in the same split, or the test set contains
+    * soft copies of training documents and every eval number is
+    * inflated. The split key is therefore the minhash-LSH CONNECTED
+    * COMPONENT (its canonical min doc_id), not the document: all
+    * members of a near-dup cluster hash to one bucket together.
+    * Per-document cost on top of the component map is one hash — the
+    * heavy lifting is the same CC machinery `q_dedup_components`
+    * already runs (and at scale that component map is a maintained
+    * table, not recomputed per split).
+    */
+  def leakageSafeSplit(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.components(spark, sfDir)
+      .select(col("doc_id"), col("component_id"),
+        hashBucket(col("component_id"), 10).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") < 9, "val")
+          .otherwise("test"))
+
   /** Stratified deterministic sample: k documents per language stratum,
     * ordered by content hash (a seedless "random" that every engine
     * agrees on). One shuffle on the stratum key; rank + filter prune

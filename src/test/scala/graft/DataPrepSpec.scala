@@ -42,4 +42,27 @@ class DataPrepSpec extends SparkTestBase {
       }
     }
   }
+
+  test("leakage-safe split keeps every near-dup component in one split") {
+    import org.apache.spark.sql.functions._
+    val split = graft.operators.DataPrep.leakageSafeSplit(spark, sf())
+    // the guard itself: one split per component, no exceptions
+    val mixed = split.groupBy(col("component_id"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+    assert(mixed.count() === 0, "a near-dup cluster was split across train/val/test")
+    // and in particular every candidate PAIR co-locates
+    val pairs = graft.operators.Dedup.minhashPairs(spark, sf())
+    val bySplit = split.select(col("doc_id"), col("split"))
+    val crossSplit = pairs
+      .join(bySplit.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "split_a"), "doc_a")
+      .join(bySplit.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "split_b"), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+    assert(crossSplit.count() === 0, "near-dup pair straddles a split boundary")
+    // still a full partition of the corpus
+    assert(split.count() ===
+      graft.sources.Tables.documents(spark, sf()).count())
+  }
 }
