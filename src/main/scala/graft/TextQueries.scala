@@ -44,6 +44,7 @@ object TextQueries {
     "q_decontaminate_bloom" -> ((s, d) => Dedup.decontaminateBloom(s, d)),
     "q_repetition" -> ((s, d) => Dedup.repetition(s, d)),
     "q_dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
+    "q_pagerank" -> ((s, d) => graft.operators.Graph.pagerank(s, d)),
     "q_sketch_source" -> ((s, d) => Dedup.sourceSketch(s, d)),
     "q_sketch_source_sim" -> ((s, d) => Dedup.sourceSimilarity(s, d))
   )
@@ -209,6 +210,40 @@ object TextQueries {
         |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
         |    % 10 AS BIGINT) AS bucket
         |  FROM documents)""".stripMargin,
+
+    // Three PageRank iterations unrolled in integer fixed-point — the
+    // same micro-unit floor-division arithmetic as the engine, so the
+    // BIGINT ranks must agree exactly (no float tolerance anywhere).
+    "q_pagerank" -> {
+      val iter = (i: Int) =>
+        s"""c$i AS (SELECT e.dst,
+           |  CAST(sum((r.rank_f * 85) // (d.deg * 100)) AS BIGINT) AS in_mass
+           |  FROM edges e JOIN r${i - 1} r ON e.src = r.doc_id
+           |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+           |r$i AS (SELECT d0.doc_id,
+           |  CAST((15 * 1000000000000) // (100 * nn.n_nodes)
+           |    + coalesce(c$i.in_mass, 0) AS BIGINT) AS rank_f
+           |  FROM documents d0 CROSS JOIN nn
+           |  LEFT JOIN c$i ON d0.doc_id = c$i.dst)""".stripMargin
+      bandsCte +
+        s""",
+           |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b ON a.band_id = b.band_id
+           |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+           |  UNION ALL SELECT doc_b, doc_a FROM prs),
+           |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+           |nn AS (SELECT count(*) AS n_nodes FROM documents),
+           |r0 AS (SELECT doc_id, CAST(1000000000000 // nn.n_nodes AS BIGINT) AS rank_f
+           |  FROM documents CROSS JOIN nn),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)}
+           |SELECT r3.doc_id, CAST(coalesce(deg.deg, 0) AS BIGINT) AS degree,
+           |  r3.rank_f AS pagerank_f,
+           |  CAST(round(CAST(r3.rank_f AS DOUBLE) / 1e12, 9) AS DOUBLE) AS pagerank
+           |FROM r3 LEFT JOIN deg ON r3.doc_id = deg.src""".stripMargin
+    },
 
     // Near-dup components (same recursive CTE as q_dedup_components)
     // split by the hash of their canonical id — the whole cluster lands
