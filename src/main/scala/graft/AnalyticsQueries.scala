@@ -57,6 +57,8 @@ object AnalyticsQueries {
     "q_json_roundtrip" -> ((s, d) => Formats.jsonRoundtrip(s, d)),
     "q_compact" -> ((s, d) => Formats.compactRoundtrip(s, d)),
     "q_zorder" -> ((s, d) => Formats.zorderProfile(s, d)),
+    "q_codec_roundtrip" -> ((s, d) => Formats.codecRoundtrip(s, d)),
+    "q_expectations" -> ((s, d) => graft.operators.Quality.expectations(s, d)),
     "q_scd2" -> ((s, d) => Formats.scd2PriorityHistory(s, d)),
     "q_merge_upsert" -> ((s, d) => Formats.mergeUpsert(s, d)),
     "q_session_window" -> ((s, d) => Formats.sessionWindowNative(s, d)),
@@ -363,6 +365,39 @@ object AnalyticsQueries {
     "q_json_roundtrip" -> ordersSummarySql,
     // compaction is content-preserving: same lossless summary oracle
     "q_compact" -> ordersSummarySql,
+
+    // Both codec layouts must decode to the same lossless summary.
+    "q_codec_roundtrip" ->
+      """SELECT * FROM (
+        |  SELECT o_orderstatus, count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total,
+        |    CAST(min(o_orderdate) AS DATE) AS first_day,
+        |    CAST(max(o_orderdate) AS DATE) AS last_day,
+        |    'zstd' AS codec
+        |  FROM orders GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT o_orderstatus, count(*),
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE),
+        |    CAST(min(o_orderdate) AS DATE), CAST(max(o_orderdate) AS DATE),
+        |    'snappy'
+        |  FROM orders GROUP BY o_orderstatus)""".stripMargin,
+
+    // One shared scan computes every violation count; the oracle
+    // recomputes each expectation independently.
+    "q_expectations" ->
+      """WITH a AS (SELECT count(*) AS n_rows,
+        |  sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_price,
+        |  sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS v_date,
+        |  sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS v_status,
+        |  count(*) - count(DISTINCT o_orderkey) AS v_dup
+        |  FROM orders)
+        |SELECT check_name, CAST(violations AS BIGINT) AS violations,
+        |  violations = 0 AS pass
+        |FROM (
+        |  SELECT 'totalprice_positive' AS check_name, v_price AS violations FROM a
+        |  UNION ALL SELECT 'orderdate_not_null', v_date FROM a
+        |  UNION ALL SELECT 'orderstatus_in_domain', v_status FROM a
+        |  UNION ALL SELECT 'orderkey_unique', v_dup FROM a)""".stripMargin,
 
     // Bit-position sum form of the Morton interleave — algebraically
     // identical to the engine's magic-mask spreading, so the z-math is

@@ -196,6 +196,24 @@ object Formats {
         max(col("zvalue")).as("max_z"),
         sum(col("o_orderkey")).as("sum_keys"))
 
+  /** Codec breadth for the parquet sink: the same table written under
+    * zstd and snappy, both read back and summarized side by side — the
+    * storage-efficiency knob that matters most at 100 TB (zstd commonly
+    * halves footprint vs snappy at similar scan speed; FormatsSpec
+    * checks both physical layouts decode losslessly and reports the
+    * measured size ratio).
+    */
+  def codecRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val codecs = Seq("zstd", "snappy")
+    codecs.map { c =>
+      val dir = fmtDir(s"codec_$c", sfDir)
+      if (!new File(dir, "_SUCCESS").exists())
+        Tables.orders(spark, sfDir).write.mode("overwrite")
+          .option("compression", c).parquet(dir)
+      ordersSummary(spark.read.parquet(dir)).withColumn("codec", lit(c))
+    }.reduce(_ unionByName _)
+  }
+
   def compactRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val frag = fmtDir("frag", sfDir)
     if (!new File(frag, "_SUCCESS").exists())

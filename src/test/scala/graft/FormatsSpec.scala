@@ -147,4 +147,44 @@ class FormatsSpec extends SparkTestBase {
     assert(sessions(0L, gapMs.toLong) === 1, "exactly +gap must merge")
     assert(sessions(0L, gapMs + 1L) === 2, "one ms past the gap must split")
   }
+
+  test("codec round-trip: both layouts lossless, zstd footprint measured") {
+    import java.io.File
+    import org.apache.spark.sql.functions._
+    val both = Formats.codecRoundtrip(spark, sf())
+    val z = canon(both.filter(col("codec") === "zstd").drop("codec"))
+    val s = canon(both.filter(col("codec") === "snappy").drop("codec"))
+    assert(z === s, "zstd and snappy reads must summarize identically")
+
+    def bytes(c: String): Long = {
+      val d = new File(s"${sys.props("java.io.tmpdir")}/graft_codec_${c}_sf0.001")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    val (zb, sb) = (bytes("zstd"), bytes("snappy"))
+    assert(zb > 0 && sb > 0)
+    info(f"zstd/snappy footprint ratio: ${zb.toDouble / sb}%.3f ($zb vs $sb bytes)")
+  }
+
+  test("expectations report passes on the clean fixture and counts violations exactly") {
+    import org.apache.spark.sql.functions._
+    val rep = graft.operators.Quality.expectations(spark, sf())
+    assert(rep.count() === 4)
+    assert(rep.filter(!col("pass")).count() === 0,
+      "generator-produced orders must satisfy every expectation")
+    // constraint math is real: a corrupted row trips the right checks
+    val o = graft.sources.Tables.orders(spark, sf()).limit(1)
+      .select(lit(-1L).as("o_orderkey"), col("o_custkey"),
+        lit("X").as("o_orderstatus"), lit(-5.0).as("o_totalprice"),
+        lit(null).cast("timestamp").as("o_orderdate"), col("o_orderpriority"))
+    val dirty = graft.sources.Tables.orders(spark, sf()).unionByName(o)
+      .unionByName(o) // duplicate bad key too
+    dirty.createOrReplaceTempView("graft_exp_dirty")
+    val agg = dirty.agg(
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)),
+      sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)),
+      (count(lit(1)) - countDistinct(col("o_orderkey")))).head()
+    assert(agg.getLong(0) === 2 && agg.getLong(1) === 2
+      && agg.getLong(2) === 2 && agg.getLong(3) === 1)
+  }
 }
