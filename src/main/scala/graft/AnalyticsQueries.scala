@@ -58,6 +58,7 @@ object AnalyticsQueries {
     "q_compact" -> ((s, d) => Formats.compactRoundtrip(s, d)),
     "q_zorder" -> ((s, d) => Formats.zorderProfile(s, d)),
     "q_codec_roundtrip" -> ((s, d) => Formats.codecRoundtrip(s, d)),
+    "q_schema_evolution" -> ((s, d) => Formats.schemaEvolutionRead(s, d)),
     "q_expectations" -> ((s, d) => graft.operators.Quality.expectations(s, d)),
     "q_scd2" -> ((s, d) => Formats.scd2PriorityHistory(s, d)),
     "q_merge_upsert" -> ((s, d) => Formats.mergeUpsert(s, d)),
@@ -381,6 +382,17 @@ object AnalyticsQueries {
         |    CAST(min(o_orderdate) AS DATE), CAST(max(o_orderdate) AS DATE),
         |    'snappy'
         |  FROM orders GROUP BY o_orderstatus)""".stripMargin,
+
+    // The v=1 generation predates o_orderpriority (every row NULL
+    // there); the oracle reconstructs both generations from the
+    // original table.
+    "q_schema_evolution" ->
+      """SELECT v, o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_evolution,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
+        |FROM (SELECT CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS INTEGER) AS v,
+        |  o_orderstatus, o_totalprice FROM orders)
+        |GROUP BY v, o_orderstatus""".stripMargin,
 
     // One shared scan computes every violation count; the oracle
     // recomputes each expectation independently.

@@ -30,6 +30,7 @@ object TextQueries {
     "q_train_split" -> ((s, d) => graft.operators.DataPrep.trainSplit(s, d)),
     "q_split_leakage_safe" -> ((s, d) => graft.operators.DataPrep.leakageSafeSplit(s, d)),
     "q_sample_stratified" -> ((s, d) => graft.operators.DataPrep.stratifiedSample(s, d)),
+    "q_sample_weighted" -> ((s, d) => graft.operators.DataPrep.weightedSample(s, d)),
     "q_pack_sequences" -> ((s, d) => graft.operators.DataPrep.packSequences(s, d)),
     "q_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_near" -> ((s, d) => Dedup.near(s, d)),
@@ -269,6 +270,17 @@ object TextQueries {
            |  CAST(CAST(('0x' || substr(md5(CAST(component_id AS VARCHAR)), 1, 8)) AS UBIGINT)
            |    % 10 AS BIGINT) AS bucket
            |  FROM comp)""".stripMargin),
+
+    // Same u-draw and ln(u)/w ranking; ln/log1p are IEEE-double on both
+    // engines and ties are broken on doc_id, so the selected set and
+    // order agree (the float key itself is not emitted).
+    "q_sample_weighted" ->
+      """SELECT doc_id, lang, CAST(row_number() OVER (ORDER BY es_key DESC, doc_id) AS INTEGER) AS rn
+        |FROM (SELECT doc_id, lang,
+        |  ln((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS DOUBLE) + 1.0)
+        |     / 4294967296.0) / ln(1 + n_chars) AS es_key
+        |  FROM documents)
+        |ORDER BY es_key DESC, doc_id LIMIT 50""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn FROM (

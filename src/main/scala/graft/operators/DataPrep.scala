@@ -51,6 +51,32 @@ object DataPrep {
           .when(col("bucket") < 9, "val")
           .otherwise("test"))
 
+  /** Quality-weighted sample without replacement (Efraimidis–Spirakis
+    * A-ES), fully deterministic and seedless: each document draws
+    * u ∈ (0,1] from its md5 (the same engine-portable "random" the
+    * stratified sample uses), and ranks by key = ln(u)/w — a document
+    * with twice the weight is twice as likely to make the cut, exactly
+    * the bias a quality-weighted data-selection pass wants. Weight here
+    * is ln(1+n_chars) (plug in any positive quality score). Top-k by
+    * key is one `TakeOrderedAndProject` — per-partition heaps, k rows
+    * per partition to the driver, no shuffle of the corpus.
+    */
+  def weightedSample(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(1.0)) / lit(4294967296.0) // (0,1], never 0
+    // ln(1+x), NOT log1p(x): the two differ in the last ulp and the
+    // oracle must reproduce the key bit-for-bit
+    val weight = log(lit(1.0) + col("n_chars"))
+    val key = log(u) / weight // ≤ 0; larger (closer to 0) wins
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), key.as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("lang"),
+        row_number().over(Window.orderBy(col("es_key").desc, col("doc_id")))
+          .as("rn"))
+  }
+
   /** Stratified deterministic sample: k documents per language stratum,
     * ordered by content hash (a seedless "random" that every engine
     * agrees on). One shuffle on the stratum key; rank + filter prune

@@ -154,6 +154,33 @@ object Formats {
     * ~4 MB files, summarize the readback; lossless vs the original table
     * by oracle.
     */
+  /** Schema-evolution read — the storage-layer half of the reference's
+    * arity-validation drift guard: a landing table whose early files
+    * predate a column (here: `o_orderpriority` dropped from the v=1
+    * half) read together with the evolved files under
+    * `mergeSchema=true`. Old rows surface the new column as NULL, the
+    * summary accounts both generations per status, and nothing is
+    * rewritten — at 100 TB you evolve the schema forward, never
+    * backfill-rewrite history.
+    */
+  def schemaEvolutionRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = fmtDir("evolve", sfDir)
+    if (!new File(s"$dir/v=1", "_SUCCESS").exists()) {
+      val o = Tables.orders(spark, sfDir)
+      o.filter(col("o_orderkey") % 2 === 0).drop("o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/v=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$dir/v=2")
+    }
+    spark.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy(col("v"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L))
+          .as("n_pre_evolution"),
+        sum(dec("o_totalprice")).cast("double").as("sum_total"))
+      .withColumn("v", col("v").cast("int"))
+  }
+
   /** 16→32-bit Morton spread via the classic magic-mask doubling —
     * five codegen'd bitwise ops per input, no higher-order functions
     * (an `aggregate(sequence(0,15),…)` HOF form evaluates interpreted,
