@@ -42,6 +42,7 @@ object AnalyticsQueries {
     "q_stats_moments" -> ((s, d) => Analytics.statsMoments(s, d)),
     "q_histogram" -> ((s, d) => Analytics.histogram(s, d)),
     "q_events_window" -> ((s, d) => Analytics.eventsDaily(s, d)),
+    "q_sliding_window" -> ((s, d) => Analytics.eventsSliding(s, d)),
     "q_events_sessionize" -> ((s, d) => Analytics.eventsSessionized(s, d)),
     "q_events_json" -> ((s, d) => Analytics.eventsPropsDistribution(s, d)),
     "q_asof_join" -> ((s, d) => AsOf.purchaseToLastView(s, d)),
@@ -286,6 +287,16 @@ object AnalyticsQueries {
         |event_type, count(*) AS n,
         |CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // Each event expands into its 4 covering 6h-aligned day windows —
+    // the same row-per-window expansion Spark's sliding window performs.
+    "q_sliding_window" ->
+      """SELECT strftime(to_timestamp(((epoch_us(ts) // 21600000000) - k) * 21600),
+        |    '%Y-%m-%d %H:%M') AS w_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events, range(4) r(k)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_events_sessionize" ->
       """WITH marked AS (

@@ -409,6 +409,22 @@ object Analytics {
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** SLIDING windows — each event lands in 24h/6h = 4 overlapping
+    * windows (tumbling is the slide == width special case, covered by
+    * `eventsDaily`). Spark expands the row per covering window before
+    * the hash aggregate, so the shuffle grows by the overlap factor —
+    * the reason production slides are small multiples, and the oracle
+    * reproduces the same expansion arithmetically (window starts are
+    * the 4 preceding 6-hour epoch slots).
+    */
+  def eventsSliding(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 day", "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec("value")).cast("double").as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("w_start"),
+        col("event_type"), col("n"), col("total_value"))
+
   /** Time-series gap fill + forward fill: the hourly event grid is made
     * dense (every hour × every event type, via one 1-row bounds
     * aggregate exploded into the calendar — no driver round-trip), then
