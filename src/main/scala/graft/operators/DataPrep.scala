@@ -61,15 +61,21 @@ object DataPrep {
     * key is one `TakeOrderedAndProject` — per-partition heaps, k rows
     * per partition to the driver, no shuffle of the corpus.
     */
-  def weightedSample(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame = {
-    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("double") + lit(1.0)) / lit(4294967296.0) // (0,1], never 0
+  def weightedSample(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame =
     // ln(1+x), NOT log1p(x): the two differ in the last ulp and the
     // oracle must reproduce the key bit-for-bit
-    val weight = log(lit(1.0) + col("n_chars"))
+    weightedSampleFrom(
+      Tables.documents(spark, sfDir), log(lit(1.0) + col("n_chars")), k)
+
+  /** A-ES core over any (doc_id, lang, …) relation with an explicit
+    * positive weight expression.
+    */
+  private[graft] def weightedSampleFrom(df: DataFrame, weight: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(1.0)) / lit(4294967296.0) // (0,1], never 0
     val key = log(u) / weight // ≤ 0; larger (closer to 0) wins
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"), key.as("es_key"))
+    df.select(col("doc_id"), col("lang"), key.as("es_key"))
       .orderBy(col("es_key").desc, col("doc_id"))
       .limit(k)
       .select(col("doc_id"), col("lang"),

@@ -43,6 +43,23 @@ class DataPrepSpec extends SparkTestBase {
     }
   }
 
+  test("weighted sample is deterministic, sized k, and weight really biases selection") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val s1 = graft.operators.DataPrep.weightedSample(spark, sf())
+    assert(s1.count() === 50)
+    assert(canon(s1) === canon(graft.operators.DataPrep.weightedSample(spark, sf())))
+    // mechanism check with real weight contrast: 100 docs at weight 20
+    // vs 100 at weight 1 — the heavy class must dominate the sample
+    // (deterministic: the md5 u-draws are fixed by the doc_ids)
+    val synth = (0L until 200L).map(i => (i, if (i < 100) "heavy" else "light"))
+      .toDF("doc_id", "lang")
+    val sample = graft.operators.DataPrep.weightedSampleFrom(
+      synth, when(col("lang") === "heavy", 20.0).otherwise(1.0), 50)
+    val heavy = sample.filter(col("lang") === "heavy").count()
+    assert(heavy >= 40, s"only $heavy/50 heavy docs sampled at 20x weight")
+  }
+
   test("leakage-safe split keeps every near-dup component in one split") {
     import org.apache.spark.sql.functions._
     val split = graft.operators.DataPrep.leakageSafeSplit(spark, sf())
