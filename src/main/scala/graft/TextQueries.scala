@@ -45,6 +45,7 @@ object TextQueries {
     "q_decontaminate_bloom" -> ((s, d) => Dedup.decontaminateBloom(s, d)),
     "q_repetition" -> ((s, d) => Dedup.repetition(s, d)),
     "q_dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
+    "q_dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "q_pagerank" -> ((s, d) => graft.operators.Graph.pagerank(s, d)),
     "q_sketch_source" -> ((s, d) => Dedup.sourceSketch(s, d)),
     "q_sketch_source_sim" -> ((s, d) => Dedup.sourceSimilarity(s, d))
@@ -211,6 +212,24 @@ object TextQueries {
         |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
         |    % 10 AS BIGINT) AS bucket
         |  FROM documents)""".stripMargin,
+
+    // The incoming batch (doc_id >= 450) probed against the standing
+    // corpus's band index — same band construction, old×new join only.
+    "q_dedup_incremental" ->
+      (bandsCte +
+        s""",
+           |hits AS (SELECT n.doc_id, count(DISTINCT o.doc_id) AS n_dup_candidates,
+           |  min(o.doc_id) AS first_match
+           |  FROM bands n JOIN bands o ON n.band_id = o.band_id
+           |    AND n.band_key = o.band_key
+           |  WHERE n.doc_id >= 450 AND o.doc_id < 450
+           |  GROUP BY n.doc_id)
+           |SELECT d.doc_id,
+           |  CAST(coalesce(h.n_dup_candidates, 0) AS BIGINT) AS n_dup_candidates,
+           |  h.first_match,
+           |  coalesce(h.n_dup_candidates, 0) > 0 AS is_duplicate
+           |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+           |WHERE d.doc_id >= 450""".stripMargin),
 
     // Three PageRank iterations unrolled in integer fixed-point — the
     // same micro-unit floor-division arithmetic as the engine, so the

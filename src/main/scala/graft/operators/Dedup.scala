@@ -265,6 +265,43 @@ object Dedup {
         (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Incremental near-dup detection — the production ingest shape. A
+    * standing corpus's minhash band index is PERSISTED once (parquet,
+    * idempotent per sfDir; in production a maintained table that each
+    * ingest appends to), and a new batch joins only ITS OWN band keys
+    * against that index: per-ingest work is O(new batch) + an index
+    * probe, never a re-clustering of the full corpus. Here docs with
+    * doc_id ≥ `newBound` play the incoming batch and the rest are the
+    * standing corpus; the output flags each new document with its
+    * duplicate-candidate count and first matching corpus doc.
+    */
+  def dedupIncremental(spark: SparkSession, sfDir: String,
+      newBound: Long = 450L): DataFrame = {
+    val indexDir = s"${sys.props("java.io.tmpdir")}/graft_bandindex_" +
+      s"${new java.io.File(sfDir).getName}_$newBound"
+    if (!new java.io.File(indexDir, "_SUCCESS").exists())
+      minhashBands(spark, sfDir)
+        .filter(col("doc_id") < newBound)
+        .write.mode("overwrite").parquet(indexDir)
+    val index = spark.read.parquet(indexDir)
+      .select(col("doc_id").as("corpus_doc"), col("band_id"), col("band_key"))
+    val newBands = minhashBands(spark, sfDir)
+      .filter(col("doc_id") >= newBound)
+    val hits = newBands.join(index, Seq("band_id", "band_key"))
+      .select(col("doc_id"), col("corpus_doc")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_candidates"),
+        min(col("corpus_doc")).as("first_match"))
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") >= newBound)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_candidates"), lit(0L)).as("n_dup_candidates"),
+        col("first_match"),
+        (coalesce(col("n_dup_candidates"), lit(0L)) > 0).as("is_duplicate"))
+  }
+
   /** Bloom-prefiltered decontamination — identical output contract to
     * [[decontaminate]], different scale envelope. [[decontaminate]]
     * broadcasts the benchmark's distinct shingles as a hash set, which

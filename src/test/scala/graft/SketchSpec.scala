@@ -31,6 +31,26 @@ class SketchSpec extends SparkTestBase {
     assert(bloomed === exact)
   }
 
+  test("incremental dedup equals the boundary-crossing slice of full-batch pairs") {
+    val bound = 450L
+    val inc = Dedup.dedupIncremental(spark, sf(), bound)
+    // from-scratch truth: all candidate pairs with one side old, one new
+    val pairs = Dedup.minhashPairs(spark, sf())
+    val crossing = pairs
+      .filter((col("doc_a") < bound && col("doc_b") >= bound)
+        || (col("doc_b") < bound && col("doc_a") >= bound))
+      .select(
+        when(col("doc_a") >= bound, col("doc_a")).otherwise(col("doc_b")).as("doc_id"),
+        when(col("doc_a") < bound, col("doc_a")).otherwise(col("doc_b")).as("corpus_doc"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_candidates"), min(col("corpus_doc")).as("first_match"))
+    val incHits = inc.filter(col("is_duplicate"))
+      .select(col("doc_id"), col("n_dup_candidates"), col("first_match"))
+    assert(canon(incHits) === canon(crossing))
+    assert(inc.count() > 0)
+  }
+
   test("decontaminateBloom flags contaminated docs at sf0.001") {
     val out = Dedup.decontaminateBloom(spark, sf())
     assert(out.count() > 0)
