@@ -85,18 +85,41 @@ private class TwseFixtureTable extends Table with SupportsRead {
   * the partition reader then NEVER fetches or materializes the payload
   * (no HTTP GET in live mode). At scale this is the difference between a
   * listing query and a full re-crawl.
+  *
+  * Aggregate pushdown (SupportsPushDownAggregates): an ungrouped
+  * COUNT(*) pushes all the way into the source — each day-partition
+  * answers its local count (always 1: one payload per day) without
+  * constructing a row at all, and Spark's final aggregate just sums the
+  * per-partition counts (partial pushdown contract,
+  * `supportCompletePushDown = false`). A "how many days are landed?"
+  * query touches no payload in either mode.
   */
 private class TwseScanBuilder(baseUrl: Option[String], dates: Option[Seq[String]])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var required: StructType = TwseFixtureSource.schema
+  private var countPushed = false
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new TwseScan(baseUrl, dates, required)
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val onlyCountStar = agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (onlyCountStar) countPushed = true
+    onlyCountStar
+  }
+  override def build(): Scan = new TwseScan(baseUrl, dates, required, countPushed)
 }
 
 private class TwseScan(baseUrl: Option[String], dates: Option[Seq[String]],
-    required: StructType) extends Scan with Batch {
-  override def readSchema(): StructType = required
+    required: StructType, countPushed: Boolean) extends Scan with Batch {
+  override def readSchema(): StructType =
+    if (countPushed)
+      StructType(Seq(StructField("count(*)", org.apache.spark.sql.types.LongType,
+        nullable = false)))
+    else required
   override def toBatch: Batch = this
 
   /** One partition per day — the unit of fetch parallelism. */
@@ -106,19 +129,22 @@ private class TwseScan(baseUrl: Option[String], dates: Option[Seq[String]],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TwseReaderFactory(required.fieldNames)
+    new TwseReaderFactory(required.fieldNames, countPushed)
 }
 
 private case class TwseDayPartition(dt: String, baseUrl: Option[String])
     extends InputPartition
 
-private class TwseReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
+private class TwseReaderFactory(cols: Array[String], countPushed: Boolean)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TwseDayPartition]
     new PartitionReader[InternalRow] {
       private var emitted = false
       override def next(): Boolean = !emitted && { emitted = true; true }
       override def get(): InternalRow = {
+        // pushed COUNT(*): the partition's local count, no row built
+        if (countPushed) return InternalRow(1L)
         // the payload is fetched ONLY when the pruned schema asks for it —
         // the reference's request: BFI82U?response=json&dayDate=<dt>&type=day
         def body: String = p.baseUrl match {

@@ -45,4 +45,23 @@ class TwsePruningSpec extends SparkTestBase {
       assert(hits.get() === 3)
     } finally server.stop(0)
   }
+
+  test("ungrouped count(*) pushes into the source: scan emits counts, no rows") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    // AQE wraps the physical agg, so inspect the optimized logical scan
+    def scanSchema(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation => r
+      }.head.scan.readSchema().fieldNames.toSeq
+
+    val df = source.load().groupBy().count()
+    assert(df.head.getLong(0) === 3)
+    // the pushed scan's schema IS the aggregate column, not (dt, body)
+    assert(scanSchema(df) === Seq("count(*)"))
+    // grouped aggregates must NOT push (the source only handles CountStar)
+    val grouped = source.load().groupBy("dt").count()
+    assert(scanSchema(grouped) === Seq("dt"),
+      "grouped count must fall back to a pruned dt-only scan")
+    assert(grouped.count() === 3)
+  }
 }
