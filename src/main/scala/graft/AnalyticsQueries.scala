@@ -45,6 +45,7 @@ object AnalyticsQueries {
     "q_sliding_window" -> ((s, d) => Analytics.eventsSliding(s, d)),
     "q_events_sessionize" -> ((s, d) => Analytics.eventsSessionized(s, d)),
     "q_events_json" -> ((s, d) => Analytics.eventsPropsDistribution(s, d)),
+    "q_parse_quarantine" -> ((s, d) => Analytics.parseQuarantine(s, d)),
     "q_asof_join" -> ((s, d) => AsOf.purchaseToLastView(s, d)),
     // The same as-of semantics through the custom Catalyst operator
     // (AsofJoin LogicalPlan + strategy + exec) — oracle shared below.
@@ -319,6 +320,16 @@ object AnalyticsQueries {
     "q_events_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |count(*) AS n FROM events GROUP BY 1""".stripMargin,
+
+    // Same deterministic corruption (event_id % 7 → truncated JSON);
+    // the oracle derives the disposition arithmetically while the
+    // engine actually routes on the parser's null-field output.
+    "q_parse_quarantine" ->
+      """SELECT CASE WHEN event_id % 7 = 0 THEN 'quarantined' ELSE 'ok' END AS disposition,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN event_id % 7 = 0 THEN NULL
+        |    ELSE CAST(json_extract_string(props, '$.k') AS INTEGER) END) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1""".stripMargin,
 
     // The oracle runs the range join directly as an inequality join over
     // the hour grid — small data; the Spark side's bucket-equi-join

@@ -581,4 +581,30 @@ object Analytics {
     Tables.events(spark, sfDir)
       .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("n"))
+
+  /** Corrupt-record quarantine — the parse-level form of the reference's
+    * schema-drift guard (B2): malformed payloads must never kill the
+    * pipeline OR silently vanish; they route to a quarantine bucket with
+    * full accounting while clean rows flow on. `from_json` in its
+    * default PERMISSIVE mode yields null fields on malformed input; the
+    * fixture's props are all valid, so corruption is injected
+    * deterministically (event_id % 7 → truncated JSON) and the oracle
+    * reproduces the same injection arithmetically. One narrow scan, one
+    * 2-group aggregate.
+    */
+  def parseQuarantine(spark: SparkSession, sfDir: String): DataFrame = {
+    val propsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType)))
+    Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        when(col("event_id") % 7 === 0, substring(col("props"), 1, 4))
+          .otherwise(col("props")).as("raw"))
+      .withColumn("k", from_json(col("raw"), propsSchema).getField("k"))
+      // props always carries a non-null k, so a null k IS a parse failure
+      .withColumn("disposition",
+        when(col("k").isNull, "quarantined").otherwise("ok"))
+      .groupBy(col("disposition"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).cast("bigint").as("sum_k"))
+  }
 }
