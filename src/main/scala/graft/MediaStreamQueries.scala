@@ -28,6 +28,8 @@ object MediaStreamQueries {
       EventsStreaming.viewPurchaseJoin(s, d)),
     "q_stream_left_join" -> ((s, d) =>
       EventsStreaming.viewPurchaseLeftJoin(s, d)),
+    "q_stream_dedup_wm" -> ((s, d) =>
+      EventsStreaming.dedupWithinWatermark(s, d)),
     "q_stream_enrich" -> ((s, d) =>
       EventsStreaming.cohortEnrichedCounts(s, d)),
     "q_stream_sessionize" -> ((s, d) =>
@@ -130,6 +132,11 @@ object MediaStreamQueries {
     // batch DISTINCT.
     "q_stream_dedup" ->
       "SELECT DISTINCT md5(text) AS content_hash FROM documents",
+
+    // The duplicate file re-sends every 10th event; within-watermark
+    // dedup must restore exactly the original duplicate-free table.
+    "q_stream_dedup_wm" ->
+      "SELECT event_id, event_type FROM events",
 
     // The stream-stream interval join equals the batch interval join.
     "q_stream_interval_join" ->

@@ -227,6 +227,49 @@ object EventsStreaming {
     runToParquet(spark, joined, name)
   }
 
+  /** Bounded-state streaming dedup — `dropDuplicatesWithinWatermark`:
+    * duplicate event_ids arriving within the watermark window are
+    * dropped, and each key's state is EVICTED once the watermark passes
+    * its event time. This is the scale-correct online dedup: state is
+    * bounded by the dedup horizon, where plain `dropDuplicates` (the
+    * q_stream_dedup form, fine for a finite corpus) holds every key
+    * seen forever. The staged source appends a duplicate file (every
+    * 10th event re-sent verbatim, arriving in a later micro-batch) so
+    * the operator provably drops real cross-batch duplicates; the
+    * oracle is the original duplicate-free table.
+    */
+  def dedupWithinWatermark(spark: SparkSession, sfDir: String): DataFrame = withStreamPartitions(spark, 8) {
+    val name = s"graft_stream_dedup_wm_${nameCounter.incrementAndGet()}"
+    val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_stream_dupsrc_$safe")
+    val target = dir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(target)) {
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(sfDir, "events.parquet"), target)
+      val dups = spark.read.schema(rawSchema).parquet(target.toString)
+        .filter(col("event_id") % 10 === 0)
+      val tmp = dir.resolve("_build_dups")
+      dups.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(p =>
+        p.getFileName.toString.endsWith(".parquet")).findFirst.get
+      val f = dir.resolve("zz_dups.parquet")
+      java.nio.file.Files.move(part, f)
+      java.nio.file.Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(
+          java.nio.file.Files.getLastModifiedTime(target).toMillis + 60000))
+    }
+    val deduped = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("event_type"))
+    runToParquet(spark, deduped, name)
+  }
+
   /** LEFT OUTER stream-stream interval join — the semantically hard
     * streaming shape: matched (view, purchase) pairs emit like the
     * inner join, and a view with NO purchase within its hour emits
