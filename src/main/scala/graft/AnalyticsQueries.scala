@@ -46,6 +46,7 @@ object AnalyticsQueries {
     "q_events_sessionize" -> ((s, d) => Analytics.eventsSessionized(s, d)),
     "q_events_json" -> ((s, d) => Analytics.eventsPropsDistribution(s, d)),
     "q_parse_quarantine" -> ((s, d) => Analytics.parseQuarantine(s, d)),
+    "q_retention" -> ((s, d) => Analytics.retentionMatrix(s, d)),
     "q_asof_join" -> ((s, d) => AsOf.purchaseToLastView(s, d)),
     // The same as-of semantics through the custom Catalyst operator
     // (AsofJoin LogicalPlan + strategy + exec) — oracle shared below.
@@ -320,6 +321,16 @@ object AnalyticsQueries {
     "q_events_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |count(*) AS n FROM events GROUP BY 1""".stripMargin,
+
+    // DuckDB date_trunc returns DATE here and datediff is date
+    // subtraction; Spark datediff returns INT — cast to match.
+    "q_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohorts AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT cohort_day, CAST(day - cohort_day AS INTEGER) AS days_since,
+        |  count(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN cohorts USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     // Same deterministic corruption (event_id % 7 → truncated JSON);
     // the oracle derives the disposition arithmetically while the

@@ -582,6 +582,25 @@ object Analytics {
       .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("n"))
 
+  /** Cohort retention matrix — the standard product-analytics shape:
+    * users grouped by first-seen day (cohort), activity counted as
+    * distinct users per (cohort, days-since-cohort). Two shuffles: the
+    * per-user min(ts) dimension, then the distinct-count aggregate of
+    * the activity join. The cohort dimension is one row per user —
+    * broadcastable at any realistic user cardinality relative to the
+    * event volume it enriches.
+    */
+  def retentionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    ev.join(broadcast(cohorts), "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("days_since"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Corrupt-record quarantine — the parse-level form of the reference's
     * schema-drift guard (B2): malformed payloads must never kill the
     * pipeline OR silently vanish; they route to a quarantine bucket with
