@@ -586,16 +586,17 @@ object Analytics {
     * users grouped by first-seen day (cohort), activity counted as
     * distinct users per (cohort, days-since-cohort). Two shuffles: the
     * per-user min(ts) dimension, then the distinct-count aggregate of
-    * the activity join. The cohort dimension is one row per user —
-    * broadcastable at any realistic user cardinality relative to the
-    * event volume it enriches.
+    * the activity join. The cohort dimension is one row per USER —
+    * billions at full scale — so no broadcast hint: AQE broadcasts it
+    * when its runtime size allows and falls back to a key-partitioned
+    * join when it doesn't.
     */
   def retentionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), to_date(col("ts")).as("day"))
     val cohorts = ev.groupBy(col("user_id"))
       .agg(min(col("day")).as("cohort_day"))
-    ev.join(broadcast(cohorts), "user_id")
+    ev.join(cohorts, "user_id")
       .groupBy(col("cohort_day"),
         datediff(col("day"), col("cohort_day")).as("days_since"))
       .agg(countDistinct(col("user_id")).as("n_users"))
