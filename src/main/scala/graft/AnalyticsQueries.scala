@@ -66,6 +66,7 @@ object AnalyticsQueries {
     "q_scd2" -> ((s, d) => Formats.scd2PriorityHistory(s, d)),
     "q_merge_upsert" -> ((s, d) => Formats.mergeUpsert(s, d)),
     "q_session_window" -> ((s, d) => Formats.sessionWindowNative(s, d)),
+    "q_session_window_dyn" -> ((s, d) => Formats.sessionWindowDynamic(s, d)),
     // Range join by interval decomposition: equi-join on hour buckets
     // instead of a nested-loop inequality join.
     "q_range_join" -> ((s, d) => Analytics.activeSessionsPerHour(s, d)),
@@ -387,6 +388,29 @@ object AnalyticsQueries {
         |  SELECT user_id, ts, value,
         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    // Interval-merge with a RUNNING MAX of prior interval ends (lag of
+    // the immediately-previous end is wrong: an earlier 30-min view can
+    // outlast a later 15-min event). Boundary matches the engine's
+    // inclusive merge (exactly-at-end still merges, pinned in spec).
+    "q_session_window_dyn" ->
+      """WITH g AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS t,
+        |    epoch_us(ts) + CASE WHEN event_type = 'view'
+        |      THEN 1800000000 ELSE 900000000 END AS e
+        |  FROM events),
+        |m AS (SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM g),
+        |marked AS (SELECT *, CASE WHEN prev_end IS NULL OR t > prev_end
+        |  THEN 1 ELSE 0 END AS new_session FROM m),
+        |sess AS (SELECT user_id, ts, value,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM marked)
         |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  count(*) AS n_events,

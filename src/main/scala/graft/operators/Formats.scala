@@ -120,6 +120,28 @@ object Formats {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"), col("session_value"))
 
+  /** Dynamic-gap sessionization — `session_window` with a per-EVENT gap
+    * expression (views keep a session alive 30 min, everything else
+    * 15 min): each event contributes the interval [ts, ts+gap) and
+    * overlapping intervals per user merge into one session. This is the
+    * engagement-weighted sessionization no static gap can express; the
+    * oracle reproduces the interval-merge with a running max of
+    * prior interval ends (a plain lag is wrong — an earlier long-gap
+    * event can outlast its successor). Same single-shuffle shape as the
+    * static form.
+    */
+  def sessionWindowDynamic(spark: SparkSession, sfDir: String): DataFrame = {
+    val gap = when(col("event_type") === "view", lit("30 minutes"))
+      .otherwise(lit("15 minutes"))
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec("value")).cast("double").as("session_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("session_value"))
+  }
+
   /** Total bytes under a table directory, via the Hadoop FS API (works
     * the same on local disk, HDFS, or object storage).
     */

@@ -148,6 +148,29 @@ class FormatsSpec extends SparkTestBase {
     assert(sessions(0L, gapMs + 1L) === 2, "one ms past the gap must split")
   }
 
+  test("dynamic-gap session merging: per-event gap, running-max semantics, inclusive boundary") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def sessions(rows: (Long, String)*): Long = rows
+      .map { case (o, k) => (1L, new java.sql.Timestamp(t0.getTime + o), k) }
+      .toDF("user_id", "ts", "event_type")
+      .groupBy(col("user_id"), session_window(col("ts"),
+        when(col("event_type") === "view", lit("30 minutes"))
+          .otherwise(lit("15 minutes"))))
+      .count().count()
+    val min = 60 * 1000L
+    // the gap is the CURRENT event's: a view holds 30 min, others 15
+    assert(sessions((0L, "view"), (30 * min, "click")) === 1,
+      "exactly at the view's 30-min end must merge (inclusive)")
+    assert(sessions((0L, "click"), (30 * min, "click")) === 2,
+      "a click only holds 15 min - same offset must split")
+    // running-max: the EARLIER view (30 min) outlasts the later click
+    // (15 min); the third event merges through the view's interval even
+    // though it is >15 min past the click
+    assert(sessions((0L, "view"), (5 * min, "click"), (25 * min, "click")) === 1,
+      "an earlier long-gap event must keep the session open (running max, not lag)")
+  }
+
   test("codec round-trip: both layouts lossless, zstd footprint measured") {
     import java.io.File
     import org.apache.spark.sql.functions._
