@@ -30,6 +30,8 @@ object MediaStreamQueries {
       EventsStreaming.viewPurchaseLeftJoin(s, d)),
     "q_stream_dedup_wm" -> ((s, d) =>
       EventsStreaming.dedupWithinWatermark(s, d)),
+    "q_stream_session_native" -> ((s, d) =>
+      EventsStreaming.sessionWindowStream(s, d)),
     "q_stream_enrich" -> ((s, d) =>
       EventsStreaming.cohortEnrichedCounts(s, d)),
     "q_stream_sessionize" -> ((s, d) =>
@@ -137,6 +139,10 @@ object MediaStreamQueries {
     // dedup must restore exactly the original duplicate-free table.
     "q_stream_dedup_wm" ->
       "SELECT event_id, event_type FROM events",
+
+    // Native streaming session_window must emit exactly the batch
+    // sessions — same oracle as q_session_window.
+    "q_stream_session_native" -> AnalyticsQueries.oracleSql("q_session_window"),
 
     // The stream-stream interval join equals the batch interval join.
     "q_stream_interval_join" ->

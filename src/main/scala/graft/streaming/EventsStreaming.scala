@@ -227,6 +227,33 @@ object EventsStreaming {
     runToParquet(spark, joined, name)
   }
 
+  /** NATIVE streaming sessionization — `session_window` under a
+    * watermark in append mode, the engine-managed counterpart of the
+    * `flatMapGroupsWithState` form (`sessionize`): the state store
+    * merges session intervals per user, and a session emits exactly
+    * once when the watermark passes its close. Same result contract as
+    * the batch `sessionWindowNative`, so they share an oracle; the EOS
+    * sentinels (filtered past the watermark collector, as everywhere)
+    * close the final open sessions.
+    */
+  def sessionWindowStream(spark: SparkSession, sfDir: String): DataFrame = withStreamPartitions(spark, 8) {
+    val name = s"graft_stream_swnative_${nameCounter.incrementAndGet()}"
+    val dir = stagedDir(spark, sfDir, withEos = true)
+    val agg = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .filter(col("event_type") =!= "eos" || col("ts").isNull)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("session_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("session_value"))
+    runToParquet(spark, agg, name)
+  }
+
   /** Bounded-state streaming dedup — `dropDuplicatesWithinWatermark`:
     * duplicate event_ids arriving within the watermark window are
     * dropped, and each key's state is EVICTED once the watermark passes
