@@ -47,6 +47,8 @@ object AnalyticsQueries {
     "q_events_json" -> ((s, d) => Analytics.eventsPropsDistribution(s, d)),
     "q_parse_quarantine" -> ((s, d) => Analytics.parseQuarantine(s, d)),
     "q_retention" -> ((s, d) => Analytics.retentionMatrix(s, d)),
+    "q_user_paths" -> ((s, d) => Analytics.userPaths(s, d)),
+    "q_anomaly_zscore" -> ((s, d) => Analytics.anomalyZscore(s, d)),
     "q_asof_join" -> ((s, d) => AsOf.purchaseToLastView(s, d)),
     // The same as-of semantics through the custom Catalyst operator
     // (AsofJoin LogicalPlan + strategy + exec) — oracle shared below.
@@ -322,6 +324,31 @@ object AnalyticsQueries {
     "q_events_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |count(*) AS n FROM events GROUP BY 1""".stripMargin,
+
+    // string_agg ORDER BY (ts, event_id) mirrors the engine's
+    // array_sort on the same key — event_id is globally unique so both
+    // orders are total.
+    "q_user_paths" ->
+      """WITH p AS (SELECT user_id,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM events GROUP BY user_id)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY path""".stripMargin,
+
+    // Moments from exact decimal sums; float math only in the final
+    // per-group scalar division/sqrt — identical on both engines.
+    "q_anomaly_zscore" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS total
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (SELECT event_type,
+        |    CAST(sum(total) AS DOUBLE) / count(*) AS mean,
+        |    sqrt(CAST(sum(total * total) AS DOUBLE) / count(*)
+        |      - pow(CAST(sum(total) AS DOUBLE) / count(*), 2)) AS std
+        |  FROM daily GROUP BY 1)
+        |SELECT d.event_type, d.day, CAST(d.total AS DOUBLE) AS total,
+        |  CAST(round((CAST(d.total AS DOUBLE) - s.mean) / s.std, 6) AS DOUBLE) AS zscore,
+        |  abs((CAST(d.total AS DOUBLE) - s.mean) / s.std) > 2.0 AS is_anomaly
+        |FROM daily d JOIN stats s USING (event_type)""".stripMargin,
 
     // DuckDB date_trunc returns DATE here and datediff is date
     // subtraction; Spark datediff returns INT — cast to match.

@@ -582,6 +582,58 @@ object Analytics {
       .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("n"))
 
+  /** User-journey path analysis — each user's ordered event-type
+    * sequence collapsed to a path string, counted per distinct journey
+    * (the funnel-free view of how users actually move). `collect_list`
+    * gives no ordering guarantee, so the struct list is `array_sort`ed
+    * on (ts, event_id) AFTER collection — deterministic on any executor
+    * layout. Per-user state is that user's own event list: bounded by
+    * per-user activity, the standard caveat being a heavy-hitter cap
+    * before the collect at extreme scale.
+    */
+  def userPaths(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(
+            unix_micros(col("ts")).as("t"),
+            col("event_id").as("e"),
+            col("event_type").as("et")))),
+          x => x.getField("et")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+
+  /** Daily-volume anomaly detection — per event type, z-scores of daily
+    * value totals against that type's own mean/stddev. The moments are
+    * derived from EXACT decimal sums (Σx, Σx², n) — the only float math
+    * is per-group scalar division/sqrt at the end, so no distributed
+    * float summation order can move a z-score across the |z| > 2 flag
+    * boundary. The daily rollup is the same partial-aggregate shape as
+    * q_agg_merge_partial — in production the z-pass reads the maintained
+    * daily table, not raw events.
+    */
+  def anomalyZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(dec("value")).as("total"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(sum(col("total")).as("s1"),
+        sum(col("total") * col("total")).as("s2"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"),
+        (col("s1").cast("double") / col("n")).as("mean"),
+        sqrt(col("s2").cast("double") / col("n")
+          - pow(col("s1").cast("double") / col("n"), 2)).as("std"))
+    daily.join(stats, "event_type")
+      .select(col("event_type"), col("day"),
+        col("total").cast("double").as("total"),
+        round((col("total").cast("double") - col("mean")) / col("std"), 6)
+          .as("zscore"),
+        (abs((col("total").cast("double") - col("mean")) / col("std")) > 2.0)
+          .as("is_anomaly"))
+  }
+
   /** Cohort retention matrix — the standard product-analytics shape:
     * users grouped by first-seen day (cohort), activity counted as
     * distinct users per (cohort, days-since-cohort). Two shuffles: the
