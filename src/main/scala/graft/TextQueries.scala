@@ -19,6 +19,7 @@ object TextQueries {
     "q_doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "q_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q_lm_score" -> ((s, d) => TextAnalysis.lmScore(s, d)),
+    "q_pmi_top" -> ((s, d) => TextAnalysis.pmiTop(s, d)),
     "q_redact_pii" -> ((s, d) => TextAnalysis.redactPiiQuery(s, d)),
     "q_extract_numbers" -> ((s, d) => TextAnalysis.extractNumbers(s, d)),
     "q_quality_audit" -> ((s, d) => TextAnalysis.qualityAudit(s, d)),
@@ -350,6 +351,28 @@ object TextQueries {
          |  coalesce(ov.n_overlap, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
          |WHERE d.doc_id >= 5""".stripMargin,
+
+    // Exact integer PMI ratio before the single ln, snapped to x1e6 —
+    // identical fixed-point ranking on both engines. Tie-break on
+    // (prev, cur) keeps the LIMIT stable.
+    "q_pmi_top" ->
+      s"""WITH $baseCte,
+         |toks AS (SELECT unnest(toks) AS token FROM base),
+         |uni AS (SELECT token, count(*) AS c_tok FROM toks GROUP BY 1),
+         |nu AS (SELECT sum(c_tok) AS n_uni FROM uni),
+         |bg AS (SELECT u['prev'] AS prev, u['cur'] AS cur
+         |  FROM (SELECT unnest(list_transform(range(len(toks)-1),
+         |      i -> {'prev': toks[i+1], 'cur': toks[i+2]})) AS u
+         |    FROM base WHERE len(toks) >= 2)),
+         |bi AS (SELECT prev, cur, count(*) AS c_bi FROM bg GROUP BY 1, 2),
+         |nb AS (SELECT sum(c_bi) AS n_bi FROM bi)
+         |SELECT prev, cur, c_bi,
+         |  CAST(round(ln((CAST(c_bi AS DOUBLE) * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE))
+         |    / (CAST(n_bi AS DOUBLE) * CAST(u1.c_tok AS DOUBLE) * CAST(u2.c_tok AS DOUBLE))) * 1e6) AS BIGINT) AS pmi_f
+         |FROM bi JOIN uni u1 ON bi.prev = u1.token
+         |JOIN uni u2 ON bi.cur = u2.token, nu, nb
+         |WHERE c_bi >= 5
+         |ORDER BY pmi_f DESC, prev, cur LIMIT 100""".stripMargin,
 
     // Identical deterministic PII injection (the corpus itself is
     // sanitized), then the same three-pattern redaction chain; DuckDB

@@ -245,6 +245,51 @@ object TextAnalysis {
           .as("lm_score"))
   }
 
+  /** Top collocations by pointwise mutual information — the corpus
+    * word-association statistic (feature engineering, tokenizer-merge
+    * candidates, phrase mining): PMI(x,y) = ln(p(xy) / (p(x)p(y))) over
+    * adjacent token pairs. The probability ratio collapses to the exact
+    * integer rational c_xy·N_u² / (N_bi·c_x·c_y) before the single ln —
+    * deterministic on any engine — and is snapped to ×10⁶ fixed point
+    * for the ranking. Same bigram/unigram shuffles as [[lmScore]];
+    * corpus totals ride the plan as broadcast 1-row aggregates. Top-k
+    * plans as TakeOrderedAndProject.
+    */
+  def pmiTop(spark: SparkSession, sfDir: String,
+      minCount: Int = 5, k: Int = 100): DataFrame = {
+    val t = wsTokens(col("text"))
+    val n = size(t)
+    val docs = Tables.documents(spark, sfDir)
+    val uni = docs.select(explode(t).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c_tok"))
+    val nUni = broadcast(uni.agg(sum(col("c_tok")).as("n_uni")))
+    val bigrams = when(n >= 2,
+      zip_with(slice(t, lit(1), n - 1), slice(t, lit(2), n - 1),
+        (x, y) => struct(x.as("prev"), y.as("cur"))))
+      .otherwise(array().cast("array<struct<prev:string,cur:string>>"))
+    val bi = docs.select(explode(bigrams).as("bg"))
+      .select(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c_bi"))
+    val nBi = broadcast(bi.agg(sum(col("c_bi")).as("n_bi")))
+    bi.filter(col("c_bi") >= minCount)
+      .join(uni.select(col("token").as("prev"), col("c_tok").as("c_prev")), "prev")
+      .join(uni.select(col("token").as("cur"), col("c_tok").as("c_cur")), "cur")
+      .crossJoin(nUni).crossJoin(nBi)
+      // each factor cast to double BEFORE multiplying: the bigint
+      // product c_bi·n_uni² overflows (ANSI throw) past ~10^9 tokens;
+      // double products in a fixed operation order are identical on
+      // both engines at any scale
+      .withColumn("pmi_f",
+        round(log((col("c_bi").cast("double") * col("n_uni").cast("double")
+            * col("n_uni").cast("double"))
+          / (col("n_bi").cast("double") * col("c_prev").cast("double")
+            * col("c_cur").cast("double"))) * lit(1e6))
+          .cast("bigint"))
+      .orderBy(col("pmi_f").desc, col("prev"), col("cur"))
+      .limit(k)
+      .select(col("prev"), col("cur"), col("c_bi"), col("pmi_f"))
+  }
+
   /** Content fingerprints: order-insensitive md5-prefix fingerprint plus
     * an order-sensitive rolling hash over the token stream.
     */
