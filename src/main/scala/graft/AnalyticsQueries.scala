@@ -48,6 +48,7 @@ object AnalyticsQueries {
     "q_parse_quarantine" -> ((s, d) => Analytics.parseQuarantine(s, d)),
     "q_retention" -> ((s, d) => Analytics.retentionMatrix(s, d)),
     "q_user_paths" -> ((s, d) => Analytics.userPaths(s, d)),
+    "q_attribution_first" -> ((s, d) => Analytics.firstTouchAttribution(s, d)),
     "q_anomaly_zscore" -> ((s, d) => Analytics.anomalyZscore(s, d)),
     "q_asof_join" -> ((s, d) => AsOf.purchaseToLastView(s, d)),
     // The same as-of semantics through the custom Catalyst operator
@@ -324,6 +325,23 @@ object AnalyticsQueries {
     "q_events_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |count(*) AS n FROM events GROUP BY 1""".stripMargin,
+
+    // First view in the 24h lookback per purchase (the as-of join's
+    // last-touch dual).
+    "q_attribution_first" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT p.purchase_id, v.view_id,
+        |    epoch_us(p.purchase_ts) - epoch_us(v.view_ts) AS touch_to_buy_us,
+        |    row_number() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY v.view_ts, v.view_id) AS rn
+        |  FROM p JOIN v ON p.user_id = v.user_id
+        |    AND v.view_ts <= p.purchase_ts
+        |    AND v.view_ts >= p.purchase_ts - INTERVAL 24 HOURS)
+        |SELECT purchase_id, view_id AS first_view_id, touch_to_buy_us
+        |FROM j WHERE rn = 1""".stripMargin,
 
     // string_agg ORDER BY (ts, event_id) mirrors the engine's
     // array_sort on the same key — event_id is globally unique so both

@@ -582,6 +582,35 @@ object Analytics {
       .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("n"))
 
+  /** First-touch attribution — each purchase credited to the EARLIEST
+    * view in its 24 h lookback (the as-of join is the last-touch dual:
+    * latest view before the event). The per-purchase rank filter plans
+    * as a partial WindowGroupLimit exactly like the kNN join, so the
+    * interval join's row-per-candidate output is pruned to one row per
+    * purchase per input partition before the exchange.
+    */
+  def firstTouchAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val w = Window.partitionBy(col("purchase_id"))
+      .orderBy(col("view_ts"), col("view_id"))
+    purchases.join(views,
+        col("user_id") === col("p_user")
+          && col("view_ts") <= col("purchase_ts")
+          && col("view_ts") >= col("purchase_ts") - expr("interval 24 hours"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("purchase_id"), col("view_id").as("first_view_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+          .as("touch_to_buy_us"))
+  }
+
   /** User-journey path analysis — each user's ordered event-type
     * sequence collapsed to a path string, counted per distinct journey
     * (the funnel-free view of how users actually move). `collect_list`
