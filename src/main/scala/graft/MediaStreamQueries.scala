@@ -17,6 +17,7 @@ object MediaStreamQueries {
     "q_media_frames" -> ((s, d) => Multimodal.frameSample(s, d)),
     "q_media_decode" -> ((s, d) => Multimodal.decode(s, d).toDF()),
     "q_media_resize" -> ((s, d) => Multimodal.resize(s, d).toDF()),
+    "q_media_dedup" -> ((s, d) => Multimodal.payloadDedup(s, d)),
     "q_stream_events_window" -> ((s, d) => EventsStreaming.dailyCounts(s, d)),
     "q_stream_events_append" -> ((s, d) => EventsStreaming.dailyCountsAppend(s, d)),
     "q_stream_flagship" -> ((s, _) => TwseStreaming.flagshipStream(s)),
@@ -52,6 +53,13 @@ object MediaStreamQueries {
       |p AS (SELECT doc_id, mt, (mt::BLOB || encode(text)) AS payload FROM m)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // identical payload BYTES collapse to one canonical row
+    "q_media_dedup" ->
+      s"""WITH $mediaCte
+         |SELECT md5(hex(payload)) AS payload_hash,
+         |  min(doc_id) AS canonical_id, count(*) AS n_copies
+         |FROM p GROUP BY 1""".stripMargin,
+
     "q_media_metadata" ->
       s"""WITH $mediaCte
          |SELECT doc_id, CAST(octet_length(payload) AS INTEGER) AS n_bytes,

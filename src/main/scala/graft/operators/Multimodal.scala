@@ -36,6 +36,19 @@ object Multimodal {
         concat(magic.cast("binary"), col("text").cast("binary")).as("payload"))
   }
 
+  /** Payload-level exact dedup — the multimodal face of `Dedup.exact`:
+    * identical media BYTES collapse to one canonical row regardless of
+    * which document carries them. Hashing happens per-row over the hex
+    * form (engine-portable) and only (hash, doc_id) pairs shuffle — at
+    * 100 TB the binary column never leaves its parquet column chunks
+    * except to stream through the per-row hash.
+    */
+  def payloadDedup(spark: SparkSession, sfDir: String): DataFrame =
+    media(spark, sfDir)
+      .groupBy(md5(hex(col("payload"))).as("payload_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+
   /** Metadata extraction — never touches payload bytes beyond the header:
     * byte length, 4-byte magic (as 8 hex chars), media type decoded from
     * the magic.
