@@ -20,6 +20,7 @@ object TextQueries {
     "q_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q_lm_score" -> ((s, d) => TextAnalysis.lmScore(s, d)),
     "q_pmi_top" -> ((s, d) => TextAnalysis.pmiTop(s, d)),
+    "q_distinctive_terms" -> ((s, d) => TextAnalysis.distinctiveTerms(s, d)),
     "q_redact_pii" -> ((s, d) => TextAnalysis.redactPiiQuery(s, d)),
     "q_extract_numbers" -> ((s, d) => TextAnalysis.extractNumbers(s, d)),
     "q_quality_audit" -> ((s, d) => TextAnalysis.qualityAudit(s, d)),
@@ -351,6 +352,31 @@ object TextQueries {
          |  coalesce(ov.n_overlap, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
          |WHERE d.doc_id >= 5""".stripMargin,
+
+    // Smoothed log-odds z-score from exact integer counts; same
+    // operation order as the engine so the per-source top-3 agrees.
+    "q_distinctive_terms" ->
+      s"""WITH $baseCte,
+         |toks AS (SELECT source, unnest(toks) AS token FROM base),
+         |ys AS (SELECT source, token, count(*) AS y_s FROM toks GROUP BY 1, 2),
+         |ya AS (SELECT token, count(*) AS y_all FROM toks GROUP BY 1),
+         |ns AS (SELECT source, sum(y_s) AS n_s FROM ys GROUP BY 1),
+         |tot AS (SELECT sum(y_all) AS n_all, count(*) AS v FROM ya),
+         |d AS (SELECT ys.source, ys.token, ys.y_s,
+         |  ln((CAST(y_s AS DOUBLE) + 1.0)
+         |    / (CAST(n_s AS DOUBLE) - CAST(y_s AS DOUBLE) + CAST(v AS DOUBLE)))
+         |  - ln((CAST(y_all - y_s AS DOUBLE) + 1.0)
+         |    / (CAST(n_all - n_s AS DOUBLE) - CAST(y_all - y_s AS DOUBLE) + CAST(v AS DOUBLE)))
+         |  AS lo,
+         |  1.0 / (CAST(y_s AS DOUBLE) + 1.0)
+         |    + 1.0 / (CAST(y_all - y_s AS DOUBLE) + 1.0) AS var
+         |  FROM ys JOIN ya USING (token) JOIN ns USING (source), tot)
+         |SELECT source, token, y_s, CAST(rn AS INTEGER) AS rn,
+         |  CAST(round(z, 6) AS DOUBLE) AS zscore
+         |FROM (SELECT *, lo / sqrt(var) AS z,
+         |  row_number() OVER (PARTITION BY source ORDER BY lo / sqrt(var) DESC, token) AS rn
+         |  FROM d)
+         |WHERE rn <= 3""".stripMargin,
 
     // Exact integer PMI ratio before the single ln, snapped to x1e6 —
     // identical fixed-point ranking on both engines. Tie-break on

@@ -290,6 +290,46 @@ object TextAnalysis {
       .select(col("prev"), col("cur"), col("c_bi"), col("pmi_f"))
   }
 
+  /** Per-source distinctive terms — smoothed log-odds ratio with a
+    * z-score (the "fightin' words" corpus-comparison statistic): which
+    * tokens does each source over-use relative to the rest of the
+    * corpus? The inputs are exact integer counts (per-source, corpus,
+    * totals, vocab size); the log-odds and its variance are per-row
+    * double math in a fixed operation order, so both engines rank
+    * identically. The top-k-per-source rank filter plans as a partial
+    * WindowGroupLimit. This is the source-triage statistic a curation
+    * pipeline uses to spot boilerplate-heavy or off-domain sources.
+    */
+  def distinctiveTerms(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(wsTokens(col("text"))).as("token"))
+    val ys = toks.groupBy(col("source"), col("token")).agg(count(lit(1)).as("y_s"))
+    val yAll = toks.groupBy(col("token")).agg(count(lit(1)).as("y_all"))
+    val nS = ys.groupBy(col("source")).agg(sum(col("y_s")).as("n_s"))
+    val totals = broadcast(yAll.agg(
+      sum(col("y_all")).as("n_all"), count(lit(1)).as("v")))
+    val d = ys.join(yAll, "token").join(nS, "source").crossJoin(totals)
+      .withColumn("y_r", col("y_all") - col("y_s"))
+      .withColumn("n_r", col("n_all") - col("n_s"))
+      // smoothed log-odds: ln((y+1)/(n - y + V)) per side, then the
+      // difference; variance ~ 1/(y_s+1) + 1/(y_r+1)
+      .withColumn("lo",
+        log((col("y_s").cast("double") + lit(1.0))
+          / (col("n_s").cast("double") - col("y_s").cast("double") + col("v").cast("double")))
+          - log((col("y_r").cast("double") + lit(1.0))
+            / (col("n_r").cast("double") - col("y_r").cast("double") + col("v").cast("double"))))
+      .withColumn("z", col("lo")
+        / sqrt(lit(1.0) / (col("y_s").cast("double") + lit(1.0))
+          + lit(1.0) / (col("y_r").cast("double") + lit(1.0))))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("z").desc, col("token"))
+    d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("token"), col("y_s"),
+        col("rn"), round(col("z"), 6).as("zscore"))
+  }
+
   /** Content fingerprints: order-insensitive md5-prefix fingerprint plus
     * an order-sensitive rolling hash over the token stream.
     */
