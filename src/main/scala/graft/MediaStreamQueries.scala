@@ -33,6 +33,8 @@ object MediaStreamQueries {
       EventsStreaming.dedupWithinWatermark(s, d)),
     "q_stream_session_native" -> ((s, d) =>
       EventsStreaming.sessionWindowStream(s, d)),
+    "q_stream_quarantine" -> ((s, d) =>
+      EventsStreaming.quarantineStream(s, d)),
     "q_stream_enrich" -> ((s, d) =>
       EventsStreaming.cohortEnrichedCounts(s, d)),
     "q_stream_sessionize" -> ((s, d) =>
@@ -151,6 +153,10 @@ object MediaStreamQueries {
     // Native streaming session_window must emit exactly the batch
     // sessions — same oracle as q_session_window.
     "q_stream_session_native" -> AnalyticsQueries.oracleSql("q_session_window"),
+
+    // The streamed DLQ fan-out must account for every row exactly like
+    // the batch quarantine — same oracle.
+    "q_stream_quarantine" -> AnalyticsQueries.oracleSql("q_parse_quarantine"),
 
     // The stream-stream interval join equals the batch interval join.
     "q_stream_interval_join" ->

@@ -227,6 +227,55 @@ object EventsStreaming {
     runToParquet(spark, joined, name)
   }
 
+  /** Streaming dead-letter fan-out — the DLQ pattern: ONE pass over
+    * each micro-batch routes clean rows to the main sink and
+    * unparseable rows to a quarantine sink, inside the same
+    * `foreachBatch` transaction scope (the batch is persisted once,
+    * both filters read the cached rows, no double scan of the source).
+    * Corruption is the q_parse_quarantine injection (event_id % 7 →
+    * truncated JSON); the result readback summarizes both sinks, so the
+    * oracle is the same disposition arithmetic. At scale this is how a
+    * pipeline keeps poison records from stalling ingest while never
+    * silently dropping them.
+    */
+  def quarantineStream(spark: SparkSession, sfDir: String): DataFrame = withStreamPartitions(spark, 8) {
+    val name = s"graft_stream_dlq_${nameCounter.incrementAndGet()}"
+    val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_sink_${jvmTag}_$name")
+    val okDir = base.resolve("ok").toString
+    val dlqDir = base.resolve("dlq").toString
+    val checkpoint = base.resolve("checkpoint").toString
+    val propsSchema = StructType(Seq(StructField("k", IntegerType)))
+    val parsed = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stagedDir(spark, sfDir, withEos = false))
+      .select(col("event_id"),
+        when(col("event_id") % 7 === 0, substring(col("props"), 1, 4))
+          .otherwise(col("props")).as("raw"))
+      .withColumn("k", from_json(col("raw"), propsSchema).getField("k"))
+    val q = parsed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          batch.filter(col("k").isNotNull)
+            .write.mode("append").parquet(okDir)
+          batch.filter(col("k").isNull)
+            .write.mode("append").parquet(dlqDir)
+        } finally { batch.unpersist(); () }
+      }
+      .start()
+    q.awaitTermination()
+    val ok = spark.read.parquet(okDir)
+      .select(lit("ok").as("disposition"), col("k"))
+    val dlq = spark.read.parquet(dlqDir)
+      .select(lit("quarantined").as("disposition"), col("k"))
+    ok.unionByName(dlq)
+      .groupBy(col("disposition"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).cast("bigint").as("sum_k"))
+  }
+
   /** NATIVE streaming sessionization — `session_window` under a
     * watermark in append mode, the engine-managed counterpart of the
     * `flatMapGroupsWithState` form (`sessionize`): the state store
