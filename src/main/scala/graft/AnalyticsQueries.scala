@@ -21,6 +21,7 @@ object AnalyticsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, d) => Analytics.pricingSummary(s, d)),
     "q_agg_merge_partial" -> ((s, d) => Analytics.mergePartialAggs(s, d)),
+    "q3_shipping" -> ((s, d) => Analytics.q3Shipping(s, d)),
     "q_join_enrich" -> ((s, d) => Analytics.revenueByNation(s, d)),
     "q_part_brand" -> ((s, d) => Analytics.partBrandRevenue(s, d)),
     "q_supplier_nation" -> ((s, d) => Analytics.supplierNationRevenue(s, d)),
@@ -111,6 +112,25 @@ object AnalyticsQueries {
          |CAST(sum($discPrice * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
          |count(*) AS n_rows
          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    // Revenue ordered while still exact decimal; cast to double only
+    // in the projection.
+    "q3_shipping" ->
+      """SELECT l_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+        |  CAST(rev_dec AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-06-30'
+        |    AND l_shipdate > TIMESTAMP '1998-06-30'
+        |  GROUP BY 1, 2, 3)
+        |ORDER BY rev_dec DESC, l_orderkey LIMIT 10""".stripMargin,
 
     // The merged-partials result must equal a from-scratch aggregate
     // over all history — that equality IS the correctness claim, so the

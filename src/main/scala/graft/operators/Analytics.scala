@@ -107,6 +107,38 @@ object Analytics {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q3 shape (shipping priority): top-k unshipped orders by
+    * revenue for one customer segment — the canonical
+    * filter→join→aggregate→top-k OLAP headline. Both date predicates
+    * push into their parquet scans before the joins; the segment
+    * dimension broadcasts; revenue stays EXACT decimal through the sort
+    * (ties impossible to mis-order across engines) and casts to double
+    * only in the final projection. Top-k is TakeOrderedAndProject.
+    */
+  def q3Shipping(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val cutoff = "1998-06-30"
+    val cust = broadcast(Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey")))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit(cutoff))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > lit(cutoff))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+        .as("rev_dec"))
+      .orderBy(col("rev_dec").desc, col("l_orderkey"))
+      .limit(k)
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"),
+        col("rev_dec").cast("double").as("revenue"))
+  }
+
   /** I7 — hierarchical rollup: (flag, status) → flag subtotals → grand
     * total, with an explicit grouping id so the levels are addressable.
     */
