@@ -22,6 +22,8 @@ object AnalyticsQueries {
     "q1_agg" -> ((s, d) => Analytics.pricingSummary(s, d)),
     "q_agg_merge_partial" -> ((s, d) => Analytics.mergePartialAggs(s, d)),
     "q3_shipping" -> ((s, d) => Analytics.q3Shipping(s, d)),
+    "q_large_orders" -> ((s, d) => Analytics.largeOrders(s, d)),
+    "q_window_range_frame" -> ((s, d) => Analytics.trailingHourSum(s, d)),
     "q_join_enrich" -> ((s, d) => Analytics.revenueByNation(s, d)),
     "q_part_brand" -> ((s, d) => Analytics.partBrandRevenue(s, d)),
     "q_supplier_nation" -> ((s, d) => Analytics.supplierNationRevenue(s, d)),
@@ -112,6 +114,27 @@ object AnalyticsQueries {
          |CAST(sum($discPrice * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
          |count(*) AS n_rows
          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    // HAVING on the aggregate before the enrichment joins.
+    "q_large_orders" ->
+      """SELECT c_name, l_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  CAST(total_qty AS DOUBLE) AS total_qty
+        |FROM (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    // RANGE frame over event time: the trailing hour covers an
+    // interval, not a row count.
+    "q_window_range_frame" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS trailing_1h
+        |FROM events""".stripMargin,
 
     // Revenue ordered while still exact decimal; cast to double only
     // in the projection.

@@ -139,6 +139,43 @@ object Analytics {
         col("rev_dec").cast("double").as("revenue"))
   }
 
+  /** TPC-H Q18 shape (large-volume orders): orders whose total quantity
+    * clears a threshold — the aggregate-then-filter (HAVING) pattern —
+    * enriched with their customer. The HAVING filter runs on the
+    * aggregate BEFORE the customer join, so only qualifying orders
+    * (a tiny fraction) reach it.
+    */
+  def largeOrders(spark: SparkSession, sfDir: String, minQty: Int = 150): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    big.join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("total_qty").cast("double").as("total_qty"))
+  }
+
+  /** Time-RANGE window frame — per user, each event's trailing-1-hour
+    * value sum: `rangeBetween` over the event-time axis (a ROWS frame
+    * counts rows; a RANGE frame covers an interval regardless of how
+    * many events fall in it — the correct semantics for rate/volume
+    * monitoring). One shuffle on the partition key; decimal-exact sums.
+    */
+  def trailingHourSum(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-hourUs, 0)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), dec("value").as("v"))
+      .withColumn("trailing_1h", sum(col("v")).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("trailing_1h"))
+  }
+
   /** I7 — hierarchical rollup: (flag, status) → flag subtotals → grand
     * total, with an explicit grouping id so the levels are addressable.
     */
