@@ -42,6 +42,7 @@ object TextQueries {
     "q_dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_dedup_verify_pairs" -> ((s, d) => Dedup.verifyPairs(s, d)),
+    "q_jaccard_calibration" -> ((s, d) => Dedup.jaccardCalibration(s, d)),
     "q_dedup_components" -> ((s, d) => Dedup.components(s, d)),
     "q_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "q_decontaminate_bloom" -> ((s, d) => Dedup.decontaminateBloom(s, d)),
@@ -341,6 +342,30 @@ object TextQueries {
 
     // Benchmark decontamination: any 3-shingle shared with the
     // benchmark slice (doc_id < 5) flags the document.
+    // The unbiased minhash estimator (agreeing rows / 16) against the
+    // exact shingle Jaccard, per surfaced candidate pair.
+    "q_jaccard_calibration" ->
+      (bandsCte +
+        s""",
+           |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b ON a.band_id = b.band_id
+           |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |ds AS (SELECT sh.doc_id, list_distinct(sh.s) AS shd, sig.g
+           |  FROM sh JOIN sig ON sh.doc_id = sig.doc_id),
+           |j AS (SELECT p.doc_a, p.doc_b,
+           |  CAST(len(list_filter(list_transform(range(16),
+           |    i -> sa.g[i+1] = sb.g[i+1]), x -> x)) AS INTEGER) AS n_agree,
+           |  len(list_intersect(sa.shd, sb.shd)) AS inter,
+           |  len(sa.shd) + len(sb.shd) - len(list_intersect(sa.shd, sb.shd)) AS uni
+           |  FROM prs p JOIN ds sa ON p.doc_a = sa.doc_id
+           |  JOIN ds sb ON p.doc_b = sb.doc_id)
+           |SELECT doc_a, doc_b, n_agree,
+           |  CAST(n_agree AS DOUBLE) / 16.0 AS est,
+           |  CAST(round(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 6) AS DOUBLE) AS exact_j,
+           |  CAST(round(abs(CAST(n_agree AS DOUBLE) / 16.0
+           |    - CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)), 6) AS DOUBLE) AS abs_err
+           |FROM j""".stripMargin),
+
     "q_decontaminate" ->
       s"""WITH $baseCte, $shinglesCte,
          |ex AS (SELECT doc_id, unnest(list_distinct(s)) AS shingle FROM sh),

@@ -133,6 +133,38 @@ object Dedup {
           - size(array_intersect(col("a.toks"), col("b.toks")))).as("tok_union"))
   }
 
+  /** Sketch calibration — how good is the 16-row minhash as a Jaccard
+    * estimator on the pairs it surfaced? Per candidate pair: the
+    * estimate (fraction of agreeing signature rows — the textbook
+    * unbiased minhash estimator) next to the EXACT shingle Jaccard and
+    * the absolute error. The numbers a pipeline owner uses to size the
+    * signature (16 rows ⇒ ±1/16 estimator granularity) and set the
+    * verify threshold. Signatures are per-row (narrow); exact Jaccard
+    * runs only on the candidate pairs, never all-pairs.
+    */
+  def jaccardCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashPairs(spark, sfDir)
+    def docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.HashExpressions.minhash_signature(col("text")).as("sig"),
+        array_distinct(shingles3(col("text"))).as("sh"))
+    pairs
+      .join(docs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(docs.as("b"), col("doc_b") === col("b.doc_id"))
+      .withColumn("n_agree",
+        size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+          b => b)))
+      .withColumn("est", col("n_agree").cast("double") / lit(16.0))
+      .withColumn("inter", size(array_intersect(col("a.sh"), col("b.sh"))))
+      .withColumn("uni", size(col("a.sh")) + size(col("b.sh")) - col("inter"))
+      .withColumn("exact",
+        round(col("inter").cast("double") / col("uni").cast("double"), 6))
+      .select(col("doc_a"), col("doc_b"), col("n_agree"), col("est"),
+        col("exact").as("exact_j"),
+        round(abs(col("est") - col("inter").cast("double") / col("uni").cast("double")), 6)
+          .as("abs_err"))
+  }
+
   /** The clustering stage of dedup: connected components over the LSH
     * candidate graph by iterative minimum-label propagation, then the
     * canonical (minimum) doc per component. The driver loop runs
