@@ -23,6 +23,7 @@ object AnalyticsQueries {
     "q_agg_merge_partial" -> ((s, d) => Analytics.mergePartialAggs(s, d)),
     "q3_shipping" -> ((s, d) => Analytics.q3Shipping(s, d)),
     "q_large_orders" -> ((s, d) => Analytics.largeOrders(s, d)),
+    "q_calendar_dim" -> ((s, d) => Analytics.calendarDim(s, d)),
     "q_window_range_frame" -> ((s, d) => Analytics.trailingHourSum(s, d)),
     "q_join_enrich" -> ((s, d) => Analytics.revenueByNation(s, d)),
     "q_part_brand" -> ((s, d) => Analytics.partBrandRevenue(s, d)),
@@ -114,6 +115,19 @@ object AnalyticsQueries {
          |CAST(sum($discPrice * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
          |count(*) AS n_rows
          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    // DuckDB dayofweek is 0=Sunday..6; Spark is 1=Sunday..7 — shift.
+    "q_calendar_dim" ->
+      """WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+        |    CAST(max(o_orderdate) AS DATE) AS d1 FROM orders),
+        |days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS ts FROM b)
+        |SELECT CAST(ts AS DATE) AS day,
+        |  CAST(year(ts) AS INTEGER) AS year,
+        |  CAST(quarter(ts) AS INTEGER) AS quarter,
+        |  CAST(month(ts) AS INTEGER) AS month,
+        |  CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+        |  dayofweek(ts) IN (0, 6) AS is_weekend
+        |FROM days""".stripMargin,
 
     // HAVING on the aggregate before the enrichment joins.
     "q_large_orders" ->

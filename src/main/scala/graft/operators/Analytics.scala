@@ -107,6 +107,28 @@ object Analytics {
         count(lit(1)).as("n_items"))
   }
 
+  /** Calendar dimension generator — the date dim every warehouse joins
+    * against, derived from the fact table's own bounds so it never
+    * drifts: one row per day between min and max order date with the
+    * standard attributes. The bounds ride the plan as a broadcast 1-row
+    * aggregate and `sequence` explodes INSIDE the plan — no driver
+    * round-trip, grid size is calendar-bounded regardless of fact
+    * volume (the q_gap_fill pattern, reified as a reusable dimension).
+    */
+  def calendarDim(spark: SparkSession, sfDir: String): DataFrame = {
+    val bounds = broadcast(Tables.orders(spark, sfDir)
+      .agg(to_date(min(col("o_orderdate"))).as("d0"),
+        to_date(max(col("o_orderdate"))).as("d1")))
+    bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .select(col("day"),
+        year(col("day")).as("year"),
+        quarter(col("day")).as("quarter"),
+        month(col("day")).as("month"),
+        dayofweek(col("day")).as("dow"),
+        (dayofweek(col("day")).isin(1, 7)).as("is_weekend"))
+  }
+
   /** TPC-H Q3 shape (shipping priority): top-k unshipped orders by
     * revenue for one customer segment — the canonical
     * filter→join→aggregate→top-k OLAP headline. Both date predicates
