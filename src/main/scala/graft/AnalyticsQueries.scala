@@ -78,6 +78,8 @@ object AnalyticsQueries {
     // instead of a nested-loop inequality join.
     "q_range_join" -> ((s, d) => Analytics.activeSessionsPerHour(s, d)),
     "q_funnel" -> ((s, d) => Analytics.funnel(s, d)),
+    "q_funnel_1h" -> ((s, d) => Analytics.funnelTimeBound(s, d)),
+    "q_revenue_share" -> ((s, d) => Analytics.revenueShare(s, d)),
     "q_event_gaps" -> ((s, d) => Analytics.interEventGaps(s, d)),
     "q_gap_fill" -> ((s, d) => Analytics.eventsGapFill(s, d)),
     "q_window_funcs" -> ((s, d) => Analytics.windowFuncs(s, d)),
@@ -685,6 +687,36 @@ object AnalyticsQueries {
         |SELECT '1_view' AS stage, count(*) AS n_users FROM v
         |UNION ALL SELECT '2_click', count(*) FROM c
         |UNION ALL SELECT '3_purchase', count(*) FROM p""".stripMargin,
+
+    // Each stage must land within 1h of the previous one.
+    "q_funnel_1h" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS view_us FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT ev.user_id, min(us) AS click_us FROM ev JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND us > view_us
+        |    AND us <= view_us + 3600000000 GROUP BY ev.user_id),
+        |p AS (SELECT ev.user_id, min(us) AS purchase_us FROM ev JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > click_us
+        |    AND us <= click_us + 3600000000 GROUP BY ev.user_id)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click_1h', count(*) FROM c
+        |UNION ALL SELECT '3_purchase_1h', count(*) FROM p""".stripMargin,
+
+    // Decimal-exact sums, one double division per group.
+    "q_revenue_share" ->
+      """WITH bn AS (SELECT n_name,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name),
+        |t AS (SELECT sum(rev_dec) AS total_dec FROM bn)
+        |SELECT n_name, CAST(rev_dec AS DOUBLE) AS revenue,
+        |  CAST(round(CAST(rev_dec AS DOUBLE) / CAST(total_dec AS DOUBLE), 6) AS DOUBLE) AS share
+        |FROM bn, t""".stripMargin,
 
     // Same union+window as-of construction as the Spark side (NOT DuckDB's
     // native ASOF JOIN) so tie-breaking is bit-identical. The native

@@ -605,6 +605,56 @@ object Analytics {
         .select(lit("3_purchase").as("stage"), col("n_users")))
   }
 
+  /** Time-bounded funnel — the industry funnel definition: each stage
+    * must follow the previous one WITHIN the conversion window (1 h
+    * here); a purchase a week after the click is organic, not funnel
+    * conversion. Same stage-chained min-aggregate shape as [[funnel]],
+    * with the upper time bound added to each stage filter.
+    */
+  def funnelTimeBound(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("view_us"))
+    val c = ev.join(v, "user_id")
+      .filter(col("event_type") === "click"
+        && col("us") > col("view_us") && col("us") <= col("view_us") + hourUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("click_us"))
+    val p = ev.join(c, "user_id")
+      .filter(col("event_type") === "purchase"
+        && col("us") > col("click_us") && col("us") <= col("click_us") + hourUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("purchase_us"))
+    v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+      .unionByName(c.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click_1h").as("stage"), col("n_users")))
+      .unionByName(p.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase_1h").as("stage"), col("n_users")))
+  }
+
+  /** Share-of-total (ratio-to-report): each nation's revenue as a share
+    * of the whole — the grand total rides the plan as a broadcast 1-row
+    * aggregate (no partition-less window, which would funnel every row
+    * through one task). Decimal-exact sums; one double division per
+    * group at the end.
+    */
+  def revenueShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val byNation = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+        .as("rev_dec"))
+    val total = broadcast(byNation.agg(sum(col("rev_dec")).as("total_dec")))
+    byNation.crossJoin(total)
+      .select(col("n_name"),
+        col("rev_dec").cast("double").as("revenue"),
+        round(col("rev_dec").cast("double") / col("total_dec").cast("double"), 6)
+          .as("share"))
+  }
+
   /** Sessionization: 30-minute-gap sessions per user — gaps-and-islands
     * with lag + running sum over one (user_id, ts) exchange. Gap compare
     * is in integer microseconds so engines agree exactly. The streaming
