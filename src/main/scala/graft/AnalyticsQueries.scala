@@ -79,6 +79,7 @@ object AnalyticsQueries {
     "q_range_join" -> ((s, d) => Analytics.activeSessionsPerHour(s, d)),
     "q_funnel" -> ((s, d) => Analytics.funnel(s, d)),
     "q_funnel_1h" -> ((s, d) => Analytics.funnelTimeBound(s, d)),
+    "q_join_salted" -> ((s, d) => Analytics.saltedJoin(s, d)),
     "q_revenue_share" -> ((s, d) => Analytics.revenueShare(s, d)),
     "q_event_gaps" -> ((s, d) => Analytics.interEventGaps(s, d)),
     "q_gap_fill" -> ((s, d) => Analytics.eventsGapFill(s, d)),
@@ -687,6 +688,14 @@ object AnalyticsQueries {
         |SELECT '1_view' AS stage, count(*) AS n_users FROM v
         |UNION ALL SELECT '2_click', count(*) FROM c
         |UNION ALL SELECT '3_purchase', count(*) FROM p""".stripMargin,
+
+    // The salted join must equal the plain join — that equality IS the
+    // pattern's correctness claim.
+    "q_join_salted" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     // Each stage must land within 1h of the previous one.
     "q_funnel_1h" ->

@@ -605,6 +605,28 @@ object Analytics {
         .select(lit("3_purchase").as("stage"), col("n_users")))
   }
 
+  /** Explicitly salted join — the skew pattern for when a hot key would
+    * overwhelm one task and runtime skew-splitting (AQE) can't apply
+    * (e.g. the build side can't be subdivided): the FACT side key gains
+    * a deterministic salt `hash(row) % S`, the DIMENSION side replicates
+    * each row S times (one per salt value), and the join runs on
+    * (key, salt) — the hot key's rows spread across S tasks. Result is
+    * provably identical to the unsalted join, which is what the oracle
+    * checks. Replication cost is S × |dim|, paid only on the small side.
+    */
+  def saltedJoin(spark: SparkSession, sfDir: String, salts: Int = 8): DataFrame = {
+    val fact = Tables.orders(spark, sfDir)
+      .withColumn("salt", pmod(xxhash64(col("o_orderkey")), lit(salts)).cast("int"))
+    val dim = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    fact.join(dim,
+        col("o_custkey") === col("c_custkey") && fact("salt") === dim("salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec("o_totalprice")).cast("double").as("sum_total"))
+  }
+
   /** Time-bounded funnel — the industry funnel definition: each stage
     * must follow the previous one WITHIN the conversion window (1 h
     * here); a purchase a week after the click is organic, not funnel
