@@ -405,23 +405,32 @@ object AnalyticsQueries {
 
     // string_agg ORDER BY (ts, event_id) mirrors the engine's
     // array_sort on the same key — event_id is globally unique so both
-    // orders are total.
+    // orders are total. The rank prune + truncated flag mirror the
+    // engine's heavy-hitter cap (graft.paths.maxEventsPerUser = 10000).
     "q_user_paths" ->
-      """WITH p AS (SELECT user_id,
-        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS path
-        |  FROM events GROUP BY user_id)
-        |SELECT path, count(*) AS n_users FROM p GROUP BY path""".stripMargin,
+      """WITH r AS (SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS cnt
+        |  FROM events),
+        |p AS (SELECT user_id,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+        |    max(cnt) > 10000 AS truncated
+        |  FROM r WHERE rn <= 10000 GROUP BY user_id)
+        |SELECT path, truncated, count(*) AS n_users FROM p GROUP BY 1, 2""".stripMargin,
 
-    // Moments from exact decimal sums; float math only in the final
-    // per-group scalar division/sqrt — identical on both engines.
+    // Moments from exact integer fixed-point sums (cents; HUGEINT Σx²
+    // mirrors the engine's decimal(38) — both exact integers, so the
+    // DOUBLE conversions agree bit-for-bit); float math only in the
+    // final per-group scalar division/sqrt — identical on both engines.
     "q_anomaly_zscore" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
-        |    sum(CAST(value AS DECIMAL(18,2))) AS total
+        |    sum(CAST(value AS DECIMAL(18,2))) AS total,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
         |  FROM events GROUP BY 1, 2),
         |stats AS (SELECT event_type,
-        |    CAST(sum(total) AS DOUBLE) / count(*) AS mean,
-        |    sqrt(CAST(sum(total * total) AS DOUBLE) / count(*)
-        |      - pow(CAST(sum(total) AS DOUBLE) / count(*), 2)) AS std
+        |    CAST(sum(cents) AS DOUBLE) / 100.0 / count(*) AS mean,
+        |    sqrt(CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE) / 10000.0 / count(*)
+        |      - pow(CAST(sum(cents) AS DOUBLE) / 100.0 / count(*), 2)) AS std
         |  FROM daily GROUP BY 1)
         |SELECT d.event_type, d.day, CAST(d.total AS DOUBLE) AS total,
         |  CAST(round((CAST(d.total AS DOUBLE) - s.mean) / s.std, 6) AS DOUBLE) AS zscore,

@@ -20,6 +20,7 @@ object MediaStreamQueries {
     "q_media_dedup" -> ((s, d) => Multimodal.payloadDedup(s, d)),
     "q_stream_events_window" -> ((s, d) => EventsStreaming.dailyCounts(s, d)),
     "q_stream_events_append" -> ((s, d) => EventsStreaming.dailyCountsAppend(s, d)),
+    "q_stream_daily_rollup" -> ((s, d) => EventsStreaming.dailyRollupMaintained(s, d)),
     "q_stream_flagship" -> ((s, _) => TwseStreaming.flagshipStream(s)),
     "q_stream_flagship_jdbc" -> ((s, _) =>
       graft.streaming.JdbcStreamSink.flagshipStreamJdbc(s)),
@@ -123,6 +124,17 @@ object MediaStreamQueries {
 
     // Append mode + watermark must emit exactly the same closed windows.
     "q_stream_events_append" -> AnalyticsQueries.oracleSql("q_events_window"),
+
+    // The foreachBatch-MAINTAINED daily-partials table (3 micro-batch
+    // upserts, dynamic partition overwrite) must equal the from-scratch
+    // aggregate over all history — exact integer-cents partials make it
+    // bit-identical, which is precisely what this oracle computes.
+    "q_stream_daily_rollup" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+        |  count(*) AS n,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)
+        |    / 100.0 AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // Stream-static join result must equal the all-batch formulation.
     "q_stream_enrich" ->

@@ -51,7 +51,15 @@ object SketchFunctions {
     * blob will later prune (benchmark suites, blocklists); the collect
     * moves only the ~numBits/8-byte sketch, never the rows.
     */
-  def buildBloom(df: DataFrame, c: Column, expectedItems: Long, numBits: Long): Array[Byte] =
-    df.select(bloom_filter_agg(c, expectedItems, numBits).as("bf"))
+  def buildBloom(df: DataFrame, c: Column, expectedItems: Long, numBits: Long): Array[Byte] = {
+    val blob = df.select(bloom_filter_agg(c, expectedItems, numBits).as("bf"))
       .head().getAs[Array[Byte]]("bf")
+    // BloomFilterAggregate yields NULL on an empty build side, and
+    // bloom_might_contain(NULL, …) filters EVERY row — a decontamination
+    // pass would silently report zero contamination. Fail loudly instead.
+    require(blob != null,
+      "buildBloom: build side is empty — refusing to return a NULL bloom " +
+        "sketch (it would silently filter every probe row)")
+    blob
+  }
 }

@@ -779,12 +779,29 @@ object Analytics {
     * (the funnel-free view of how users actually move). `collect_list`
     * gives no ordering guarantee, so the struct list is `array_sort`ed
     * on (ts, event_id) AFTER collection — deterministic on any executor
-    * layout. Per-user state is that user's own event list: bounded by
-    * per-user activity, the standard caveat being a heavy-hitter cap
-    * before the collect at extreme scale.
+    * layout.
+    *
+    * Per-user state is that user's own event list, which at 100 TB is
+    * unbounded in the worst case: one bot user with millions of events
+    * turns the collect into a single straggler/OOM task. The cap
+    * `graft.paths.maxEventsPerUser` (default 10000) bounds it: a
+    * window-rank prune keeps each user's FIRST cap events (by ts,
+    * event_id) before the collect, and truncation is surfaced as a
+    * `truncated` output column rather than silently hidden — capped
+    * journeys group separately so downstream consumers can exclude or
+    * re-process them. The rank and the per-user count share one
+    * (user_id) exchange+sort.
     */
-  def userPaths(spark: SparkSession, sfDir: String): DataFrame =
+  def userPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val cap = spark.conf.getOption("graft.paths.maxEventsPerUser")
+      .map(_.toInt).getOrElse(10000)
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
     Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(byUser))
+      .withColumn("n_ev", count(lit(1)).over(byUser
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("rn") <= cap)
       .groupBy(col("user_id"))
       .agg(array_join(
         transform(
@@ -792,31 +809,40 @@ object Analytics {
             unix_micros(col("ts")).as("t"),
             col("event_id").as("e"),
             col("event_type").as("et")))),
-          x => x.getField("et")), ">").as("path"))
-      .groupBy(col("path"))
+          x => x.getField("et")), ">").as("path"),
+        (max(col("n_ev")) > cap).as("truncated"))
+      .groupBy(col("path"), col("truncated"))
       .agg(count(lit(1)).as("n_users"))
+  }
 
   /** Daily-volume anomaly detection — per event type, z-scores of daily
     * value totals against that type's own mean/stddev. The moments are
-    * derived from EXACT decimal sums (Σx, Σx², n) — the only float math
-    * is per-group scalar division/sqrt at the end, so no distributed
-    * float summation order can move a z-score across the |z| > 2 flag
-    * boundary. The daily rollup is the same partial-aggregate shape as
-    * q_agg_merge_partial — in production the z-pass reads the maintained
-    * daily table, not raw events.
+    * derived from EXACT integer sums (Σx, Σx², n) in fixed-point cents —
+    * the pagerank pattern: decimal `total*total` would exceed width 38
+    * and silently promote to order-dependent DOUBLE on the oracle side
+    * (and lose precision under Spark's 38-cap), while BIGINT cents
+    * squared into a wide exact integer stays bit-identical on both
+    * engines. The only float math is per-group scalar division/sqrt at
+    * the end, so no distributed summation order can move a z-score
+    * across the |z| > 2 flag boundary. The daily rollup is the same
+    * partial-aggregate shape as q_agg_merge_partial — in production the
+    * z-pass reads the maintained daily table, not raw events.
     */
   def anomalyZscore(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = Tables.events(spark, sfDir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(sum(dec("value")).as("total"))
+      .withColumn("cents", (col("total") * 100).cast("long"))
     val stats = daily.groupBy(col("event_type"))
-      .agg(sum(col("total")).as("s1"),
-        sum(col("total") * col("total")).as("s2"),
+      .agg(sum(col("cents")).as("s1c"),
+        // decimal(18)² = decimal(37): exact product, exact decimal(38) sum
+        sum(col("cents").cast("decimal(18,0)")
+          * col("cents").cast("decimal(18,0)")).as("s2c"),
         count(lit(1)).as("n"))
       .select(col("event_type"),
-        (col("s1").cast("double") / col("n")).as("mean"),
-        sqrt(col("s2").cast("double") / col("n")
-          - pow(col("s1").cast("double") / col("n"), 2)).as("std"))
+        (col("s1c").cast("double") / 100.0 / col("n")).as("mean"),
+        sqrt(col("s2c").cast("double") / 10000.0 / col("n")
+          - pow(col("s1c").cast("double") / 100.0 / col("n"), 2)).as("std"))
     daily.join(stats, "event_type")
       .select(col("event_type"), col("day"),
         col("total").cast("double").as("total"),

@@ -69,6 +69,16 @@ object DataPrep {
 
   /** A-ES core over any (doc_id, lang, …) relation with an explicit
     * positive weight expression.
+    *
+    * Determinism caveat (documented, accepted): the rank key ln(u)/w
+    * relies on Java `Math.log` and the oracle engine's libm producing
+    * the same double for the same u — ln is not correctly rounded in
+    * either, so a 1-ulp divergence at a near-tie could in principle flip
+    * the top-k cut. The u values here are md5-derived dyadic rationals
+    * (k/2³², never pathological halfway points), five rounds of
+    * tri-scale runs have never surfaced a flip, and the alternative
+    * (integer rank keys) would change the A-ES math itself — so the risk
+    * is recorded rather than engineered away.
     */
   private[graft] def weightedSampleFrom(df: DataFrame, weight: org.apache.spark.sql.Column,
       k: Int): DataFrame = {

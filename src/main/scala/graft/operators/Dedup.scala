@@ -297,33 +297,98 @@ object Dedup {
         (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
   }
 
-  /** Incremental near-dup detection — the production ingest shape. A
-    * standing corpus's minhash band index is PERSISTED once (parquet,
-    * idempotent per sfDir; in production a maintained table that each
-    * ingest appends to), and a new batch joins only ITS OWN band keys
-    * against that index: per-ingest work is O(new batch) + an index
-    * probe, never a re-clustering of the full corpus. Here docs with
-    * doc_id ≥ `newBound` play the incoming batch and the rest are the
-    * standing corpus; the output flags each new document with its
-    * duplicate-candidate count and first matching corpus doc.
+  /** Catalog name of the standing band-index table for (sfDir, bound).
+    * One managed table per corpus: in production this is the Hive
+    * metastore / Glue / Unity table every ingest job shares.
     */
-  def dedupIncremental(spark: SparkSession, sfDir: String,
-      newBound: Long = 450L): DataFrame = {
-    val indexDir = s"${sys.props("java.io.tmpdir")}/graft_bandindex_" +
-      s"${new java.io.File(sfDir).getName}_$newBound"
-    if (!new java.io.File(indexDir, "_SUCCESS").exists())
-      minhashBands(spark, sfDir)
-        .filter(col("doc_id") < newBound)
-        .write.mode("overwrite").parquet(indexDir)
-    val index = spark.read.parquet(indexDir)
+  private[graft] def bandIndexTable(sfDir: String, bound: Long): String =
+    "graft_band_index_" +
+      s"${new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9_]", "_")}_$bound"
+
+  /** Seed — or validate and reuse — the standing corpus's band index as
+    * a MANAGED, appendable catalog table. Reuse is gated on a content
+    * fingerprint (corpus doc count + max doc_id must match the source),
+    * so regenerated fixture data at the same path triggers a rebuild
+    * instead of silently probing a stale index; the check costs one
+    * narrow aggregate over the (small) index, never a corpus rescan.
+    * Returns the table name.
+    */
+  private[graft] def ensureBandIndex(spark: SparkSession, sfDir: String,
+      bound: Long): String = {
+    val t = bandIndexTable(sfDir, bound)
+    val src = Tables.documents(spark, sfDir).filter(col("doc_id") < bound)
+      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx")).head()
+    val (nDocs, maxDoc) =
+      (src.getLong(0), if (src.isNullAt(1)) -1L else src.getLong(1))
+    // fingerprint only the SEED slice (doc_id < bound): appended ingest
+    // batches carry doc_id ≥ bound and must not look like staleness
+    val reusable = spark.catalog.tableExists(t) && {
+      val idx = spark.table(t).filter(col("doc_id") < bound)
+        .agg(countDistinct(col("doc_id")).as("n"), max(col("doc_id")).as("mx"))
+        .head()
+      idx.getLong(0) == nDocs &&
+        (nDocs == 0L || (!idx.isNullAt(1) && idx.getLong(1) == maxDoc))
+    }
+    if (!reusable) {
+      // a fresh session's in-memory catalog may not know the table while
+      // its warehouse directory (from an earlier JVM) still exists —
+      // saveAsTable would then refuse with LOCATION_ALREADY_EXISTS.
+      // Drop both the metadata and any orphaned directory before seeding.
+      // (With a persistent metastore the tableExists check above reuses
+      // the index across JVMs instead of ever reaching this branch.)
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+      minhashBands(spark, sfDir).filter(col("doc_id") < bound)
+        .write.mode("overwrite").format("parquet").saveAsTable(t)
+    }
+    t
+  }
+
+  /** Append one ingested batch's band keys to the standing index so the
+    * NEXT ingest probes them — the O(new batch) append that keeps
+    * steady-state ingest incremental (no corpus re-clustering, ever).
+    */
+  private[graft] def appendToBandIndex(spark: SparkSession, table: String,
+      bands: DataFrame): Unit =
+    bands.select(col("doc_id"), col("band_id"), col("band_key"))
+      .write.mode("append").format("parquet").saveAsTable(table)
+
+  /** Probe a batch's band keys against the standing index: candidate
+    * count + first matching corpus doc per probed doc_id. Shuffles only
+    * (band_id, band_key, doc_id) tuples on the collision key.
+    */
+  private[graft] def probeBandIndex(spark: SparkSession, table: String,
+      newBands: DataFrame): DataFrame = {
+    val index = spark.table(table)
       .select(col("doc_id").as("corpus_doc"), col("band_id"), col("band_key"))
-    val newBands = minhashBands(spark, sfDir)
-      .filter(col("doc_id") >= newBound)
-    val hits = newBands.join(index, Seq("band_id", "band_key"))
+    newBands.join(index, Seq("band_id", "band_key"))
       .select(col("doc_id"), col("corpus_doc")).distinct()
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_candidates"),
         min(col("corpus_doc")).as("first_match"))
+  }
+
+  /** Incremental near-dup detection — the production ingest shape. The
+    * standing corpus's minhash band index lives in a MANAGED catalog
+    * table ([[ensureBandIndex]]: content-fingerprint-validated seed,
+    * [[appendToBandIndex]]: per-ingest append), and a new batch joins
+    * only ITS OWN band keys against that index: per-ingest work is
+    * O(new batch) + an index probe, never a re-clustering of the full
+    * corpus. Here docs with doc_id ≥ `newBound` play the incoming batch
+    * and the rest are the standing corpus; the output flags each new
+    * document with its duplicate-candidate count and first matching
+    * corpus doc. IncrementalDedupSpec drives two successive batches
+    * through the same table with an append in between.
+    */
+  def dedupIncremental(spark: SparkSession, sfDir: String,
+      newBound: Long = 450L): DataFrame = {
+    val table = ensureBandIndex(spark, sfDir, newBound)
+    val newBands = minhashBands(spark, sfDir)
+      .filter(col("doc_id") >= newBound)
+    val hits = probeBandIndex(spark, table, newBands)
     Tables.documents(spark, sfDir)
       .filter(col("doc_id") >= newBound)
       .select(col("doc_id"))

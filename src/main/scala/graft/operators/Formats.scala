@@ -187,7 +187,11 @@ object Formats {
     */
   def schemaEvolutionRead(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = fmtDir("evolve", sfDir)
-    if (!new File(s"$dir/v=1", "_SUCCESS").exists()) {
+    // gate on BOTH generation markers: a crash between the v=1 and v=2
+    // writes must not leave a half-built fixture that later runs read as
+    // complete (the v=1-only check would)
+    if (!new File(s"$dir/v=1", "_SUCCESS").exists()
+        || !new File(s"$dir/v=2", "_SUCCESS").exists()) {
       val o = Tables.orders(spark, sfDir)
       o.filter(col("o_orderkey") % 2 === 0).drop("o_orderpriority")
         .write.mode("overwrite").parquet(s"$dir/v=1")

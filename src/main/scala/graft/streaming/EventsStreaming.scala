@@ -24,6 +24,22 @@ object EventsStreaming {
   // (possibly older code) can never replay into this run's output
   private val jvmTag = java.util.UUID.randomUUID().toString.take(8)
 
+  /** Per-run StreamingQueryProgress trail, keyed by stream name — the
+    * observability hook: state-store size, memory, and EVICTION counts
+    * per trigger, so "watermark-bounded state" is measured, not argued
+    * (StreamingStateSpec asserts on these).
+    */
+  private val progressLog =
+    new scala.collection.concurrent.TrieMap[String, Array[org.apache.spark.sql.streaming.StreamingQueryProgress]]()
+
+  /** Latest recorded progress trail for a stream-name prefix (names
+    * carry a per-JVM counter suffix; highest counter wins).
+    */
+  private[graft] def lastProgressFor(prefix: String): Array[org.apache.spark.sql.streaming.StreamingQueryProgress] =
+    progressLog.toSeq.filter(_._1.startsWith(prefix))
+      .sortBy { case (k, _) => k.stripPrefix(prefix).toIntOption.getOrElse(-1) }
+      .lastOption.map(_._2).getOrElse(Array.empty)
+
   /** Distributed streaming terminal: run the query through a
     * `foreachBatch` parquet sink and hand back the readback. Unlike a
     * `format("memory")` sink — which materializes every emitted row in
@@ -52,6 +68,7 @@ object EventsStreaming {
       }
       .start()
     q.awaitTermination()
+    progressLog.put(name, q.recentProgress)
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(sink)))
       spark.read.schema(result.schema).parquet(sink)
     else // zero triggers fired (empty source): typed empty result
@@ -133,6 +150,110 @@ object EventsStreaming {
     spark.readStream.schema(rawSchema)
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Stage events split into `shards` files so `maxFilesPerTrigger=1`
+    * yields that many micro-batches — the multi-ingest shape the rollup
+    * maintenance loop exists for. Hash-sharded on event_id so content is
+    * deterministic; gated on _SUCCESS so a crashed half-write rebuilds.
+    */
+  private def stagedShardedDir(spark: SparkSession, sfDir: String, shards: Int): String = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_stream_src_sharded${shards}_$safe")
+    if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
+      spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+        .repartition(shards, col("event_id"))
+        .write.mode("overwrite").parquet(dir.toString)
+    dir.toString
+  }
+
+  /** Materialized incremental rollup — the maintained daily-partials
+    * table that `Analytics.mergePartialAggs`'s algebra exists for, as
+    * running code. Each micro-batch's per-(day, event_type) PARTIAL sums
+    * (exact integer cents + row count) are upserted into a
+    * day-partitioned parquet table via DYNAMIC partition overwrite:
+    * only the day partitions the batch touched are rewritten (old
+    * partial merged with batch partial by algebraic re-aggregation),
+    * history is never rescanned — per-ingest cost is O(batch + touched
+    * days), the only shape that survives a years-deep table at 100 TB.
+    * Because partials are exact integers, the maintained table is
+    * bit-identical to a from-scratch aggregate over all history — which
+    * is exactly what the oracle computes. This is the table the
+    * production forms of anomalyZscore / retention read instead of raw
+    * events.
+    */
+  def dailyRollupMaintained(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamPartitions(spark, 8) {
+      val name = s"graft_stream_rollup_${nameCounter.incrementAndGet()}"
+      val srcDir = stagedShardedDir(spark, sfDir, shards = 3)
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_rollup_${jvmTag}_$name")
+      val tableDir = base.resolve("table").toString
+      val q = spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .writeStream
+        .option("checkpointLocation", base.resolve("checkpoint").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          upsertDailyPartials(batch, tableDir, batchId)
+        }
+        .start()
+      q.awaitTermination()
+      // the final rollup is a plain read of the MAINTAINED table
+      spark.read.parquet(tableDir)
+        .select(col("day").cast("string").as("day"), col("event_type"),
+          col("p_n").as("n"),
+          (col("p_cents").cast("double") / 100.0).as("total_value"))
+    }
+
+  /** One maintenance upsert: merge a batch's daily partials into the
+    * partitioned table, rewriting ONLY the touched day partitions. A
+    * per-batch applied marker makes checkpoint REPLAY idempotent — a
+    * re-delivered batch must not double-merge (the foreachBatch
+    * exactly-once pattern, same idea as JdbcStreamSink's batchId
+    * ledger). Table existence is detected from partition directories,
+    * NOT a _SUCCESS marker: the dynamic-partition-overwrite commit
+    * protocol doesn't write one at the table root.
+    */
+  private def upsertDailyPartials(batch: DataFrame, tableDir: String,
+      batchId: Long): Unit = {
+    val root = new java.io.File(tableDir)
+    val appliedMarker = new java.io.File(root, s"_applied_$batchId")
+    if (appliedMarker.exists()) return // replayed batch: already merged
+    val spark = batch.sparkSession
+    val partials = batch
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .as("p_cents"),
+        count(lit(1)).as("p_n"))
+    val hasPartitions = Option(root.listFiles())
+      .exists(_.exists(_.getName.startsWith("day=")))
+    val merged =
+      if (hasPartitions) {
+        // touched days only — a handful of partition values, never rows
+        val days = partials.select(col("day")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        val existing = spark.read.parquet(tableDir)
+          .select(col("day").cast("string").as("day"), col("event_type"),
+            col("p_cents"), col("p_n"))
+          .filter(col("day").isin(days: _*))
+        existing.unionByName(partials)
+          .groupBy(col("day"), col("event_type"))
+          .agg(sum(col("p_cents")).as("p_cents"), sum(col("p_n")).as("p_n"))
+      } else partials
+    // localCheckpoint breaks the file lineage: we overwrite the very
+    // partitions we just read (read-then-rewrite is the upsert contract)
+    merged.localCheckpoint()
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day")
+      .parquet(tableDir)
+    appliedMarker.createNewFile()
   }
 
   /** Run `body` with a bounded shuffle-partition count: streaming state

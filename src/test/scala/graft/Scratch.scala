@@ -38,6 +38,10 @@ object Scratch {
         time("fingerprints") { operators.TextAnalysis.fingerprints(spark, d).count() }
       case "explain" =>
         SparkEntry.queries(args(2))(spark, d).explain("formatted")
+      case "final" => // post-execution adaptive plan (reuse is only visible here)
+        val df = SparkEntry.queries(args(2))(spark, d)
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
       case "sweep" =>
         // plan-shape audit: flag cartesians, count exchanges, check scans
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

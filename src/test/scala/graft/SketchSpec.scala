@@ -51,6 +51,47 @@ class SketchSpec extends SparkTestBase {
     assert(inc.count() > 0)
   }
 
+  test("buildBloom fails loudly on an empty build side (never a silent filter-everything NULL)") {
+    val empty = Seq.empty[String].toDF("s")
+    val e = intercept[IllegalArgumentException] {
+      buildBloom(empty, col("s"), expectedItems = 10L, numBits = 1L << 10)
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
+  test("band index is a managed appendable table: ingest N+1 probes ingest N's append") {
+    val d = sf()
+    val bound = 400L
+    val table = Dedup.ensureBandIndex(spark, d, bound)
+    val bands = Dedup.minhashBands(spark, d)
+    val batch1 = bands.filter(col("doc_id") >= bound && col("doc_id") < 450)
+    val batch2 = bands.filter(col("doc_id") >= 450)
+    val batch1Docs = batch1.select(col("doc_id")).distinct().count()
+    assert(batch1Docs > 0)
+
+    // ingest N: batch1 probes the seed index, then appends its own bands
+    val hitsPre = Dedup.probeBandIndex(spark, table, batch2)
+      .agg(coalesce(sum(col("n_dup_candidates")), lit(0L))).head().getLong(0)
+    Dedup.appendToBandIndex(spark, table, batch1)
+
+    // ingest N+1: batch1's bands are now IN the index — every batch1 doc
+    // self-hits when re-probed, proving the append is visible
+    val selfProbe = Dedup.probeBandIndex(spark, table, batch1)
+    assert(selfProbe.count() == batch1Docs)
+    assert(selfProbe.filter(col("n_dup_candidates") >= 1).count() == batch1Docs)
+
+    // and batch2's candidate pool can only GROW with the index
+    val hitsPost = Dedup.probeBandIndex(spark, table, batch2)
+      .agg(coalesce(sum(col("n_dup_candidates")), lit(0L))).head().getLong(0)
+    assert(hitsPost >= hitsPre)
+
+    // the seed fingerprint ignores appended (≥ bound) rows: ensure must
+    // REUSE the appended table, not clobber it with a rebuild
+    assert(Dedup.ensureBandIndex(spark, d, bound) == table)
+    assert(spark.table(table).filter(col("doc_id") >= bound).count() > 0,
+      "ensureBandIndex rebuilt the table and lost the appended batch")
+  }
+
   test("decontaminateBloom flags contaminated docs at sf0.001") {
     val out = Dedup.decontaminateBloom(spark, sf())
     assert(out.count() > 0)
