@@ -29,22 +29,31 @@ object SimilarityQueries {
     "q_dedup_embedding_cc" -> ((s, d) => Similarity.semanticDedup(s, d))
   )
 
-  /** Shared oracle CTEs. */
-  private val planesCte =
-    """planes AS (SELECT p, i,
-      |  CASE WHEN strpos('0123456789abcdef',
-      |    substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1 >= 8
-      |  THEN 1.0 ELSE -1.0 END AS w
-      |  FROM range(4) rp(p), range(64) ri(i))""".stripMargin
+  /** Shared oracle CTEs, parameterized on the hyperplane-count
+    * expression: "4" for the fixed-plane queries, [[adaptivePlanesSql]]
+    * for the pair-join dedup queries whose blocking must scale with the
+    * corpus (see Similarity.adaptivePlanes — same integer formula).
+    */
+  private def planesCte(planesExpr: String) =
+    s"""planes AS (SELECT p, i,
+       |  CASE WHEN strpos('0123456789abcdef',
+       |    substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1 >= 8
+       |  THEN 1.0 ELSE -1.0 END AS w
+       |  FROM (SELECT unnest(range($planesExpr)) AS p) rp,
+       |       (SELECT unnest(range(64)) AS i) ri)""".stripMargin
 
-  private val bucketsCte =
-    s"""$planesCte,
+  private def bucketsCte(planesExpr: String = "4") =
+    s"""${planesCte(planesExpr)},
        |sig AS (SELECT e.vec_id, p.p,
        |  CASE WHEN sum(p.w * CAST(e.embedding[p.i + 1] AS DOUBLE)) > 0
        |    THEN '1' ELSE '0' END AS bit
        |  FROM embeddings e, planes p GROUP BY e.vec_id, p.p),
        |buck AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
        |  FROM sig GROUP BY vec_id)""".stripMargin
+
+  /** Mirrors Similarity.adaptivePlanes: P = max(4, len(bin(N/32))). */
+  private val adaptivePlanesSql =
+    "(SELECT greatest(4, length(bin(count(*) // 32))) FROM embeddings)"
 
   val oracleSql: Map[String, String] = Map(
     "q_embed_quantize" ->
@@ -94,12 +103,12 @@ object SimilarityQueries {
         |FROM d ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 20""".stripMargin,
 
     "q_sim_lsh_buckets" ->
-      s"""WITH $bucketsCte
+      s"""WITH ${bucketsCte()}
          |SELECT e.vec_id, e.label, b.bucket
          |FROM embeddings e JOIN buck b ON e.vec_id = b.vec_id""".stripMargin,
 
     "q_sim_topk_lsh" ->
-      s"""WITH $bucketsCte,
+      s"""WITH ${bucketsCte()},
          |qb AS (SELECT bucket FROM buck WHERE vec_id = 0),
          |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          |cand AS (SELECT e.vec_id, b.bucket, e.embedding
@@ -176,7 +185,7 @@ object SimilarityQueries {
         |FROM j""".stripMargin,
 
     "q_dedup_embedding_lsh" ->
-      s"""WITH $bucketsCte,
+      s"""WITH ${bucketsCte(adaptivePlanesSql)},
          |cand AS (SELECT ba.bucket, ba.vec_id AS va, bb.vec_id AS vb
          |  FROM buck ba JOIN buck bb ON ba.bucket = bb.bucket
          |    AND ba.vec_id < bb.vec_id),
@@ -194,7 +203,7 @@ object SimilarityQueries {
     // Transitive closure over the thresholded LSH candidate graph —
     // recursive CTE stands in for the engine's label-propagation loop.
     "q_dedup_embedding_cc" ->
-      s"""WITH RECURSIVE $bucketsCte,
+      s"""WITH RECURSIVE ${bucketsCte(adaptivePlanesSql)},
          |cand AS (SELECT ba.vec_id AS va, bb.vec_id AS vb
          |  FROM buck ba JOIN buck bb ON ba.bucket = bb.bucket
          |    AND ba.vec_id < bb.vec_id),
@@ -220,7 +229,7 @@ object SimilarityQueries {
     // Mirrors the engine's (label, LSH-bucket) blocking — label-only
     // blocking is the quadratic-per-block anti-pattern at scale.
     "q_dedup_embedding" ->
-      s"""WITH $bucketsCte,
+      s"""WITH ${bucketsCte()},
          |eb AS (SELECT e.vec_id, e.label, e.embedding, b.bucket
          |  FROM embeddings e JOIN buck b ON e.vec_id = b.vec_id),
          |p AS (SELECT a.label, a.vec_id AS va, b.vec_id AS vb,

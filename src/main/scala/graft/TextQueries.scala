@@ -553,7 +553,10 @@ object TextQueries {
         |      != substr(b.simhash, CAST(i AS INTEGER) + 1, 1)
         |    THEN 1 ELSE 0 END)) <= 8 AS near_dup
         |FROM sim a JOIN sim b
-        |  ON substr(a.simhash, 1, 8) = substr(b.simhash, 1, 8)
+        |  ON substr(a.simhash, 1,
+        |       (SELECT greatest(8, length(bin(count(*) // 32))) FROM documents))
+        |     = substr(b.simhash, 1,
+        |       (SELECT greatest(8, length(bin(count(*) // 32))) FROM documents))
         |  AND a.doc_id < b.doc_id""".stripMargin,
 
     "q_dedup_verify_pairs" ->

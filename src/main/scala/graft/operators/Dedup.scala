@@ -82,17 +82,28 @@ object Dedup {
         graft.functions.HashExpressions.simhash64(col("text")).as("simhash"))
       .withColumn("bucket16", substring(col("simhash"), 1, 16))
 
-  /** Simhash candidate pairs: same-8-bit-prefix blocking + exact Hamming
-    * distance on the 64-bit signatures. Near-dups differ in O(1) bits,
-    * so they collide on the prefix with high probability; at scale the
-    * standard trick is blocking on several rotations of the signature so
-    * any ≤k-bit difference collides in at least one block. The Hamming
-    * computation runs only on bucket collisions, never all-pairs.
+  /** Simhash candidate pairs: same-prefix blocking + exact Hamming
+    * distance on the 64-bit signatures. The prefix WIDTH is
+    * corpus-adaptive — one more bit per corpus doubling, holding
+    * expected block occupancy ≈32 so intra-block pairs grow linearly
+    * with N (a fixed 8-bit prefix saturates: the round-6 sf1 run
+    * measured 50× on 10× the docs as blocks went quadratic). The
+    * integer-only width formula (binary-string length of N/32, floor 8)
+    * is reproduced verbatim by the DuckDB oracle. Near-dups differ in
+    * O(1) bits, so they still collide on the prefix with high
+    * probability; at extreme scale the standard complement is blocking
+    * on several rotations of the signature so any ≤k-bit difference
+    * collides in at least one block — the rotation count is a recall
+    * knob orthogonal to the width scaling here. The Hamming computation
+    * runs only on block collisions, never all-pairs.
     */
   def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 8): DataFrame = {
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val prefixBits =
+      math.max(8, java.lang.Long.toBinaryString(nDocs / 32).length)
     val s = simhash(spark, sfDir)
       .select(col("doc_id"), col("simhash"),
-        substring(col("simhash"), 1, 8).as("bucket8"))
+        substring(col("simhash"), 1, prefixBits).as("bucket8"))
       .truncateLineage()
     // Hamming via 8 chunk-wise popcounts (parse 8 binary chars → int,
     // xor, bit_count) — a 24-node codegen-friendly expression; the

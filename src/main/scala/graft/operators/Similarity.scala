@@ -193,14 +193,30 @@ object Similarity {
         round(col("raw_score"), 6).as("score"))
   }
 
+  /** Corpus-adaptive hyperplane count: one more plane every time the
+    * corpus doubles, holding expected bucket occupancy ≈32 so candidate
+    * pairs grow LINEARLY with N. A FIXED plane count is the classic LSH
+    * scale trap — bucket occupancy grows with N and intra-bucket pairs
+    * with N² (the round-6 sf1 run measured exactly that: 27× on 10× the
+    * vectors). Integer-only derivation (binary-string length, never
+    * float log2 whose last ulp can flip at powers of two) so the DuckDB
+    * oracle computes the identical count: P = max(4, len(bin(N/32))).
+    */
+  private[graft] def adaptivePlanes(n: Long): Int =
+    math.max(4, java.lang.Long.toBinaryString(n / 32).length)
+
   /** Embedding near-dup via LSH blocking — the scale path: candidate
-    * pairs come from sign-bucket collisions (≈ N²/16 of all-pairs at 4
-    * planes, and 2^-p of it in general), then exact cosine on candidates
-    * only. Output keeps every bucketed pair with its score; a dedup
-    * pipeline thresholds downstream.
+    * pairs come from sign-bucket collisions under [[adaptivePlanes]]
+    * hyperplanes (bucket count tracks corpus size, occupancy stays ≈32,
+    * candidate volume stays linear in N), then exact cosine on
+    * candidates only. Output keeps every bucketed pair with its score; a
+    * dedup pipeline thresholds downstream. More planes trade recall for
+    * cost exactly like any LSH family; the minhash band construction is
+    * the recall-tunable alternative when that knob matters.
     */
   def nearDupLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val b = lshBuckets(spark, sfDir).truncateLineage()
+    val planes = adaptivePlanes(Tables.embeddings(spark, sfDir).count())
+    val b = lshBuckets(spark, sfDir, planes).truncateLineage()
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket")
           && col("a.vec_id") < col("b.vec_id"))

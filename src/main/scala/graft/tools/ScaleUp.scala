@@ -1,0 +1,152 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-step generator: replicates the sf0.1 testdata
+  * `factor`× (default 10 → "sf1", ~6 M lineitem rows) so the full query
+  * surface can be validated one decade above bench scale — the step
+  * that surfaces broadcast-threshold flips, AQE skew behavior on real
+  * volume, and per-key heavy hitters that sf0.1 cannot.
+  *
+  * Replication preserves every FK relationship by remapping keys with a
+  * per-entity stride (stride = max(key)+1 from the source, same stride
+  * applied to the referencing fact columns), so joins land exactly as
+  * they do at sf0.1 — 10× the entities, identical per-entity shape.
+  * Replica 0 is the identity. Content perturbation where identity
+  * copies would distort an operator's semantics:
+  *   - `documents.text` gets a per-replica Caesar rotation (a bijective
+  *     character map: intra-replica near-dup structure is EXACTLY
+  *     preserved, while cross-replica shingle overlap — which would
+  *     manufacture 10-wide near-dup clusters out of thin air — drops to
+  *     zero). Lengths unchanged, so n_chars stays truthful.
+  *   - `embeddings.embedding` gets a small deterministic per-replica
+  *     offset (cluster structure kept, exact cross-replica duplicate
+  *     vectors avoided).
+  * `events.ts` is re-written as plain INT64 nanos (Spark cannot write
+  * parquet ns timestamps); Tables.events reads both encodings
+  * identically via nanosAsLong + `ts div 1000`.
+  *
+  * Output layout matches TESTDATA.md: single FILES named
+  * `<table>.parquet` for every table the streaming stagers file-copy
+  * (events, documents) and all small tables; multi-file directories
+  * (same name) only for lineitem/orders, which DuckDB and Spark both
+  * read transparently.
+  */
+object ScaleUp {
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/graft-sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val marker = new java.io.File(out, "_SCALEUP_OK")
+    val tag = s"$src x$factor"
+    if (marker.exists() &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath)) == tag) {
+      println(s"SCALEUP reuse $out ($tag)")
+      return
+    }
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .appName("graft-scaleup")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c).cast("long"))).head.getLong(0) + 1L
+
+    // per-entity strides, computed once and shared with referencing FKs
+    val custS = maxOf(read("customer"), "c_custkey")
+    val suppS = maxOf(read("supplier"), "s_suppkey")
+    val partS = maxOf(read("part"), "p_partkey")
+    val orderS = maxOf(read("orders"), "o_orderkey")
+    val eventS = maxOf(read("events"), "event_id")
+    val userS = maxOf(read("events"), "user_id")
+    val docS = maxOf(read("documents"), "doc_id")
+    val vecS = maxOf(read("embeddings"), "vec_id")
+
+    /** factor× explode with stride remaps; original column types kept. */
+    def replicated(df: DataFrame, remaps: (String, Long)*): DataFrame = {
+      val withRep = df.withColumn("rep",
+        explode(sequence(lit(0L), lit(factor - 1L))))
+      remaps.foldLeft(withRep) { case (d, (c, stride)) =>
+        d.withColumn(c,
+          (col(c).cast("long") + col("rep") * stride)
+            .cast(df.schema(c).dataType))
+      }.drop("rep")
+    }
+
+    /** Write as ONE file named `<table>.parquet` (stagers file-copy it). */
+    def writeFile(df: DataFrame, t: String): Unit = {
+      val tmp = java.nio.file.Paths.get(out, s"_build_$t")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(p =>
+        p.getFileName.toString.endsWith(".parquet")).findFirst.get
+      val dst = java.nio.file.Paths.get(out, s"$t.parquet")
+      java.nio.file.Files.deleteIfExists(dst)
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.list(tmp).forEach(p => java.nio.file.Files.delete(p))
+      java.nio.file.Files.delete(tmp)
+      println(s"SCALEUP wrote $t (single file)")
+    }
+
+    /** Multi-file directory for the two big facts. */
+    def writeDir(df: DataFrame, t: String, files: Int): Unit = {
+      df.repartition(files).write.mode("overwrite")
+        .parquet(s"$out/$t.parquet")
+      println(s"SCALEUP wrote $t ($files files)")
+    }
+
+    // dims replicate 1:1 (25 nations / 5 regions at ANY scale factor)
+    writeFile(read("region"), "region")
+    writeFile(read("nation"), "nation")
+
+    writeFile(replicated(read("customer"), "c_custkey" -> custS), "customer")
+    writeFile(replicated(read("supplier"), "s_suppkey" -> suppS), "supplier")
+    writeFile(replicated(read("part"), "p_partkey" -> partS), "part")
+    writeDir(replicated(read("orders"),
+      "o_orderkey" -> orderS, "o_custkey" -> custS), "orders", 4)
+    writeDir(replicated(read("lineitem"),
+      "l_orderkey" -> orderS, "l_partkey" -> partS, "l_suppkey" -> suppS),
+      "lineitem", 8)
+    writeFile(replicated(read("events"),
+      "event_id" -> eventS, "user_id" -> userS), "events")
+
+    // documents: per-replica Caesar rotation (bijective char map)
+    val docs = read("documents")
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    def rot(s: String, r: Int) = s.drop(r % 26) + s.take(r % 26)
+    val docReps = (0 until factor).map { r =>
+      val text =
+        if (r == 0) col("text")
+        else translate(col("text"),
+          lower + lower.toUpperCase,
+          rot(lower, r) + rot(lower.toUpperCase, r))
+      docs.select((col("doc_id") + lit(r * docS)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"), col("n_chars"))
+    }
+    writeFile(docReps.reduce(_ unionByName _), "documents")
+
+    // embeddings: small deterministic per-replica offset
+    val emb = read("embeddings")
+    val embReps = (0 until factor).map { r =>
+      val vid = (col("vec_id") + lit(r * vecS)).as("vec_id")
+      val vec =
+        if (r == 0) col("embedding")
+        else transform(col("embedding"), (x, i) =>
+          (x + (pmod(col("vec_id") + i.cast("long"), lit(7L)).cast("double")
+            - lit(3.0)) * lit(r * 0.0005)).cast("float"))
+      emb.select(vid, vec.as("embedding"), col("label"))
+    }
+    writeFile(embReps.reduce(_ unionByName _), "embeddings")
+
+    java.nio.file.Files.write(marker.toPath, tag.getBytes)
+    println(s"SCALEUP done: $out ($tag)")
+    spark.stop()
+  }
+}
