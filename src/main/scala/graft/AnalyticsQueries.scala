@@ -22,6 +22,8 @@ object AnalyticsQueries {
     "q1_agg" -> ((s, d) => Analytics.pricingSummary(s, d)),
     "q_agg_merge_partial" -> ((s, d) => Analytics.mergePartialAggs(s, d)),
     "q3_shipping" -> ((s, d) => Analytics.q3Shipping(s, d)),
+    "q5_local_supplier" -> ((s, d) => Analytics.q5LocalSupplier(s, d)),
+    "q_approx_distinct" -> ((s, d) => Analytics.approxDistinctCheck(s, d)),
     "q_large_orders" -> ((s, d) => Analytics.largeOrders(s, d)),
     "q_calendar_dim" -> ((s, d) => Analytics.calendarDim(s, d)),
     "q_window_range_frame" -> ((s, d) => Analytics.trailingHourSum(s, d)),
@@ -110,12 +112,16 @@ object AnalyticsQueries {
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
 
   val oracleSql: Map[String, String] = Map(
+    // Scale-4/6 sums as x1e4/x1e6 fixed-point BIGINTs: their exact
+    // scaled integers pass 2^53 at sf1, where a double output column
+    // cannot represent the exact answer on ANY engine.
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
          |CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-         |CAST(sum($discPrice) AS DOUBLE) AS sum_disc_price,
-         |CAST(sum($discPrice * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+         |CAST(sum($discPrice) * 10000 AS BIGINT) AS sum_disc_price_e4,
+         |CAST(sum($discPrice * (1 + CAST(l_tax AS DECIMAL(4,2)))) * 1000000
+         |  AS BIGINT) AS sum_charge_e6,
          |count(*) AS n_rows
          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
@@ -171,6 +177,33 @@ object AnalyticsQueries {
         |    AND l_shipdate > TIMESTAMP '1998-06-30'
         |  GROUP BY 1, 2, 3)
         |ORDER BY rev_dec DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    // The nation constraint closes through both the customer and the
+    // supplier join paths (cyclic topology).
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    // The oracle pins the exact counts and asserts the engine's HLL
+    // audit verdict is true for every group; the estimate itself is
+    // engine state and never part of the contract.
+    "q_approx_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS within_tol
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // The merged-partials result must equal a from-scratch aggregate
     // over all history — that equality IS the correctness claim, so the

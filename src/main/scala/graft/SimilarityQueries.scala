@@ -55,6 +55,18 @@ object SimilarityQueries {
   private val adaptivePlanesSql =
     "(SELECT greatest(4, length(bin(count(*) // 32))) FROM embeddings)"
 
+  /** floor(x·2²⁰) BIGINT component quantization — mirrors the engine's
+    * QuantizedCosine exactly: integer dot/norm sums are order-exempt,
+    * and the final sqrt/divide on identical integers is bit-identical
+    * on any IEEE engine.
+    */
+  private def qsum(a: String, b: String) =
+    s"""sum(CAST(floor(CAST($a AS DOUBLE) * 1048576.0) AS BIGINT)
+       |    * CAST(floor(CAST($b AS DOUBLE) * 1048576.0) AS BIGINT))""".stripMargin
+
+  private val qscore =
+    "CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"
+
   val oracleSql: Map[String, String] = Map(
     "q_embed_quantize" ->
       """WITH e AS (
@@ -190,14 +202,14 @@ object SimilarityQueries {
          |  FROM buck ba JOIN buck bb ON ba.bucket = bb.bucket
          |    AND ba.vec_id < bb.vec_id),
          |d AS (SELECT c.bucket, c.va, c.vb,
-         |  sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS dot,
-         |  sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)) AS na,
-         |  sum(CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS nb
+         |  ${qsum("ea.embedding[i]", "eb.embedding[i]")} AS dot,
+         |  ${qsum("ea.embedding[i]", "ea.embedding[i]")} AS na,
+         |  ${qsum("eb.embedding[i]", "eb.embedding[i]")} AS nb
          |  FROM cand c JOIN embeddings ea ON c.va = ea.vec_id
          |  JOIN embeddings eb ON c.vb = eb.vec_id, range(1, 65) r(i)
          |  GROUP BY 1, 2, 3)
          |SELECT bucket, va AS vec_a, vb AS vec_b,
-         |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DOUBLE) AS score
+         |  CAST(round($qscore, 6) AS DOUBLE) AS score
          |FROM d""".stripMargin,
 
     // Transitive closure over the thresholded LSH candidate graph —
@@ -208,14 +220,14 @@ object SimilarityQueries {
          |  FROM buck ba JOIN buck bb ON ba.bucket = bb.bucket
          |    AND ba.vec_id < bb.vec_id),
          |d AS (SELECT c.va, c.vb,
-         |  sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS dot,
-         |  sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)) AS na,
-         |  sum(CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS nb
+         |  ${qsum("ea.embedding[i]", "eb.embedding[i]")} AS dot,
+         |  ${qsum("ea.embedding[i]", "ea.embedding[i]")} AS na,
+         |  ${qsum("eb.embedding[i]", "eb.embedding[i]")} AS nb
          |  FROM cand c JOIN embeddings ea ON c.va = ea.vec_id
          |  JOIN embeddings eb ON c.vb = eb.vec_id, range(1, 65) r(i)
          |  GROUP BY 1, 2),
          |prs AS (SELECT va, vb FROM d
-         |  WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.3),
+         |  WHERE round($qscore, 6) >= 0.3),
          |edges AS (SELECT va AS n, vb AS m FROM prs
          |  UNION ALL SELECT vb, va FROM prs),
          |reach(n, m) AS (
@@ -233,17 +245,17 @@ object SimilarityQueries {
          |eb AS (SELECT e.vec_id, e.label, e.embedding, b.bucket
          |  FROM embeddings e JOIN buck b ON e.vec_id = b.vec_id),
          |p AS (SELECT a.label, a.vec_id AS va, b.vec_id AS vb,
-         |  sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
-         |  sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS na,
-         |  sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nb
+         |  ${qsum("a.embedding[i]", "b.embedding[i]")} AS dot,
+         |  ${qsum("a.embedding[i]", "a.embedding[i]")} AS na,
+         |  ${qsum("b.embedding[i]", "b.embedding[i]")} AS nb
          |  FROM eb a JOIN eb b
          |    ON a.label = b.label AND a.bucket = b.bucket
          |    AND a.vec_id < b.vec_id, range(1, 65) r(i)
          |  GROUP BY 1, 2, 3)
          |SELECT label, va AS vec_a, vb AS vec_b,
-         |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DOUBLE) AS score
+         |  CAST(round($qscore, 6) AS DOUBLE) AS score
          |FROM (SELECT *, row_number() OVER (PARTITION BY label
-         |    ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, va, vb) AS rn FROM p)
+         |    ORDER BY $qscore DESC, va, vb) AS rn FROM p)
          |WHERE rn = 1""".stripMargin
   )
 }

@@ -50,6 +50,9 @@ object TextQueries {
     "q_dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
     "q_dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "q_pagerank" -> ((s, d) => graft.operators.Graph.pagerank(s, d)),
+    "q_triangles" -> ((s, d) => graft.operators.Graph.triangles(s, d)),
+    "q_bm25_top" -> ((s, d) => TextAnalysis.bm25Top(s, d)),
+    "q_char_entropy" -> ((s, d) => TextAnalysis.charEntropy(s, d)),
     "q_sketch_source" -> ((s, d) => Dedup.sourceSketch(s, d)),
     "q_sketch_source_sim" -> ((s, d) => Dedup.sourceSimilarity(s, d))
   )
@@ -515,6 +518,93 @@ object TextQueries {
          |FROM bands a JOIN bands b
          |  ON a.band_id = b.band_id AND a.band_key = b.band_key
          | AND a.doc_id < b.doc_id""".stripMargin,
+
+    // Degree-ordered orientation: each triangle materializes exactly
+    // once, as a wedge at its (deg, id)-lowest vertex.
+    "q_triangles" ->
+      s"""$bandsCte,
+         |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band_id = b.band_id
+         |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |deg AS (SELECT v, count(*) AS deg FROM (
+         |  SELECT doc_a AS v FROM prs UNION ALL SELECT doc_b FROM prs)
+         |  GROUP BY v),
+         |ori AS (SELECT
+         |  CASE WHEN da.deg < db.deg
+         |      OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+         |    THEN p.doc_a ELSE p.doc_b END AS src,
+         |  CASE WHEN da.deg < db.deg
+         |      OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+         |    THEN p.doc_b ELSE p.doc_a END AS dst,
+         |  CASE WHEN da.deg < db.deg
+         |      OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+         |    THEN da.deg ELSE db.deg END AS deg_src,
+         |  CASE WHEN da.deg < db.deg
+         |      OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+         |    THEN db.deg ELSE da.deg END AS deg_dst
+         |  FROM prs p JOIN deg da ON p.doc_a = da.v
+         |    JOIN deg db ON p.doc_b = db.v),
+         |tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+         |  FROM ori e1 JOIN ori e2 ON e1.src = e2.src
+         |    AND (e1.deg_dst < e2.deg_dst
+         |      OR (e1.deg_dst = e2.deg_dst AND e1.dst < e2.dst))
+         |  WHERE EXISTS (SELECT 1 FROM ori e3
+         |    WHERE e3.src = e1.dst AND e3.dst = e2.dst))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+         |  SELECT u AS doc_id FROM tri
+         |  UNION ALL SELECT v FROM tri
+         |  UNION ALL SELECT w FROM tri)
+         |GROUP BY doc_id""".stripMargin,
+
+    // BM25 argmax per document; the ranking key is the x1e6 fixed-point
+    // snap so a last-ulp wobble can never flip the winner.
+    "q_bm25_top" ->
+      s"""WITH $baseCte,
+         |tok AS (SELECT doc_id, unnest(toks) AS token FROM base),
+         |dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |  CAST(sum(len(toks)) AS DOUBLE) AS sum_dl FROM base),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT token, count(*) AS df FROM (
+         |  SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, tf.token, tf.tf,
+         |  ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |    * ((tf.tf * (1.2 + 1.0))
+         |      / (tf.tf + 1.2 * (1.0 - 0.75
+         |        + 0.75 * dl.dl / (st.sum_dl / st.n_docs)))) AS score
+         |  FROM tf JOIN df USING (token)
+         |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st)
+         |SELECT doc_id, token AS top_token, CAST(tf AS BIGINT) AS top_tf,
+         |  round(score, 6) AS bm25
+         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY CAST(round(score * 1e6) AS BIGINT) DESC, token) AS rn
+         |  FROM sc)
+         |WHERE rn = 1""".stripMargin,
+
+    // Entropy terms snap to x1e6 fixed point per (doc, char) before the
+    // per-document sum — distributed summation order can't move a digit.
+    "q_char_entropy" ->
+      """WITH c AS (SELECT doc_id,
+        |  regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS cl
+        |  FROM documents),
+        |ch AS (SELECT doc_id, unnest(list_transform(range(length(cl)),
+        |  i -> substr(cl, CAST(i AS INTEGER) + 1, 1))) AS ch FROM c),
+        |pc AS (SELECT doc_id, ch, count(*) AS cnt FROM ch GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS len
+        |  FROM pc GROUP BY 1),
+        |t AS (SELECT pc.doc_id, pc.cnt, lens.len,
+        |  CAST(round(CAST(cnt AS DOUBLE) / len
+        |    * ln(CAST(len AS DOUBLE) / cnt) * 1e6) AS BIGINT) AS term_f
+        |  FROM pc JOIN lens USING (doc_id)),
+        |e AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_chars,
+        |  max(len) AS n_ascii_chars,
+        |  round(CAST(sum(term_f) AS DOUBLE) / 1e6, 6) AS entropy
+        |  FROM t GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(e.n_distinct_chars, 0) AS n_distinct_chars,
+        |  coalesce(e.n_ascii_chars, 0) AS n_ascii_chars,
+        |  coalesce(e.entropy, 0.0) AS entropy
+        |FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id""".stripMargin,
 
     "q_dedup_simhash" ->
       """WITH h AS (SELECT doc_id,

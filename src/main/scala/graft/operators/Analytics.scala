@@ -38,18 +38,38 @@ object Analytics {
 
   /** I7/q1 — pricing summary (TPC-H Q1 shape): scan-heavy group-by with
     * exact decimal sums. One wide scan, map-side combine, 6-group result.
+    *
+    * The (1±x) factors are cast down to DECIMAL(4,2) — exact, the
+    * source columns carry two fractional digits — so the three-way
+    * charge product is DECIMAL(28,6) and never trips Spark's 38-cap
+    * (left at the inferred (19,2) factor width, price×disc×tax infers
+    * precision 58 and Spark silently rounds each ROW under
+    * allowPrecisionLoss).
+    *
+    * The scale-4/6 sums ship as ×10⁴/×10⁶ fixed-point BIGINTs (the
+    * pagerank pattern), NOT doubles: at sf1 the exact charge sum is
+    * 5.2e16 micro-units — past 2⁵³, where adjacent doubles are 7.6e-6
+    * apart — so a double output column physically cannot hold the
+    * exact answer and the two engines' (both correct!) conversions
+    * landed on ADJACENT doubles. The scale-2 sums stay human-readable
+    * doubles: their scaled integers sit under 2⁵³ until ~$9e13 of
+    * revenue per group, and the single ÷100 conversion is correctly
+    * rounded from an exactly-representable integer on both engines.
     */
-  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val discF = (lit(1) - dec("l_discount")).cast("decimal(4,2)")
+    val taxF = (lit(1) + dec("l_tax")).cast("decimal(4,2)")
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(dec("l_quantity")).cast("double").as("sum_qty"),
         sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
-        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
-          .cast("double").as("sum_disc_price"),
-        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))
-          * (lit(1) + dec("l_tax"))).cast("double").as("sum_charge"),
+        (sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+          * lit(10000)).cast("long").as("sum_disc_price_e4"),
+        (sum(dec("l_extendedprice") * discF * taxF)
+          * lit(1000000)).cast("long").as("sum_charge_e6"),
         count(lit(1)).as("n_rows"))
+  }
 
   /** Incremental-rollup algebra — the lambda/kappa maintenance pattern a
     * 100 TB warehouse lives on: per-day PARTIAL aggregates (the state an
@@ -106,6 +126,66 @@ object Analytics {
           .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
   }
+
+  /** TPC-H Q5 shape (local supplier volume) — the CYCLIC join topology
+    * the optimizer can't tree-decompose: lineitem⋈orders⋈customer and
+    * lineitem⋈supplier meet again on c_nationkey = s_nationkey, so the
+    * nation constraint flows through two independent join paths. Plan
+    * shape at scale: the two fact-side joins (orders, supplier on their
+    * keys) shuffle; nation/region broadcast at any scale factor (25/5
+    * rows); the customer join is the remaining key shuffle and AQE picks
+    * broadcast when the filtered side allows. The region filter prunes
+    * via the broadcast join BEFORE the nation-equality cycle closes, so
+    * only ASIA-nation rows reach the final constraint. Revenue stays
+    * exact decimal until the last projection.
+    */
+  def q5LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01")
+        && col("o_orderdate") < lit("1997-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val nat = broadcast(Tables.nation(spark, sfDir))
+    val reg = broadcast(Tables.region(spark, sfDir)
+      .filter(col("r_name") === "ASIA"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey")
+          && col("c_nationkey") === col("s_nationkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** HLL cardinality with an exactness audit — the sketch every 100 TB
+    * pipeline substitutes for COUNT(DISTINCT): approx_count_distinct
+    * (HyperLogLog++, mergeable partials, one narrow pass instead of a
+    * distinct shuffle) next to the exact count, emitting whether the
+    * estimate landed inside 3× the configured 5% rsd. The oracle pins
+    * the exact counts and asserts the audit verdict is `true` for every
+    * group — Spark's HLL is deterministic on fixed data, so this is a
+    * stable bound check, not a flaky tolerance. The estimate itself is
+    * deliberately NOT an output column: it's implementation-defined
+    * engine state, and pinning it would freeze a Spark version's sketch
+    * internals into the contract.
+    */
+  def approxDistinctCheck(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.05).as("n_approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact"))
+          <= col("n_exact") * lit(0.15)).as("within_tol"))
 
   /** Calendar dimension generator — the date dim every warehouse joins
     * against, derived from the fact table's own bounds so it never

@@ -69,4 +69,61 @@ object Graph {
         round(col("rank_f").cast("double") / lit(Scale.toDouble), 9)
           .as("pagerank"))
   }
+
+  /** Per-document triangle participation over the minhash candidate
+    * graph — the cluster-density signal a curation pass uses to tell
+    * tight duplicate cliques (boilerplate farms: every pair near-dup)
+    * from loose chains (incremental edits).
+    *
+    * Algorithm: degree-ordered edge orientation, the standard bound for
+    * distributed triangle enumeration (Suri & Vassilvitskii's MR model).
+    * Every undirected edge is oriented from the (degree, id)-smaller
+    * endpoint to the larger, so each triangle is generated exactly once
+    * — as a wedge at its lowest-ordered vertex — and the wedge fan-out
+    * at any vertex is bounded by its OUT-degree, which the orientation
+    * caps at O(√|E|) regardless of raw degree skew. A hub with a million
+    * neighbors contributes no million-wide wedge explosion: almost all
+    * its edges point INTO it. Two self-joins on oriented edges (wedge
+    * build + closing-edge semi-probe), both key-partitioned shuffles of
+    * (src, dst) long pairs — no vertex ever needs its full neighborhood
+    * in memory.
+    */
+  def triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.minhashPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).truncateLineage()
+    val deg = pairs.select(col("doc_a").as("v"))
+      .union(pairs.select(col("doc_b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // orient each pair from (deg, id)-smaller to larger endpoint
+    val oriented = pairs
+      .join(deg.select(col("v").as("doc_a"), col("deg").as("dega")), "doc_a")
+      .join(deg.select(col("v").as("doc_b"), col("deg").as("degb")), "doc_b")
+      .select(
+        when(col("dega") < col("degb")
+            || (col("dega") === col("degb") && col("doc_a") < col("doc_b")),
+          col("doc_a")).otherwise(col("doc_b")).as("src"),
+        when(col("dega") < col("degb")
+            || (col("dega") === col("degb") && col("doc_a") < col("doc_b")),
+          col("doc_b")).otherwise(col("doc_a")).as("dst"),
+        when(col("dega") < col("degb")
+            || (col("dega") === col("degb") && col("doc_a") < col("doc_b")),
+          col("dega")).otherwise(col("degb")).as("deg_src"),
+        when(col("dega") < col("degb")
+            || (col("dega") === col("degb") && col("doc_a") < col("doc_b")),
+          col("degb")).otherwise(col("dega")).as("deg_dst"))
+      .truncateLineage()
+    // wedges at the lowest-ordered vertex: (u→v, u→w) with v ≺ w in the
+    // same (deg, id) order, closed by the oriented edge v→w
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src")
+          && (col("e1.deg_dst") < col("e2.deg_dst")
+            || (col("e1.deg_dst") === col("e2.deg_dst")
+              && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+    val tri = wedges.join(oriented.select(col("src").as("v"), col("dst").as("w")),
+      Seq("v", "w"), "left_semi")
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -222,8 +222,10 @@ object Similarity {
           && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.bucket").as("bucket"),
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(score(col("a.embedding"), col("b.embedding")), 6)
-          .as("score"))
+        // pair SCORING (vs retrieval ranking) uses the quantized-integer
+        // cosine: exact long accumulation, engine-portable bit-for-bit
+        round(graft.functions.VectorExpressions.quantized_cosine(
+          col("a.embedding"), col("b.embedding")), 6).as("score"))
   }
 
   /** Semantic dedup terminal: connected components over the thresholded
@@ -264,7 +266,10 @@ object Similarity {
           && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.label").as("label"),
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        score(col("a.embedding"), col("b.embedding")).as("raw_score"))
+        // quantized-integer cosine: the per-label ARGMAX must not hinge
+        // on a last-ulp double wobble between engines
+        graft.functions.VectorExpressions.quantized_cosine(
+          col("a.embedding"), col("b.embedding")).as("raw_score"))
     val w = Window.partitionBy(col("label"))
       .orderBy(col("raw_score").desc, col("vec_a"), col("vec_b"))
     pairs.withColumn("rn", row_number().over(w))

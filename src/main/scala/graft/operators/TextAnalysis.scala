@@ -396,4 +396,83 @@ object TextAnalysis {
         sum(kept.cast("int")).as("n_kept"),
         sum(when(kept, col("n_tok")).otherwise(0)).cast("bigint").as("kept_tokens"))
   }
+
+  /** Per-document top BM25 term — the retrieval-grade upgrade of
+    * [[tfidfTop]]: term-frequency saturation (k1) and document-length
+    * normalization (b) so long documents stop dominating and repeated
+    * terms stop scaling linearly. Same two shuffles as tfidf (tf by
+    * (doc, token), df by token); the corpus constants N and avgdl ride
+    * the plan as one broadcast 1-row aggregate. The ranking key is the
+    * ×10⁶ fixed-point snap of the score (bigint), NOT the raw double —
+    * a 1-ulp cross-engine wobble at a near-tie can never flip the
+    * per-document argmax.
+    */
+  def bm25Top(spark: SparkSession, sfDir: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
+    val dl = docs.select(col("doc_id"), size(wsTokens(col("text"))).as("dl"))
+    val stats = broadcast(dl.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(col("dl")).cast("double").as("sum_dl")))
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // operation order mirrored verbatim in the DuckDB oracle: idf first,
+    // then the saturation quotient, one multiply at the end
+    val idf = log((col("n_docs") - col("df") + lit(0.5))
+      / (col("df") + lit(0.5)) + lit(1.0))
+    val sat = (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b)
+        + lit(b) * col("dl") / (col("sum_dl") / col("n_docs"))))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_f").desc, col("token"))
+    tf.join(df, "token")
+      .join(dl, "doc_id")
+      .crossJoin(stats)
+      .withColumn("score", idf * sat)
+      .withColumn("score_f", round(col("score") * lit(1e6)).cast("bigint"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("token").as("top_token"),
+        col("tf").as("top_tf"), round(col("score"), 6).as("bm25"))
+  }
+
+  /** Per-document character-entropy quality signal: Shannon entropy of
+    * the a-z0-9 character distribution (lowercased, everything else
+    * stripped) — near-zero entropy flags degenerate repetition
+    * (aaaa…, base64 walls score high, natural text sits mid-band).
+    * Restricting to ASCII [a-z0-9] sidesteps engine-specific Unicode
+    * segmentation and keeps the explode O(chars). Entropy terms are
+    * snapped to ×10⁶ fixed-point BIGINTs per (doc, char) BEFORE the
+    * per-document sum, so the distributed summation order can never
+    * move a digit — ln(len/cnt) itself is a per-row scalar both engines
+    * evaluate identically. One shuffle on (doc_id, ch); the final
+    * per-doc sum reuses the same hash partitioning.
+    */
+  def charEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val cleaned = regexp_replace(lower(col("text")), "[^a-z0-9]", "")
+    val perChar = docs
+      .select(col("doc_id"), explode(split(cleaned, "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
+    val withLen = perChar
+      .join(perChar.groupBy(col("doc_id")).agg(sum(col("cnt")).as("len")), "doc_id")
+      .withColumn("term_f",
+        round(col("cnt").cast("double") / col("len")
+          * log(col("len").cast("double") / col("cnt")) * lit(1e6))
+          .cast("bigint"))
+    val ent = withLen.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_chars"),
+        max(col("len")).as("n_ascii_chars"),
+        round(sum(col("term_f")).cast("double") / lit(1e6), 6).as("entropy"))
+    docs.select(col("doc_id"))
+      .join(ent, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_distinct_chars"), lit(0L)).as("n_distinct_chars"),
+        coalesce(col("n_ascii_chars"), lit(0L)).as("n_ascii_chars"),
+        coalesce(col("entropy"), lit(0.0)).as("entropy"))
+  }
 }
