@@ -24,6 +24,7 @@ object AnalyticsQueries {
     "q3_shipping" -> ((s, d) => Analytics.q3Shipping(s, d)),
     "q5_local_supplier" -> ((s, d) => Analytics.q5LocalSupplier(s, d)),
     "q_approx_distinct" -> ((s, d) => Analytics.approxDistinctCheck(s, d)),
+    "q_approx_percentile" -> ((s, d) => Analytics.approxPercentileCheck(s, d)),
     "q_large_orders" -> ((s, d) => Analytics.largeOrders(s, d)),
     "q_calendar_dim" -> ((s, d) => Analytics.calendarDim(s, d)),
     "q_window_range_frame" -> ((s, d) => Analytics.trailingHourSum(s, d)),
@@ -203,6 +204,14 @@ object AnalyticsQueries {
       """SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
         |  TRUE AS within_tol
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // Rank-guarantee audit of the quantile sketch; the estimate itself
+    // is engine state and stays out of the contract.
+    "q_approx_percentile" ->
+      """SELECT event_type,
+        |  CAST(count(value) AS BIGINT) AS n_values,
+        |  TRUE AS rank_ok
         |FROM events GROUP BY event_type""".stripMargin,
 
     // The merged-partials result must equal a from-scratch aggregate

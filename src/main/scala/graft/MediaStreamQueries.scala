@@ -19,6 +19,7 @@ object MediaStreamQueries {
     "q_media_resize" -> ((s, d) => Multimodal.resize(s, d).toDF()),
     "q_media_dedup" -> ((s, d) => Multimodal.payloadDedup(s, d)),
     "q_stream_events_window" -> ((s, d) => EventsStreaming.dailyCounts(s, d)),
+    "q_stream_approx_distinct" -> ((s, d) => EventsStreaming.dailyApproxDistinct(s, d)),
     "q_stream_events_append" -> ((s, d) => EventsStreaming.dailyCountsAppend(s, d)),
     "q_stream_daily_rollup" -> ((s, d) => EventsStreaming.dailyRollupMaintained(s, d)),
     "q_stream_flagship" -> ((s, _) => TwseStreaming.flagshipStream(s)),
@@ -121,6 +122,15 @@ object MediaStreamQueries {
     // The streaming window aggregation must equal the batch one — same
     // oracle (see AnalyticsQueries).
     "q_stream_events_window" -> AnalyticsQueries.oracleSql("q_events_window"),
+
+    // Streaming HLL distinct, audited: contract carries the exact count
+    // and the tolerance verdict only (estimate is engine sketch state).
+    "q_stream_approx_distinct" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS within_tol
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // Append mode + watermark must emit exactly the same closed windows.
     "q_stream_events_append" -> AnalyticsQueries.oracleSql("q_events_window"),

@@ -52,6 +52,7 @@ object TextQueries {
     "q_pagerank" -> ((s, d) => graft.operators.Graph.pagerank(s, d)),
     "q_triangles" -> ((s, d) => graft.operators.Graph.triangles(s, d)),
     "q_bm25_top" -> ((s, d) => TextAnalysis.bm25Top(s, d)),
+    "q_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "q_char_entropy" -> ((s, d) => TextAnalysis.charEntropy(s, d)),
     "q_sketch_source" -> ((s, d) => Dedup.sourceSketch(s, d)),
     "q_sketch_source_sim" -> ((s, d) => Dedup.sourceSimilarity(s, d))
@@ -555,6 +556,15 @@ object TextQueries {
          |  UNION ALL SELECT v FROM tri
          |  UNION ALL SELECT w FROM tri)
          |GROUP BY doc_id""".stripMargin,
+
+    // The space-saving sketch's no-false-negative guarantee makes the
+    // candidate+exact-recount pipeline EQUAL to this brute-force HAVING.
+    "q_heavy_hitters" ->
+      s"""WITH $baseCte,
+         |tok AS (SELECT unnest(toks) AS token FROM base)
+         |SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+         |FROM tok GROUP BY token
+         |HAVING count(*) * 512 > (SELECT count(*) FROM tok)""".stripMargin,
 
     // BM25 argmax per document; the ranking key is the x1e6 fixed-point
     // snap so a last-ulp wobble can never flip the winner.

@@ -187,6 +187,29 @@ object Analytics {
         (abs(col("n_approx") - col("n_exact"))
           <= col("n_exact") * lit(0.15)).as("within_tol"))
 
+  /** Approximate-median audit — the t-digest-style sketch every 100 TB
+    * pipeline substitutes for an exact global sort: percentile_approx
+    * (mergeable quantile summaries, one narrow pass) audited by its own
+    * RANK guarantee. The estimate's exact rank — count(value ≤ v̂),
+    * computed with one more aggregate over the same key partitioning —
+    * must sit within the accuracy-parameter band around 0.5·n (±1% here
+    * for accuracy=1000, tolerance 10× the nominal bound). All-integer
+    * verdict arithmetic; the estimate itself stays out of the contract
+    * (it is engine-internal sketch state), exactly like the HLL audit.
+    */
+  def approxPercentileCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
+    val appr = ev.groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"), lit(0.5), lit(1000)).as("va"))
+    ev.join(appr, "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(col("value")).as("n_values"),
+        sum(when(col("value") <= col("va"), 1L).otherwise(0L)).as("n_le"))
+      .select(col("event_type"), col("n_values"),
+        (col("n_le") * 1000 >= col("n_values") * 490
+          && col("n_le") * 1000 <= col("n_values") * 510).as("rank_ok"))
+  }
+
   /** Calendar dimension generator — the date dim every warehouse joins
     * against, derived from the fact table's own bounds so it never
     * drifts: one row per day between min and max order date with the

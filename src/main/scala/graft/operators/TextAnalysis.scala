@@ -439,6 +439,31 @@ object TextAnalysis {
         col("tf").as("top_tf"), round(col("score"), 6).as("bm25"))
   }
 
+  /** Exact heavy-hitter tokens via the space-saving sketch — the
+    * two-phase candidate/verify shape that makes a 100 TB frequency
+    * query cheap: phase 1 aggregates a constant-O(k) [[graft.functions.SpaceSavingAgg]]
+    * sketch (one shuffle of k-entry partials, never a full token
+    * group-by), phase 2 recounts ONLY the ≤k candidates (semi-join
+    * prune at the scan, shuffle bounded by k distinct keys) and filters
+    * by the exact threshold. The sketch's no-false-negative guarantee
+    * (true freq > N/k ⇒ present) makes the output EQUAL to the exact
+    * HAVING count·k > N answer — which is precisely what the oracle
+    * computes the brute-force way.
+    */
+  def heavyHitters(spark: SparkSession, sfDir: String, capacity: Int = 512): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(wsTokens(col("text"))).as("token"))
+    val nTok = broadcast(toks.agg(count(lit(1)).as("n_tok")))
+    val cand = broadcast(
+      toks.agg(graft.functions.SpaceSaving.space_saving(col("token"), capacity).as("hh"))
+        .select(explode(col("hh")).as("token")))
+    toks.join(cand, Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("n_occurrences"))
+      .crossJoin(nTok)
+      .filter(col("n_occurrences") * capacity > col("n_tok"))
+      .select(col("token"), col("n_occurrences"))
+  }
+
   /** Per-document character-entropy quality signal: Shannon entropy of
     * the a-z0-9 character distribution (lowercased, everything else
     * stripped) — near-zero entropy flags degenerate repetition

@@ -286,6 +286,34 @@ object EventsStreaming {
     runToParquet(spark, agg, name, OutputMode.Complete)
   }
 
+  /** Streaming distinct-cardinality via the HLL sketch, self-audited —
+    * the streaming form of q_approx_distinct: exact COUNT(DISTINCT) is
+    * unavailable in a streaming aggregation (unbounded per-group state),
+    * so production counts uniques with approx_count_distinct, whose
+    * constant-size mergeable HLL buffer is exactly what the state store
+    * wants. The streamed estimates are then audited against the exact
+    * batch recount per (day, type) and the contract carries only the
+    * exact count and the tolerance verdict — the estimate itself is
+    * engine sketch state, kept out of the oracle like the batch audit.
+    */
+  def dailyApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = withStreamPartitions(spark, 8) {
+    val name = s"graft_stream_approx_distinct_${nameCounter.incrementAndGet()}"
+    val agg = streamSource(spark, sfDir)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.05).as("n_approx"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n_approx"))
+    val streamed = runToParquet(spark, agg, name, OutputMode.Complete)
+    val exact = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    streamed.join(exact, Seq("day", "event_type"))
+      .select(col("day"), col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) <= col("n_exact") * lit(0.15))
+          .as("within_tol"))
+  }
+
   /** The production-shaped form of the daily window: APPEND mode with a
     * one-hour watermark — each window row is emitted exactly once, when
     * the watermark passes its end, instead of re-emitting the whole
