@@ -25,6 +25,9 @@ object AnalyticsQueries {
     "q5_local_supplier" -> ((s, d) => Analytics.q5LocalSupplier(s, d)),
     "q_approx_distinct" -> ((s, d) => Analytics.approxDistinctCheck(s, d)),
     "q_approx_percentile" -> ((s, d) => Analytics.approxPercentileCheck(s, d)),
+    "q_skew_profile" -> ((s, d) => Analytics.skewProfile(s, d)),
+    "q_cdc_apply" -> ((s, d) => graft.operators.Formats.cdcApply(s, d)),
+    "q_join_incremental" -> ((s, d) => graft.operators.Formats.incrementalJoin(s, d)),
     "q_large_orders" -> ((s, d) => Analytics.largeOrders(s, d)),
     "q_calendar_dim" -> ((s, d) => Analytics.calendarDim(s, d)),
     "q_window_range_frame" -> ((s, d) => Analytics.trailingHourSum(s, d)),
@@ -213,6 +216,46 @@ object AnalyticsQueries {
         |  CAST(count(value) AS BIGINT) AS n_values,
         |  TRUE AS rank_ok
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // Exact discrete percentiles of per-key group size; all-integer.
+    "q_skew_profile" ->
+      """WITH g AS (SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY 1),
+        |n AS (SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS total_rows,
+        |  max(c) AS max_g FROM g),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c, l_suppkey) AS rn FROM g)
+        |SELECT CAST(n.n_keys AS BIGINT) AS n_keys, n.total_rows,
+        |  CAST(n.max_g AS BIGINT) AS max_g,
+        |  CAST(max(CASE WHEN r.rn = (50 * n.n_keys + 99) // 100 THEN r.c END)
+        |    AS BIGINT) AS p50_g,
+        |  CAST(max(CASE WHEN r.rn = (90 * n.n_keys + 99) // 100 THEN r.c END)
+        |    AS BIGINT) AS p90_g,
+        |  CAST(max(CASE WHEN r.rn = (99 * n.n_keys + 99) // 100 THEN r.c END)
+        |    AS BIGINT) AS p99_g,
+        |  CAST(n.max_g * 1000 * n.n_keys // n.total_rows AS BIGINT) AS skew_x1000
+        |FROM r CROSS JOIN n
+        |GROUP BY n.n_keys, n.total_rows, n.max_g""".stripMargin,
+
+    // Closed-form end state of the synthesized CDC log: keys ≡0 (mod 10)
+    // deleted, keys ≡1 doubled, everything else at v1 state.
+    "q_cdc_apply" ->
+      """SELECT o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_live,
+        |  CAST(sum(CASE WHEN o_orderkey % 10 = 1
+        |      THEN CAST(o_totalprice AS DECIMAL(12,2)) * 2
+        |      ELSE CAST(o_totalprice AS DECIMAL(12,2)) END) * 100
+        |    AS BIGINT) AS sum_total_c
+        |FROM orders WHERE o_orderkey % 10 != 0
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // The delta decomposition must equal the from-scratch join.
+    "q_join_incremental" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(12,2)))) * 10000 AS BIGINT)
+        |    AS rev_e4,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
 
     // The merged-partials result must equal a from-scratch aggregate
     // over all history — that equality IS the correctness claim, so the

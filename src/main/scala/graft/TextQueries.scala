@@ -41,6 +41,7 @@ object TextQueries {
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "q_dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "q_jaccard_prefix" -> ((s, d) => Dedup.jaccardPrefix(s, d)),
     "q_dedup_verify_pairs" -> ((s, d) => Dedup.verifyPairs(s, d)),
     "q_jaccard_calibration" -> ((s, d) => Dedup.jaccardCalibration(s, d)),
     "q_dedup_components" -> ((s, d) => Dedup.components(s, d)),
@@ -748,6 +749,21 @@ object TextQueries {
          |  CAST(sa.sz + sb.sz - n_inter AS INTEGER) AS n_union,
          |  n_inter * 10 >= (sa.sz + sb.sz - n_inter) * 8 AS near_dup
          |FROM inter JOIN szs sa ON doc_a = sa.doc_id
-         |JOIN szs sb ON doc_b = sb.doc_id""".stripMargin
+         |JOIN szs sb ON doc_b = sb.doc_id""".stripMargin,
+
+    // Brute-force threshold join within source — the prefix filter must
+    // lose NOTHING above the 0.8 threshold (its exactness guarantee).
+    "q_jaccard_prefix" ->
+      s"""WITH $baseCte, $shinglesCte,
+         |ex AS (SELECT doc_id, source, unnest(list_distinct(s)) AS shingle FROM sh),
+         |szs AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM ex a JOIN ex b ON a.source = b.source AND a.shingle = b.shingle
+         |    AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(n_inter AS INTEGER) AS n_inter,
+         |  CAST(sa.sz + sb.sz - n_inter AS INTEGER) AS n_union
+         |FROM inter JOIN szs sa ON doc_a = sa.doc_id
+         |JOIN szs sb ON doc_b = sb.doc_id
+         |WHERE n_inter * 10 >= (sa.sz + sb.sz - n_inter) * 8""".stripMargin
   )
 }

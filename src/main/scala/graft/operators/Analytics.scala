@@ -210,6 +210,39 @@ object Analytics {
           && col("n_le") * 1000 <= col("n_values") * 510).as("rank_ok"))
   }
 
+  /** Join-key skew profile — the diagnostic you run BEFORE deciding
+    * whether a join needs salting/AQE-skew handling: per-key group
+    * sizes reduced to the numbers that matter (key count, max group,
+    * exact discrete p50/p90/p99 of group size, max/avg skew ratio in
+    * ×1000 integer). The first aggregate shuffles the fact ONCE on the
+    * key; everything after operates on one row per DISTINCT key — the
+    * global rank sort is bounded by key cardinality, not fact volume,
+    * which is exactly why a key profile is cheap where a row profile
+    * is not. All-integer outputs (ceil-index percentile positions,
+    * integer ratio) — nothing for engines to disagree on.
+    */
+  def skewProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("c"))
+    val n = broadcast(g.agg(count(lit(1)).as("n_keys"),
+      sum(col("c")).as("total_rows"), max(col("c")).as("max_g")))
+    val ranked = g.withColumn("rn",
+      row_number().over(Window.orderBy(col("c"), col("l_suppkey"))))
+    ranked.crossJoin(n)
+      .agg(
+        max(col("n_keys")).as("n_keys"),
+        max(col("total_rows")).as("total_rows"),
+        max(col("max_g")).as("max_g"),
+        max(when(col("rn") === expr("(50 * n_keys + 99) div 100"), col("c")))
+          .as("p50_g"),
+        max(when(col("rn") === expr("(90 * n_keys + 99) div 100"), col("c")))
+          .as("p90_g"),
+        max(when(col("rn") === expr("(99 * n_keys + 99) div 100"), col("c")))
+          .as("p99_g"))
+      .withColumn("skew_x1000",
+        expr("max_g * 1000 * n_keys div total_rows"))
+  }
+
   /** Calendar dimension generator — the date dim every warehouse joins
     * against, derived from the fact table's own bounds so it never
     * drifts: one row per day between min and max order date with the

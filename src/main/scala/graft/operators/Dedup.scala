@@ -539,4 +539,52 @@ object Dedup {
       (col("n_inter") * 10 >= (col("sz_a") + col("sz_b") - col("n_inter")) * 8)
         .as("near_dup"))
   }
+
+  /** Threshold set-similarity join via PREFIX FILTERING (the
+    * SSJoin/PPJoin family, Chaudhuri et al. ICDE'06): for Jaccard ≥ t,
+    * two sets MUST share at least one element among their first
+    * L = |s| − ⌈t·|s|⌉ + 1 elements under any fixed global ordering —
+    * so only prefix tokens are indexed and the candidate join touches
+    * |prefix| ≈ (1−t)·|s| postings per doc instead of all of them (5×
+    * fewer at t = 0.8). The global order is ascending document
+    * frequency (rarest first, integer tie-break on the shingle), which
+    * ALSO makes prefix collisions rare — the frequent shingles that
+    * generate quadratic buckets never enter the index. No stop-cap
+    * needed, no recall loss: the filter is exact, and the oracle is the
+    * brute-force all-pairs-within-source threshold join. Exact
+    * verification runs array_intersect on the candidate pairs only.
+    * Integer prefix-length arithmetic: L = sz − ⌈8·sz/10⌉ + 1.
+    */
+  def jaccardPrefix(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docsArr = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        array_distinct(shingles3(col("text"))).as("ds"))
+      .withColumn("sz", size(col("ds")))
+      .truncateLineage()
+    val sh = docsArr.select(col("doc_id"), col("source"),
+      col("sz"), explode(col("ds")).as("shingle"))
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val prefix = sh.join(df, "shingle")
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("df"), col("shingle"))))
+      .filter(col("rnk") <= col("sz") - expr("(8 * sz + 9) div 10") + 1)
+      .select(col("doc_id"), col("source"), col("shingle"))
+      .truncateLineage()
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.source") === col("b.source")
+          && col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docsArr.select(col("doc_id").as("doc_a"),
+        col("ds").as("ds_a"), col("sz").as("sz_a")), "doc_a")
+      .join(docsArr.select(col("doc_id").as("doc_b"),
+        col("ds").as("ds_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("ds_a"), col("ds_b"))))
+      .withColumn("n_union", col("sz_a") + col("sz_b") - col("n_inter"))
+      .filter(col("n_inter") * 10 >= col("n_union") * 8)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
+  }
 }

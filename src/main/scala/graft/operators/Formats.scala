@@ -81,6 +81,72 @@ object Formats {
     * user_id; at 100 TB the updates side is typically small enough to
     * broadcast, which Catalyst/AQE picks from stats automatically.
     */
+  /** CDC apply — the change-data-capture consumer every warehouse runs:
+    * an ordered op log (INSERT / UPDATE / DELETE with a version stamp)
+    * collapses onto base state by taking each key's LATEST op (one
+    * window over one (key)-clustered shuffle — versions never sort
+    * globally) and dropping tombstones. The log here is synthesized
+    * deterministically from `orders` (v1 inserts everything; v2 deletes
+    * keys ≡0 and doubles the price of keys ≡1 mod 10) so the oracle can
+    * state the end condition closed-form. Sums report in ×100 cents
+    * BIGINT — the 2⁵³-safe fixed-point output contract.
+    */
+  def cdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), dec("o_totalprice").as("p"))
+    val log = base
+      .select(col("o_orderkey"), col("o_orderstatus"), col("p"),
+        lit(1).as("v"), lit("I").as("op"))
+      .union(base.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("p"),
+          lit(2).as("v"), lit("D").as("op")))
+      .union(base.filter(col("o_orderkey") % 10 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("p") * 2).cast("decimal(12,2)").as("p"),
+          lit(2).as("v"), lit("U").as("op")))
+    val byKey = Window.partitionBy(col("o_orderkey"))
+      .orderBy(col("v").desc)
+    log.withColumn("rn", row_number().over(byKey))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_live"),
+        (sum(col("p")) * 100).cast("long").as("sum_total_c"))
+  }
+
+  /** Incremental join-view maintenance — the delta algebra a maintained
+    * materialized join lives on: with base relations A, B already joined
+    * into the view, an ingest of ΔA and ΔB updates it with
+    * ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — three joins each bounded by a DELTA side,
+    * so maintenance cost tracks ingest size, never |A⋈B|. All four
+    * terms aggregate to decimal partials which merge exactly (the
+    * q_agg_merge_partial algebra), and the oracle is the from-scratch
+    * join over (A∪ΔA)⋈(B∪ΔB) — proving the delta decomposition loses
+    * nothing. Splits are deterministic key-parity slices of orders /
+    * lineitem standing in for yesterday's table vs today's batch.
+    */
+  def incrementalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"),
+        (dec("l_extendedprice") * (lit(1) - dec("l_discount"))).as("rev"))
+    val a  = ord.filter(col("o_orderkey") % 4 =!= 3)
+    val da = ord.filter(col("o_orderkey") % 4 === 3)
+    val b  = li.filter(col("l_orderkey") % 2 === 0)
+    val db = li.filter(col("l_orderkey") % 2 =!= 0)
+    def part(o: DataFrame, l: DataFrame): DataFrame =
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("rev")).as("p_rev"), count(lit(1)).as("p_items"))
+    part(a, b)                   // the standing view
+      .union(part(da, b))        // ΔA ⋈ B
+      .union(part(a, db))        // A ⋈ ΔB
+      .union(part(da, db))       // ΔA ⋈ ΔB
+      .groupBy(col("o_orderpriority"))
+      .agg((sum(col("p_rev")) * 10000).cast("long").as("rev_e4"),
+        sum(col("p_items")).as("n_items"))
+  }
+
   def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
     val cutover = "2024-01-16" // events span 2024-01; mid-month split
     val ev = Tables.events(spark, sfDir)
