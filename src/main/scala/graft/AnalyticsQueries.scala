@@ -23,6 +23,8 @@ object AnalyticsQueries {
     "q_agg_merge_partial" -> ((s, d) => Analytics.mergePartialAggs(s, d)),
     "q3_shipping" -> ((s, d) => Analytics.q3Shipping(s, d)),
     "q5_local_supplier" -> ((s, d) => Analytics.q5LocalSupplier(s, d)),
+    "q10_returns" -> ((s, d) => Analytics.q10Returns(s, d)),
+    "q14_promo" -> ((s, d) => Analytics.q14Promo(s, d)),
     "q_approx_distinct" -> ((s, d) => Analytics.approxDistinctCheck(s, d)),
     "q_approx_percentile" -> ((s, d) => Analytics.approxPercentileCheck(s, d)),
     "q_skew_profile" -> ((s, d) => Analytics.skewProfile(s, d)),
@@ -216,6 +218,44 @@ object AnalyticsQueries {
         |  CAST(count(value) AS BIGINT) AS n_values,
         |  TRUE AS rank_ok
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // Top returned-revenue customers; exact decimal ordering, x1e4 out.
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(rev_dec * 10000 AS BIGINT) AS rev_e4, n_items
+        |FROM (
+        |  SELECT c_custkey, c_name, n_name,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS rev_dec,
+        |    count(*) AS n_items
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1, 2, 3)
+        |ORDER BY rev_dec DESC, c_custkey LIMIT 20""".stripMargin,
+
+    // Promo revenue share in integer basis points.
+    "q14_promo" ->
+      """WITH j AS (
+        |  SELECT p_type, CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(12,2))) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-02-01')
+        |SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+        |    ELSE CAST(0 AS DECIMAL(12,2)) END) * 10000 AS BIGINT)
+        |    AS promo_rev_e4,
+        |  CAST(sum(rev) * 10000 AS BIGINT) AS total_rev_e4,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST((CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+        |      ELSE CAST(0 AS DECIMAL(12,2)) END) * 10000 AS BIGINT) * 10000)
+        |    // CAST(sum(rev) * 10000 AS BIGINT) AS BIGINT) AS promo_bp
+        |FROM j""".stripMargin,
 
     // Exact discrete percentiles of per-key group size; all-integer.
     "q_skew_profile" ->

@@ -166,6 +166,64 @@ object Analytics {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q10 shape (returned-item customers): which customers returned
+    * the most revenue in a quarter — filter→4-way join→aggregate→top-k.
+    * Both filters push to their scans BEFORE any join (returns are a
+    * small fraction of lineitem, one quarter a small fraction of
+    * orders), nation broadcasts, and the top-k is TakeOrderedAndProject
+    * on the EXACT decimal key (ties broken by customer key — no float
+    * anywhere near the cut). Revenue ships ×10⁴ fixed-point.
+    */
+  def q10Returns(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01")
+        && col("o_orderdate") < lit("1996-04-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+          .as("rev_dec"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("rev_dec").desc, col("c_custkey"))
+      .limit(k)
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        (col("rev_dec") * 10000).cast("long").as("rev_e4"), col("n_items"))
+  }
+
+  /** TPC-H Q14 shape (promotion effect): the share of one month's
+    * revenue carried by promo parts — conditional aggregation over a
+    * fact⋈dim join, the ratio formed from exact integer fixed-point
+    * numerator/denominator (×10⁴ revenue units; the share itself in
+    * ×10⁴ basis points by integer division). The date filter prunes the
+    * lineitem scan; part joins on its key (AQE broadcasts the dim when
+    * its runtime size allows).
+    */
+  def q14Promo(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1996-02-01"))
+      .select(col("l_partkey"),
+        (dec("l_extendedprice") * (lit(1) - dec("l_discount"))).as("rev"))
+    li.join(Tables.part(spark, sfDir).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", col("rev"))
+          .otherwise(lit(0).cast("decimal(12,2)"))) * 10000)
+          .cast("long").as("promo_rev_e4"),
+        (sum(col("rev")) * 10000).cast("long").as("total_rev_e4"),
+        count(lit(1)).as("n_items"))
+      .withColumn("promo_bp",
+        expr("promo_rev_e4 * 10000 div total_rev_e4"))
+  }
+
   /** HLL cardinality with an exactness audit — the sketch every 100 TB
     * pipeline substitutes for COUNT(DISTINCT): approx_count_distinct
     * (HyperLogLog++, mergeable partials, one narrow pass instead of a
