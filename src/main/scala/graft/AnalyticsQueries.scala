@@ -99,8 +99,53 @@ object AnalyticsQueries {
       graft.sources.Tables.orders(s, d).createOrReplaceTempView("orders")
       graft.sources.Tables.customer(s, d).createOrReplaceTempView("customer")
       s.sql(sqlApiText)
+    }),
+
+    // Correlated EXISTS/NOT EXISTS through the SQL front door —
+    // Catalyst DECORRELATES both into semi/anti joins (RewritePredicate
+    // Subquery), so the "per-row subquery" never executes per row: the
+    // plan is two hash joins over one orders scan. Dialect-common text,
+    // oracle runs it verbatim.
+    "q_exists_subquery" -> ((s, d) => {
+      graft.sources.Tables.orders(s, d).createOrReplaceTempView("orders")
+      graft.sources.Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql(existsSubqueryText)
+    }),
+
+    // LATERAL correlated subquery (per-customer top order) — planned as
+    // DecorrelateInnerQuery + window group-limit, not a per-row loop.
+    "q_lateral_topk" -> ((s, d) => {
+      graft.sources.Tables.orders(s, d).createOrReplaceTempView("orders")
+      graft.sources.Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql(lateralTopkText)
     })
   )
+
+  /** Dialect-common correlated EXISTS/NOT EXISTS — decorrelation demo. */
+  private val existsSubqueryText: String =
+    """SELECT c_mktsegment,
+      |  CAST(count(*) AS BIGINT) AS n_active_no_urgent
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_orderdate >= TIMESTAMP '1996-01-01')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** Dialect-common LATERAL top-1-per-customer. */
+  private val lateralTopkText: String =
+    """SELECT c.c_mktsegment,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(t.top_total_c) AS BIGINT) AS sum_top_total_c
+      |FROM customer c,
+      |LATERAL (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |    AS top_total_c
+      |  FROM orders o WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+      |GROUP BY c.c_mktsegment""".stripMargin
 
   /** Runs unchanged on Spark AND DuckDB (the common dialect subset). */
   private val sqlApiText: String =
@@ -759,6 +804,8 @@ object AnalyticsQueries {
         |FROM b FULL OUTER JOIN u ON b.user_id = u.user_id""".stripMargin,
 
     "q_sql_api" -> sqlApiText,
+    "q_exists_subquery" -> existsSubqueryText,
+    "q_lateral_topk" -> lateralTopkText,
 
     // The JDBC write + partitioned readback must round-trip the daily
     // aggregate unchanged — same oracle as the in-memory form.
