@@ -118,7 +118,33 @@ object AnalyticsQueries {
       graft.sources.Tables.orders(s, d).createOrReplaceTempView("orders")
       graft.sources.Tables.customer(s, d).createOrReplaceTempView("customer")
       s.sql(lateralTopkText)
-    })
+    }),
+
+    // TPC-H Q17 shape: CORRELATED SCALAR subquery (per-part average) —
+    // RewriteCorrelatedScalarSubquery turns the "per-row average" into
+    // ONE aggregate over lineitem grouped by l_partkey, joined back; the
+    // inner scan runs once, not once per outer row. All quantities are
+    // integral, so the double average is an exact-integer-sum ÷ count —
+    // correctly rounded identically on both engines; no near-tie risk.
+    "q17_small_lots" -> ((s, d) => {
+      graft.sources.Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      graft.sources.Tables.part(s, d).createOrReplaceTempView("part")
+      s.sql(q17Text)
+    }),
+
+    // TPC-H Q22 shape: two UNCORRELATED scalar subqueries (the balance
+    // threshold as exact integer cents × count — never a float compare)
+    // + a correlated NOT EXISTS anti join. Catalyst evaluates the scalar
+    // subqueries once and folds them to literals; the anti join is one
+    // hash join over one orders scan.
+    "q22_idle_balance" -> ((s, d) => {
+      graft.sources.Tables.orders(s, d).createOrReplaceTempView("orders")
+      graft.sources.Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql(q22Text)
+    }),
+
+    "q13_custdist" -> ((s, d) => Analytics.q13CustDist(s, d)),
+    "q_cms_audit" -> ((s, d) => Analytics.cmsPointCheck(s, d))
   )
 
   /** Dialect-common correlated EXISTS/NOT EXISTS — decorrelation demo. */
@@ -146,6 +172,42 @@ object AnalyticsQueries {
       |  FROM orders o WHERE o.o_custkey = c.c_custkey
       |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
       |GROUP BY c.c_mktsegment""".stripMargin
+
+  /** TPC-H Q17 (small-lot revenue), dialect-common. The sum ships as
+    * exact integer cents; avg_yearly is one IEEE division of that exact
+    * value — identical bits on both engines.
+    */
+  private val q17Text: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_small_lots,
+      |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+      |    AS sum_price_c,
+      |  CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |    / 7.0 AS DOUBLE) AS avg_yearly
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_brand = 'Brand#4'
+      |  AND l.l_quantity < (SELECT 0.2 * avg(CAST(l2.l_quantity AS DOUBLE))
+      |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+
+  /** TPC-H Q22 (idle above-average balances), dialect-common. The
+    * threshold compare is all-integer: balance-in-cents × positive-
+    * balance count vs the exact cent sum, so no float average can
+    * near-tie across engines.
+    */
+  private val q22Text: String =
+    """SELECT c.c_nationkey,
+      |  CAST(count(*) AS BIGINT) AS n_custs,
+      |  CAST(sum(CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_acctbal_c
+      |FROM customer c
+      |WHERE CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |    * (SELECT CAST(count(*) AS BIGINT) FROM customer
+      |       WHERE c_acctbal > 0)
+      |  > (SELECT CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100
+      |       AS BIGINT)) AS BIGINT) FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c.c_nationkey""".stripMargin
 
   /** Runs unchanged on Spark AND DuckDB (the common dialect subset). */
   private val sqlApiText: String =
@@ -806,6 +868,33 @@ object AnalyticsQueries {
     "q_sql_api" -> sqlApiText,
     "q_exists_subquery" -> existsSubqueryText,
     "q_lateral_topk" -> lateralTopkText,
+    "q17_small_lots" -> q17Text,
+    "q22_idle_balance" -> q22Text,
+
+    "q13_custdist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c.c_custkey,
+        |    CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer c LEFT OUTER JOIN orders o
+        |    ON c.c_custkey = o.o_custkey
+        |    AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count""".stripMargin,
+
+    // Both CMS verdict columns are TRUE by construction (merge is
+    // counter-additive with seed-fixed hashes; collisions only inflate),
+    // so the oracle pins them as count(*); the exact recount side pins
+    // the data.
+    "q_cms_audit" ->
+      """WITH w AS (SELECT c_custkey FROM customer WHERE c_nationkey = 0),
+        |e AS (SELECT w.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n
+        |  FROM w LEFT OUTER JOIN orders o ON o.o_custkey = w.c_custkey
+        |  GROUP BY w.c_custkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(count(*) AS BIGINT) AS n_merge_equal,
+        |  CAST(count(*) AS BIGINT) AS n_est_ge_exact,
+        |  CAST(coalesce(sum(n), 0) AS BIGINT) AS sum_exact_n
+        |FROM e""".stripMargin,
 
     // The JDBC write + partitioned readback must round-trip the daily
     // aggregate unchanged — same oracle as the in-memory form.

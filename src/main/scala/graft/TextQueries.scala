@@ -52,6 +52,7 @@ object TextQueries {
     "q_dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "q_pagerank" -> ((s, d) => graft.operators.Graph.pagerank(s, d)),
     "q_triangles" -> ((s, d) => graft.operators.Graph.triangles(s, d)),
+    "q_reach_bfs" -> ((s, d) => graft.operators.Graph.reachBfs(s, d)),
     "q_bm25_top" -> ((s, d) => TextAnalysis.bm25Top(s, d)),
     "q_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "q_char_entropy" -> ((s, d) => TextAnalysis.charEntropy(s, d)),
@@ -675,6 +676,20 @@ object TextQueries {
          |    AS INTEGER) AS tok_union
          |FROM pairs p JOIN docs a ON p.doc_a = a.doc_id
          |JOIN docs b ON p.doc_b = b.doc_id""".stripMargin,
+
+    // Depth-bounded BFS — Spark runs the identical recursive tail over
+    // the operator-computed prs view; the oracle rebuilds prs from the
+    // band keys in SQL first.
+    "q_reach_bfs" ->
+      (bandsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        s""",
+           |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b ON a.band_id = b.band_id
+           |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |""".stripMargin +
+        graft.operators.Graph.reachBfsTail
+          .replaceFirst("WITH RECURSIVE ", "")
+          .replace("__DOCS__", "documents")),
 
     // Recursive transitive closure over the candidate graph — the oracle
     // for the Spark side's iterative label propagation.

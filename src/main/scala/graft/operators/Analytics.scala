@@ -224,6 +224,82 @@ object Analytics {
         expr("promo_rev_e4 * 10000 div total_rev_e4"))
   }
 
+  /** I6/q13 — customer order-count distribution (TPC-H Q13 shape): the
+    * canonical OUTER-JOIN-then-aggregate-twice topology. The priority
+    * filter lives in the JOIN CONDITION, not a WHERE — an outer-join
+    * subtlety Catalyst must NOT push below the join (a WHERE would turn
+    * the join inner and silently drop the zero-order customers that are
+    * the whole point of the query).
+    *
+    * Scale: one shuffle on c_custkey for the outer join + first count
+    * (both share the key), then the second aggregate groups by c_count —
+    * cardinality ≤ max orders per customer, so it collapses to partial
+    * buffers. No row ever carries more than two BIGINTs past the first
+    * aggregate.
+    */
+  def q13CustDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir).select(col("c_custkey"))
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    cust.join(ord,
+        col("c_custkey") === col("o_custkey")
+          && col("o_orderpriority") =!= "1-URGENT",
+        "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** Count-min-sketch point-frequency audit — the last classic sketch in
+    * the family (HLL = distinct, bloom = membership, space-saving =
+    * top-k, KLL/GK = quantiles, CMS = POINT FREQUENCY). A 100 TB
+    * pipeline answers "how many orders does THIS key have" from a
+    * ~100 KB mergeable counter array instead of re-scanning the fact
+    * table per lookup.
+    *
+    * The audit pins the two properties that make CMS usable distributed:
+    *   1. MERGE EXACTNESS — a sketch built per half-partition and merged
+    *      must answer every point query identically to a single-pass
+    *      build (counters are additive, hash functions seed-determined),
+    *      which is exactly the map-side-combine contract;
+    *   2. NO UNDERESTIMATE — est ≥ exact for every key, with certainty
+    *      (collisions only ever inflate counters).
+    * Both verdicts are deterministic TRUE by construction, so the oracle
+    * pins them as count(*); the estimates themselves stay out of the
+    * contract (engine-internal sketch state), like the HLL audit. The
+    * exact recount side is one aggregate + a bounded watchlist join.
+    */
+  def cmsPointCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val eps = 0.001; val conf = 0.9999; val seed = 42
+    val whole = ord.stat.countMinSketch(col("o_custkey"), eps, conf, seed)
+    val early = ord.filter(col("o_orderdate") < lit("1996-07-01"))
+      .stat.countMinSketch(col("o_custkey"), eps, conf, seed)
+    val late = ord.filter(col("o_orderdate") >= lit("1996-07-01"))
+      .stat.countMinSketch(col("o_custkey"), eps, conf, seed)
+    val merged = early.mergeInPlace(late)
+
+    val estWhole = udf((k: Long) => whole.estimateCount(k))
+    val estMerged = udf((k: Long) => merged.estimateCount(k))
+    Tables.customer(spark, sfDir)
+      .filter(col("c_nationkey") === 0).select(col("c_custkey"))
+      .join(ord.groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_exact")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_custkey"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        estWhole(col("c_custkey")).as("e_whole"),
+        estMerged(col("c_custkey")).as("e_merged"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("e_whole") === col("e_merged"), 1L).otherwise(0L))
+          .as("n_merge_equal"),
+        sum(when(col("e_whole") >= col("n_exact"), 1L).otherwise(0L))
+          .as("n_est_ge_exact"),
+        sum(col("n_exact")).as("sum_exact_n"))
+  }
+
   /** HLL cardinality with an exactness audit — the sketch every 100 TB
     * pipeline substitutes for COUNT(DISTINCT): approx_count_distinct
     * (HyperLogLog++, mergeable partials, one narrow pass instead of a

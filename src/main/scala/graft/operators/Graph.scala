@@ -126,4 +126,46 @@ object Graph {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Depth-bounded BFS reachability from a seed set, expressed as a
+    * RECURSIVE CTE through the SQL front door (Spark 4's `WITH
+    * RECURSIVE` → `UnionLoop` execution). From every 20th document, how
+    * many (seed, node) pairs become reachable at each hop count ≤ 3 over
+    * the candidate graph — the "blast radius" a curation pipeline asks
+    * before propagating a takedown/licensing flag through near-dup
+    * clusters.
+    *
+    * Scale shape: each recursion level is ONE hash join of the frontier
+    * against the edge list + the level-limit filter — the same per-
+    * iteration cost as the CC loop, but engine-managed instead of
+    * driver-paced. UNION ALL recursion (no per-level dedup) is safe here
+    * because depth is capped; the min-hop aggregate outside collapses
+    * duplicate paths. The identical dialect-common text runs on DuckDB
+    * over an edges CTE rebuilt from the band keys in SQL.
+    */
+  def reachBfs(spark: SparkSession, sfDir: String): DataFrame = {
+    Dedup.minhashPairs(spark, sfDir).createOrReplaceTempView("prs")
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .createOrReplaceTempView("documents_nodes")
+    spark.sql(reachBfsTail.replace("__DOCS__", "documents_nodes"))
+  }
+
+  /** Dialect-common recursive text; `__DOCS__` is the node table name
+    * (Spark binds a pruned temp view, the oracle uses `documents`).
+    */
+  val reachBfsTail: String =
+    """WITH RECURSIVE edges AS (
+      |  SELECT doc_a AS n, doc_b AS m FROM prs
+      |  UNION ALL SELECT doc_b, doc_a FROM prs),
+      |seeds AS (SELECT doc_id FROM __DOCS__ WHERE doc_id % 20 = 0),
+      |reach(src, node, hops) AS (
+      |  SELECT doc_id, doc_id, 0 FROM seeds
+      |  UNION ALL
+      |  SELECT r.src, e.m, r.hops + 1
+      |  FROM reach r JOIN edges e ON r.node = e.n
+      |  WHERE r.hops < 3),
+      |best AS (SELECT src, node, CAST(min(hops) AS BIGINT) AS hop
+      |  FROM reach GROUP BY src, node)
+      |SELECT hop, CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM best GROUP BY hop""".stripMargin
 }
