@@ -144,6 +144,7 @@ object AnalyticsQueries {
     }),
 
     "q13_custdist" -> ((s, d) => Analytics.q13CustDist(s, d)),
+    "q19_disjunctive" -> ((s, d) => Analytics.q19Disjunctive(s, d)),
     "q_cms_audit" -> ((s, d) => Analytics.cmsPointCheck(s, d))
   )
 
@@ -880,6 +881,19 @@ object AnalyticsQueries {
         |    AND o.o_orderpriority <> '1-URGENT'
         |  GROUP BY c.c_custkey)
         |GROUP BY c_count""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(4,2)))) * 10000 AS BIGINT)
+        |    AS rev_e4,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  AND ((p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 10
+        |        AND l.l_quantity BETWEEN 1 AND 15)
+        |    OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 5 AND 20
+        |        AND l.l_quantity BETWEEN 10 AND 30)
+        |    OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 10 AND 40
+        |        AND l.l_quantity BETWEEN 20 AND 50))""".stripMargin,
 
     // Both CMS verdict columns are TRUE by construction (merge is
     // counter-additive with seed-fixed hashes; collisions only inflate),

@@ -31,6 +31,8 @@ object MediaStreamQueries {
       EventsStreaming.viewPurchaseJoin(s, d)),
     "q_stream_left_join" -> ((s, d) =>
       EventsStreaming.viewPurchaseLeftJoin(s, d)),
+    "q_stream_full_join" -> ((s, d) =>
+      EventsStreaming.viewPurchaseFullJoin(s, d)),
     "q_stream_dedup_wm" -> ((s, d) =>
       EventsStreaming.dedupWithinWatermark(s, d)),
     "q_stream_session_native" -> ((s, d) =>
@@ -192,6 +194,17 @@ object MediaStreamQueries {
     // Left-outer adds exactly the unmatched views with NULL purchase
     // columns — the streaming null-emission-on-expiry must equal the
     // batch LEFT JOIN.
+    // Full outer adds the unmatched-purchase direction; user_id comes
+    // from whichever side is present.
+    "q_stream_full_join" ->
+      """SELECT coalesce(v.user_id, p.user_id) AS user_id,
+        |  v.event_id AS view_id, p.event_id AS purchase_id,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |FULL OUTER JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""".stripMargin,
+
     "q_stream_left_join" ->
       """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
         |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us

@@ -33,6 +33,7 @@ object TextQueries {
     "q_split_leakage_safe" -> ((s, d) => graft.operators.DataPrep.leakageSafeSplit(s, d)),
     "q_sample_stratified" -> ((s, d) => graft.operators.DataPrep.stratifiedSample(s, d)),
     "q_sample_weighted" -> ((s, d) => graft.operators.DataPrep.weightedSample(s, d)),
+    "q_mixture_sample" -> ((s, d) => graft.operators.DataPrep.mixtureSample(s, d)),
     "q_pack_sequences" -> ((s, d) => graft.operators.DataPrep.packSequences(s, d)),
     "q_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_near" -> ((s, d) => Dedup.near(s, d)),
@@ -309,6 +310,23 @@ object TextQueries {
         |     / 4294967296.0) / ln(1 + n_chars) AS es_key
         |  FROM documents)
         |ORDER BY es_key DESC, doc_id LIMIT 50""".stripMargin,
+
+    // Quotas are budget*wt//sum(wt) floor division — integer on both
+    // engines; selection is longest-first within source, id tiebreak.
+    "q_mixture_sample" ->
+      """WITH w AS (SELECT source,
+        |    1 + (CAST(substr(source, 4) AS INTEGER) % 3) AS wt
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |tot AS (SELECT sum(wt) AS tw FROM w),
+        |q AS (SELECT w.source, CAST(200 * wt // tw AS BIGINT) AS quota
+        |  FROM w, tot),
+        |r AS (SELECT d.source, d.n_chars, row_number() OVER (
+        |    PARTITION BY d.source ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        |  FROM documents d)
+        |SELECT r.source, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(r.n_chars) AS BIGINT) AS sum_chars_kept
+        |FROM r JOIN q ON r.source = q.source
+        |WHERE r.rn <= q.quota GROUP BY r.source""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn FROM (

@@ -224,6 +224,37 @@ object Analytics {
         expr("promo_rev_e4 * 10000 div total_rev_e4"))
   }
 
+  /** I6/q19 — disjunctive-predicate join (TPC-H Q19 shape): the join
+    * condition is an OR of three AND-bands mixing columns from BOTH
+    * sides (brand × size-range × quantity-range). The planner test is
+    * that Catalyst still extracts the common `l_partkey = p_partkey`
+    * conjunct as the equi-join key (hash join, not a nested loop over
+    * the disjunction) and pushes the single-side simplifications of the
+    * OR (CNF conversion) into each scan — `p_size BETWEEN` bounds reach
+    * the part scan, quantity bounds reach lineitem — so the disjunction
+    * is only re-checked on join survivors.
+    */
+  def q19Disjunctive(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity"),
+        (dec("l_extendedprice") * (lit(1) - dec("l_discount"))).as("rev"))
+    val pt = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val bands =
+      (col("p_brand") === "Brand#4"
+        && col("p_size").between(1, 10)
+        && col("l_quantity").between(1, 15)) ||
+      (col("p_brand") === "Brand#17"
+        && col("p_size").between(5, 20)
+        && col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#19"
+        && col("p_size").between(10, 40)
+        && col("l_quantity").between(20, 50))
+    li.join(pt, col("l_partkey") === col("p_partkey") && bands)
+      .agg((sum(col("rev")) * 10000).cast("long").as("rev_e4"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** I6/q13 — customer order-count distribution (TPC-H Q13 shape): the
     * canonical OUTER-JOIN-then-aggregate-twice topology. The priority
     * filter lives in the JOIN CONDITION, not a WHERE — an outer-join

@@ -128,4 +128,39 @@ object DataPrep {
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("tokens_before"), col("pack_id"))
   }
+
+  /** Mixture sampling — the domain-balancing draw an LLM data pipeline
+    * runs after curation: a total document budget is split across
+    * sources by TARGET proportions (not by availability), and each
+    * source contributes its best documents up to quota. Targets here are
+    * a deterministic non-uniform weighting derived from the source name
+    * (1 + src_num mod 3), so some sources get 3× the share of others;
+    * quota arithmetic is all-integer (budget × wᵢ div Σw — floor
+    * division, both engines exact). Within a source, selection is
+    * quality-priority (longest first, id tiebreak) — mixture says how
+    * MANY per source, curation order says WHICH.
+    *
+    * Scale shape: weights/quotas live on the distinct-source relation
+    * (cardinality = #domains, broadcast); the corpus pays one window
+    * shuffle on `source`. The literal `rn ≤ budget` guard sits BEFORE
+    * the quota join so WindowGroupLimit prunes rank state at the
+    * per-partition bound even though the real quota is a column.
+    */
+  def mixtureSample(spark: SparkSession, sfDir: String, budget: Int = 200): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val wts = docs.select(col("source")).distinct()
+      .withColumn("wt", lit(1) + substring(col("source"), 4, 10).cast("int") % 3)
+    val quotas = wts.crossJoin(broadcast(wts.agg(sum(col("wt")).as("tw"))))
+      .select(col("source"), expr(s"CAST($budget * wt div tw AS BIGINT)").as("quota"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= lit(budget))
+      .join(broadcast(quotas), "source")
+      .filter(col("rn") <= col("quota"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).cast("long").as("sum_chars_kept"))
+  }
 }

@@ -533,6 +533,44 @@ object EventsStreaming {
     runToParquet(spark, joined, name)
   }
 
+  /** FULL OUTER stream-stream interval join — both unmatched directions
+    * at once: matched pairs emit like the inner join; a view with no
+    * purchase in its hour emits once with NULL purchase columns after
+    * the watermark proves no match can arrive (the left-join case); and
+    * a purchase no view preceded ALSO emits once with NULL view columns
+    * once the watermark passes its interval's other end. State eviction
+    * is symmetric — each side's buffer is bounded by interval + lag, so
+    * at 100 TB/day the store holds a two-hour band per side, never
+    * history. Same EOS-sentinel flush discipline as the left join.
+    */
+  def viewPurchaseFullJoin(spark: SparkSession, sfDir: String): DataFrame = withStreamPartitions(spark, 8) {
+    val name = s"graft_stream_vpfull_${nameCounter.incrementAndGet()}"
+    val dir = stagedDir(spark, sfDir, withEos = true)
+    def side(t: String, idAs: String, tsAs: String): DataFrame =
+      spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .select(col("user_id").as(s"${t}_user"), col("event_id").as(idAs),
+          col("ts").as(tsAs), col("event_type"))
+        .withWatermark(tsAs, "1 hour")
+        .filter(col("event_type") === t || col(tsAs).isNull)
+        .drop("event_type")
+    val views = side("view", "view_id", "view_ts")
+    val purchases = side("purchase", "purchase_id", "purchase_ts")
+    val joined = views.join(purchases,
+        col("view_user") === col("purchase_user")
+          && col("purchase_ts") >= col("view_ts")
+          && col("purchase_ts") <= col("view_ts") + expr("interval 1 hour"),
+        "fullOuter")
+      .select(
+        coalesce(col("view_user"), col("purchase_user")).as("user_id"),
+        col("view_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+          .as("gap_us"))
+    runToParquet(spark, joined, name)
+  }
+
   /** Stream-static join: the event stream enriched with a BATCH-computed
     * dimension (each user's first-seen cohort day) and aggregated per
     * (cohort, event_type). The static side is planned once and
