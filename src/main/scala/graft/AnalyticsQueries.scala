@@ -61,6 +61,7 @@ object AnalyticsQueries {
     "q_retention" -> ((s, d) => Analytics.retentionMatrix(s, d)),
     "q_user_paths" -> ((s, d) => Analytics.userPaths(s, d)),
     "q_attribution_first" -> ((s, d) => Analytics.firstTouchAttribution(s, d)),
+    "q_attribution_linear" -> ((s, d) => Analytics.linearAttribution(s, d)),
     "q_anomaly_zscore" -> ((s, d) => Analytics.anomalyZscore(s, d)),
     "q_asof_join" -> ((s, d) => AsOf.purchaseToLastView(s, d)),
     // The same as-of semantics through the custom Catalyst operator
@@ -618,6 +619,32 @@ object AnalyticsQueries {
     "q_events_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |count(*) AS n FROM events GROUP BY 1""".stripMargin,
+
+    // Equal-split credit in integer basis points; floor-division
+    // remainder goes to the earliest touch so each purchase sums to
+    // exactly 10000 bp on both engines.
+    "q_attribution_linear" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS value_c
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT p.purchase_id, p.value_c, v.view_ts,
+        |    count(*) OVER (PARTITION BY p.purchase_id) AS n_touch,
+        |    row_number() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY v.view_ts, v.view_id) AS rn
+        |  FROM p JOIN v ON p.user_id = v.user_id
+        |    AND v.view_ts <= p.purchase_ts
+        |    AND v.view_ts >= p.purchase_ts - INTERVAL 24 HOURS),
+        |c AS (SELECT purchase_id, value_c, view_ts,
+        |    10000 // n_touch + CASE WHEN rn = 1
+        |      THEN 10000 - n_touch * (10000 // n_touch) ELSE 0 END AS bp
+        |  FROM j)
+        |SELECT CAST(view_ts AS DATE) AS view_day,
+        |  CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum(bp) AS BIGINT) AS sum_bp,
+        |  CAST(sum(value_c * bp // 10000) AS BIGINT) AS credit_c
+        |FROM c GROUP BY 1""".stripMargin,
 
     // First view in the 24h lookback per purchase (the as-of join's
     // last-touch dual).

@@ -26,7 +26,8 @@ object SimilarityQueries {
     "q_sim_centroid" -> ((s, d) => Similarity.centroidDistance(s, d)),
     "q_dedup_embedding" -> ((s, d) => Similarity.nearestPairPerLabel(s, d)),
     "q_dedup_embedding_lsh" -> ((s, d) => Similarity.nearDupLsh(s, d)),
-    "q_dedup_embedding_cc" -> ((s, d) => Similarity.semanticDedup(s, d))
+    "q_dedup_embedding_cc" -> ((s, d) => Similarity.semanticDedup(s, d)),
+    "q_kmeans" -> ((s, d) => Similarity.kmeans(s, d))
   )
 
   /** Shared oracle CTEs, parameterized on the hyperplane-count
@@ -68,6 +69,38 @@ object SimilarityQueries {
     "CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"
 
   val oracleSql: Map[String, String] = Map(
+
+    // Unrolled 2-iteration Lloyd: every quantity is a positive BIGINT
+    // (coordinates snapped ×1e6 then shifted +1e6), so floor division
+    // and argmin ties agree with Spark exactly.
+    "q_kmeans" ->
+      """WITH ex AS (SELECT vec_id, i-1 AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE)*1000000) AS BIGINT)
+        |      + 1000000 AS vi
+        |  FROM embeddings, range(1, 65) r(i)),
+        |c0 AS (SELECT vec_id AS cid, dim, vi AS ci FROM ex WHERE vec_id < 8),
+        |d1 AS (SELECT ex.vec_id, c.cid, sum((ex.vi-c.ci)*(ex.vi-c.ci)) AS d2
+        |  FROM ex JOIN c0 c ON ex.dim = c.dim GROUP BY ex.vec_id, c.cid),
+        |a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |  FROM d1) WHERE rn = 1),
+        |c1 AS (SELECT a.cid, ex.dim, sum(ex.vi) // count(*) AS ci
+        |  FROM a1 a JOIN ex ON a.vec_id = ex.vec_id GROUP BY a.cid, ex.dim),
+        |d2_ AS (SELECT ex.vec_id, c.cid, sum((ex.vi-c.ci)*(ex.vi-c.ci)) AS d2
+        |  FROM ex JOIN c1 c ON ex.dim = c.dim GROUP BY ex.vec_id, c.cid),
+        |a2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |  FROM d2_) WHERE rn = 1),
+        |c2 AS (SELECT a.cid, ex.dim, sum(ex.vi) // count(*) AS ci
+        |  FROM a2 a JOIN ex ON a.vec_id = ex.vec_id GROUP BY a.cid, ex.dim),
+        |df AS (SELECT ex.vec_id, c.cid, sum((ex.vi-c.ci)*(ex.vi-c.ci)) AS d2
+        |  FROM ex JOIN c2 c ON ex.dim = c.dim GROUP BY ex.vec_id, c.cid),
+        |af AS (SELECT vec_id, cid, d2 FROM (SELECT vec_id, cid, d2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |  FROM df) WHERE rn = 1)
+        |SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(d2) AS BIGINT) AS inertia
+        |FROM af GROUP BY cid""".stripMargin,
     "q_embed_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

@@ -1075,6 +1075,45 @@ object Analytics {
           .as("touch_to_buy_us"))
   }
 
+  /** Linear multi-touch attribution — the fractional dual of
+    * [[firstTouchAttribution]]: each purchase's credit splits EQUALLY
+    * across every view in its 24 h lookback. Shares are integer basis
+    * points (10000 div n per touch) with the floor-division remainder
+    * assigned to the earliest touch, so per-purchase credit sums to
+    * exactly 10000 bp and every credited cent is integer-exact —
+    * distributed summation order cannot move a thing. Same interval
+    * join + one per-purchase window as the first-touch form; the
+    * per-day rollup then shuffles only (day, credit) longs.
+    */
+  def linearAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"),
+        (dec("value") * 100).cast("long").as("value_c"))
+    val w = Window.partitionBy(col("purchase_id"))
+    val byTime = w.orderBy(col("view_ts"), col("view_id"))
+    purchases.join(views,
+        col("user_id") === col("p_user")
+          && col("view_ts") <= col("purchase_ts")
+          && col("view_ts") >= col("purchase_ts") - expr("interval 24 hours"))
+      .withColumn("n_touch", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(byTime))
+      .withColumn("bp",
+        expr("10000 div n_touch")
+          + when(col("rn") === 1,
+              lit(10000) - col("n_touch") * expr("10000 div n_touch"))
+            .otherwise(lit(0)))
+      .groupBy(to_date(col("view_ts")).as("view_day"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("bp")).as("sum_bp"),
+        sum(expr("value_c * bp div 10000")).as("credit_c"))
+  }
+
   /** User-journey path analysis — each user's ordered event-type
     * sequence collapsed to a path string, counted per distinct journey
     * (the funnel-free view of how users actually move). `collect_list`

@@ -313,4 +313,58 @@ object Similarity {
         array_min(col("qv")).as("q_min"),
         array_max(col("qv")).as("q_max"))
   }
+
+  /** Deterministic distributed k-means (fixed Lloyd iterations) — the
+    * clustering pass a training-data pipeline runs for corpus topic
+    * balancing / IVF list building. Everything is exact integer
+    * arithmetic so any engine reproduces identical clusters:
+    *
+    *   - coordinates snap once to ×10⁶ fixed-point, then shift +10⁶ so
+    *     every value is POSITIVE — floor and truncating integer
+    *     division agree on positives, removing the Spark `div` vs
+    *     DuckDB `//` negative-operand mismatch by construction;
+    *   - squared L2 distances are exact BIGINT sums (≤ ~7×10¹³ for 64
+    *     dims, far under 2⁶³);
+    *   - centroid updates are integer floor-mean (sum div count);
+    *   - assignment ties break to the lowest centroid id.
+    *
+    * Seeds are the k smallest vec_ids; `iters` Lloyd rounds unroll into
+    * ONE declarative plan (the pagerank pattern — no driver pacing, AQE
+    * sizes every exchange). Scale shape per round: centroids are k×dim
+    * rows (broadcast); the corpus pays one narrow (vec_id, dim, value)
+    * shuffle for the distance aggregate and one for the assignment
+    * window — embeddings never materialize as all-pairs.
+    */
+  def kmeans(spark: SparkSession, sfDir: String, k: Int = 8, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"),
+        (round(col("v").cast("double") * 1e6).cast("long") + 1000000L).as("vi"))
+      .truncateLineage() // reused every round: snap the fixed-point once
+
+    def distances(cent: DataFrame): DataFrame =
+      ex.join(broadcast(cent), "dim")
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum((col("vi") - col("ci")) * (col("vi") - col("ci"))).as("d2"))
+
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+      distances(cent)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("d2"))
+    }
+
+    var cent = ex.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("dim"), col("vi").as("ci"))
+    for (_ <- 1 to iters)
+      cent = assign(cent).join(ex, "vec_id")
+        .groupBy(col("cid"), col("dim"))
+        .agg(expr("sum(vi) div count(*)").as("ci"))
+    assign(cent)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("inertia"))
+      .select(col("cid").as("cluster_id"), col("n_vecs"), col("inertia"))
+  }
 }
