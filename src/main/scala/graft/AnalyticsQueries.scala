@@ -75,6 +75,8 @@ object AnalyticsQueries {
     "q_orc_roundtrip" -> ((s, d) => Formats.orcRoundtrip(s, d)),
     "q_json_roundtrip" -> ((s, d) => Formats.jsonRoundtrip(s, d)),
     "q_compact" -> ((s, d) => Formats.compactRoundtrip(s, d)),
+    "q_backfill_partition" -> ((s, d) => Formats.backfillPartition(s, d,
+      s"${sys.props("java.io.tmpdir")}/graft_backfill_${d.replaceAll("[^A-Za-z0-9.]", "_")}")),
     "q_zorder" -> ((s, d) => Formats.zorderProfile(s, d)),
     "q_codec_roundtrip" -> ((s, d) => Formats.codecRoundtrip(s, d)),
     "q_schema_evolution" -> ((s, d) => Formats.schemaEvolutionRead(s, d)),
@@ -145,6 +147,8 @@ object AnalyticsQueries {
     }),
 
     "q13_custdist" -> ((s, d) => Analytics.q13CustDist(s, d)),
+    "q6_forecast" -> ((s, d) => Analytics.q6Forecast(s, d)),
+    "q8_market_share" -> ((s, d) => Analytics.q8MarketShare(s, d)),
     "q19_disjunctive" -> ((s, d) => Analytics.q19Disjunctive(s, d)),
     "q_cms_audit" -> ((s, d) => Analytics.cmsPointCheck(s, d))
   )
@@ -798,6 +802,16 @@ object AnalyticsQueries {
     // compaction is content-preserving: same lossless summary oracle
     "q_compact" -> ordersSummarySql,
 
+    // Final state after the backfill must equal the straight rollup of
+    // the source: the healed day proves the partition was replaced, the
+    // other days prove dynamic mode left them alone.
+    "q_backfill_partition" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT)
+        |    AS sum_value_c
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     // Both codec layouts must decode to the same lossless summary.
     "q_codec_roundtrip" ->
       """SELECT * FROM (
@@ -908,6 +922,45 @@ object AnalyticsQueries {
         |    AND o.o_orderpriority <> '1-URGENT'
         |  GROUP BY c.c_custkey)
         |GROUP BY c_count""".stripMargin,
+
+    "q6_forecast" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)
+        |    AS revenue_e4,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH f AS (
+        |  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+        |    CAST(l.l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS rev,
+        |    ns.n_name AS supp_nation
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        |  JOIN region r ON nc.n_regionkey = r.r_regionkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        |  WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |    AND l.l_partkey IN (SELECT p_partkey FROM part
+        |                        WHERE p_type = 'PROMO'))
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev
+        |    ELSE CAST(0 AS DECIMAL(12,2)) END) * 10000 AS BIGINT)
+        |    AS nation_rev_e4,
+        |  CAST(sum(rev) * 10000 AS BIGINT) AS total_rev_e4,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev
+        |    ELSE CAST(0 AS DECIMAL(12,2)) END) * 10000 AS BIGINT) * 10000
+        |    // CAST(sum(rev) * 10000 AS BIGINT) AS share_bp
+        |FROM f GROUP BY o_year""".stripMargin,
+
 
     "q19_disjunctive" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))

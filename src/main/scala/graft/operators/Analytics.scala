@@ -255,6 +255,77 @@ object Analytics {
         count(lit(1)).as("n_items"))
   }
 
+  /** I6/q6 — the canonical scan benchmark (TPC-H Q6): no join at all —
+    * one predicate-dense lineitem scan, every filter pushed to parquet
+    * (shipdate range, discount band, quantity cap), one global exact-
+    * decimal aggregate. This is the query whose cost IS the I/O path;
+    * anything beyond scan+pushdown+partial-agg in the plan is a bug.
+    */
+  def q6Forecast(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1997-01-01")
+        // raw-double band FIRST so it reaches the parquet scan
+        // (PushedFilters can't hold the decimal-cast form); the exact
+        // decimal band below re-checks survivors for the contract
+        && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+        && dec("l_discount").between(
+          lit(BigDecimal("0.05")), lit(BigDecimal("0.07")))
+        && col("l_quantity") < 24)
+      .agg((sum(dec("l_extendedprice") * dec("l_discount")) * 10000)
+          .cast("long").as("revenue_e4"),
+        count(lit(1)).as("n_items"))
+
+  /** I6/q8 — national market share (TPC-H Q8): the most join-dense
+    * TPC-H topology expressible on this schema — lineitem joins orders,
+    * part, supplier, customer, and NATION TWICE under different roles
+    * (supplier's nation for the measure, customer's nation → region for
+    * the filter). The share is a conditional-sum ratio inside one
+    * aggregate, in integer basis points from exact decimal partials.
+    * Dims broadcast; the fact pays its join shuffles once per fact-fact
+    * edge and the two nation probes are both broadcast hash joins on
+    * ALIASED copies — Catalyst plans them independently.
+    */
+  def q8MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (dec("l_extendedprice") * (lit(1) - dec("l_discount"))).as("rev"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1995-01-01")
+        && col("o_orderdate") < lit("1997-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    val promoParts = Tables.part(spark, sfDir)
+      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val supNation = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val custRegion = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))),
+        col("c_nationkey") === col("cn_key"))
+      .join(broadcast(Tables.region(spark, sfDir)
+        .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(promoParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(custRegion, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_2", col("rev"))
+          .otherwise(lit(0).cast("decimal(12,2)"))) * 10000)
+          .cast("long").as("nation_rev_e4"),
+        (sum(col("rev")) * 10000).cast("long").as("total_rev_e4"))
+      .withColumn("share_bp",
+        expr("nation_rev_e4 * 10000 div total_rev_e4"))
+  }
+
   /** I6/q13 — customer order-count distribution (TPC-H Q13 shape): the
     * canonical OUTER-JOIN-then-aggregate-twice topology. The priority
     * filter lives in the JOIN CONDITION, not a WHERE — an outer-join

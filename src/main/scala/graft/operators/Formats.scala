@@ -340,4 +340,62 @@ object Formats {
         .write.mode("overwrite").parquet(frag)
     ordersSummary(compact(spark, frag, fmtDir("compacted", sfDir), 4L << 20))
   }
+
+  /** Partition backfill via DYNAMIC partition overwrite — the idempotent
+    * day-repair every warehouse needs: one day landed wrong (here: its
+    * purchases dropped), and the fix must rewrite ONLY that day's
+    * partition. `partitionOverwriteMode=dynamic` scopes
+    * `mode("overwrite")` to the partitions present in the written
+    * DataFrame — a static overwrite would atomically DELETE every other
+    * day; at 100 TB that's the difference between rewriting one
+    * partition and rewriting the table. The readback rollup proves both
+    * directions: the bad day is healed (else its rows mismatch) and all
+    * other days survived (else they vanish from the readback).
+    */
+  private def eventsByDay(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("event_id"),
+        col("value").cast("decimal(12,2)").as("value_d"))
+
+  /** The day whose initial load arrives corrupt (purchases dropped). */
+  private[graft] def backfillBadDay(spark: SparkSession, sfDir: String): String =
+    eventsByDay(spark, sfDir).agg(min(col("day"))).head.getString(0)
+
+  /** Phase 1: full load with the target day corrupt (static overwrite —
+    * this IS the initial table build, rewriting everything is correct).
+    */
+  private[graft] def backfillInitialLoad(spark: SparkSession, sfDir: String,
+      dir: String, badDay: String): Unit =
+    eventsByDay(spark, sfDir)
+      .filter(col("day") =!= badDay || col("event_type") =!= "purchase")
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+
+  /** Phase 2: the repair — rewrite ONLY the bad day's partition. */
+  private[graft] def backfillRepair(spark: SparkSession, sfDir: String,
+      dir: String, badDay: String): Unit = {
+    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      eventsByDay(spark, sfDir).filter(col("day") === badDay)
+        .write.mode("overwrite").partitionBy("day").parquet(dir)
+    } finally {
+      prior match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  def backfillPartition(spark: SparkSession, sfDir: String, dir: String): DataFrame = {
+    val badDay = backfillBadDay(spark, sfDir)
+    backfillInitialLoad(spark, sfDir, dir, badDay)
+    backfillRepair(spark, sfDir, dir, badDay)
+    spark.read.parquet(dir)
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value_d")) * 100).cast("long").as("sum_value_c"))
+  }
 }
