@@ -149,6 +149,8 @@ object AnalyticsQueries {
     "q13_custdist" -> ((s, d) => Analytics.q13CustDist(s, d)),
     "q6_forecast" -> ((s, d) => Analytics.q6Forecast(s, d)),
     "q8_market_share" -> ((s, d) => Analytics.q8MarketShare(s, d)),
+    "q7_nation_volume" -> ((s, d) => Analytics.q7NationVolume(s, d)),
+    "q15_top_supplier" -> ((s, d) => Analytics.q15TopSupplier(s, d)),
     "q19_disjunctive" -> ((s, d) => Analytics.q19Disjunctive(s, d)),
     "q_cms_audit" -> ((s, d) => Analytics.cmsPointCheck(s, d))
   )
@@ -961,6 +963,38 @@ object AnalyticsQueries {
         |    // CAST(sum(rev) * 10000 AS BIGINT) AS share_bp
         |FROM f GROUP BY o_year""".stripMargin,
 
+
+    "q7_nation_volume" ->
+      """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) * 10000 AS BIGINT)
+        |    AS revenue_e4
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+        |    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name,
+        |  CAST(r.total_rev * 10000 AS BIGINT) AS total_rev_e4
+        |FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin,
 
     "q19_disjunctive" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))

@@ -30,6 +30,8 @@ object TextQueries {
     // Vocabulary build: min-frequency cut + contiguous top-K token ids.
     "q_vocab" -> ((s, d) => TextAnalysis.vocab(s, d)),
     "q_train_split" -> ((s, d) => graft.operators.DataPrep.trainSplit(s, d)),
+    "q_time_split" -> ((s, d) => graft.operators.DataPrep.timeSplit(s, d)),
+    "q_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
     "q_split_leakage_safe" -> ((s, d) => graft.operators.DataPrep.leakageSafeSplit(s, d)),
     "q_sample_stratified" -> ((s, d) => graft.operators.DataPrep.stratifiedSample(s, d)),
     "q_sample_weighted" -> ((s, d) => graft.operators.DataPrep.weightedSample(s, d)),
@@ -86,7 +88,65 @@ object TextQueries {
        |  md5(g[b*4+1] || g[b*4+2] || g[b*4+3] || g[b*4+4]) AS band_key
        |  FROM sig, range(4) r(b))""".stripMargin
 
+  /** The BPE oracle replays the identical merge recursion as a CTE
+    * chain: each iteration recounts pairs, picks the (count desc, pair
+    * asc) argmax, and applies it with the same gaps-and-islands parity
+    * resolution the Spark side plans. Generated per iteration so both
+    * engines stay structurally in lockstep.
+    */
+  private def bpeIteration(i: Int): String =
+    s"""pairs$i AS (
+       |  SELECT sym AS a, nxt AS b, sum(freq) AS pair_count FROM (
+       |    SELECT sym, freq, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+       |    FROM toks${i - 1})
+       |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+       |top$i AS (
+       |  SELECT a, b, pair_count FROM pairs$i
+       |  ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1),
+       |c$i AS (
+       |  SELECT t.w, t.freq, t.pos, t.sym, m.a, m.b,
+       |    lead(t.sym) OVER (PARTITION BY t.w ORDER BY t.pos) AS nxt
+       |  FROM toks${i - 1} t CROSS JOIN top$i m),
+       |d$i AS (SELECT *, coalesce(sym = a AND nxt = b, false) AS cand FROM c$i),
+       |e$i AS (
+       |  SELECT *, sum(CASE WHEN cand THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY w ORDER BY pos ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM d$i),
+       |f$i AS (SELECT *, pos - cum AS runid FROM e$i),
+       |g$i AS (
+       |  SELECT *, cand AND (cum - min(CASE WHEN cand THEN cum END)
+       |    OVER (PARTITION BY w, runid)) % 2 = 0 AS keep
+       |  FROM f$i),
+       |h$i AS (
+       |  SELECT *, coalesce(lag(keep) OVER (PARTITION BY w ORDER BY pos), false)
+       |    AS prev_keep
+       |  FROM g$i),
+       |toks$i AS (
+       |  SELECT w, freq,
+       |    row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos,
+       |    CASE WHEN keep THEN sym || nxt ELSE sym END AS sym
+       |  FROM h$i WHERE NOT prev_keep)""".stripMargin
+
+  private def bpeOracle(k: Int): String = {
+    val base =
+      """WITH words AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |    FROM documents)
+        |  WHERE length(w) BETWEEN 1 AND 30 GROUP BY 1),
+        |toks0 AS (
+        |  SELECT w, freq, pos, substr(w, pos + 1, 1) AS sym FROM (
+        |    SELECT w, freq, unnest(range(0, length(w))) AS pos FROM words))""".stripMargin
+    val iters = (1 to k).map(bpeIteration).mkString(",\n")
+    val finals = (1 to k).map(i =>
+      s"SELECT CAST($i AS INTEGER) AS merge_rank, a AS left_sym, " +
+        s"b AS right_sym, CAST(pair_count AS BIGINT) AS pair_count FROM top$i")
+      .mkString(" UNION ALL ")
+    s"$base,\n$iters\nSELECT * FROM ($finals) ORDER BY merge_rank"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_bpe_merges" -> bpeOracle(3),
     "q_text_stats" ->
       s"""WITH $baseCte
          |SELECT doc_id, CAST(length(text) AS BIGINT) AS len_text,
@@ -222,6 +282,19 @@ object TextQueries {
         |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
         |    % 10 AS BIGINT) AS bucket
         |  FROM documents)""".stripMargin,
+
+    // Range-based cutoff in pure integer microseconds — `*8//10` is the
+    // same Long arithmetic Spark runs, so the boundary can't drift.
+    "q_time_split" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        |  FROM events),
+        |s AS (SELECT CASE WHEN epoch_us(ts) < lo + (hi - lo) * 8 // 10
+        |    THEN 'train' ELSE 'holdout' END AS split,
+        |    epoch_us(ts) AS ts_us
+        |  FROM events, b)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n,
+        |  min(ts_us) AS min_ts_us, max(ts_us) AS max_ts_us
+        |FROM s GROUP BY 1""".stripMargin,
 
     // The incoming batch (doc_id >= 450) probed against the standing
     // corpus's band index — same band construction, old×new join only.

@@ -326,6 +326,87 @@ object Analytics {
         expr("nation_rev_e4 * 10000 div total_rev_e4"))
   }
 
+  /** I6/q7 — bilateral trade volume (TPC-H Q7 shape): revenue shipped
+    * between a nation PAIR, in both directions, per ship year. The
+    * topology forces both ends of the fact row to resolve to a nation —
+    * supplier side directly, customer side through orders — and the
+    * pair filter is symmetric, so neither side's filter alone decides
+    * membership.
+    *
+    * Scale: the nation-name filter is applied to each 25-row nation dim
+    * BEFORE its broadcast join, so the supplier and customer probes
+    * shrink to the two named nations' members and the orders⋈customer
+    * join discards ~23/25 of orders before the fact shuffle. The
+    * lineitem⋈orders join is the only fact-fact shuffle; the ship-year
+    * column rides along from the scan (no post-join recompute).
+    */
+  def q7NationVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val nations = Seq("NATION_1", "NATION_2")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1995-01-01")
+        && col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        (dec("l_extendedprice") * (lit(1) - dec("l_discount"))).as("rev"))
+    val supN = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .filter(col("n_name").isin(nations: _*))
+        .select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val custN = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .filter(col("n_name").isin(nations: _*))
+        .select(col("n_nationkey").as("cn_key"),
+          col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"), col("cust_nation"))
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(custN, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    li.join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter((col("supp_nation") === "NATION_1"
+          && col("cust_nation") === "NATION_2")
+        || (col("supp_nation") === "NATION_2"
+          && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg((sum(col("rev")) * 10000).cast("long").as("revenue_e4"))
+  }
+
+  /** I6/q15 — top supplier by quarterly revenue (TPC-H Q15 shape): a
+    * grouped aggregate compared against ITS OWN global max — the
+    * revenue view is referenced twice (once grouped, once reduced to a
+    * scalar). The max ships back as a broadcast 1-row join, never a
+    * partition-less window (the q_revenue_share discipline); the
+    * equality is on exact DECIMAL, so a revenue tie returns every tied
+    * supplier on both engines instead of an arbitrary winner.
+    *
+    * Scale: the aggregate is O(|suppliers|) rows; Spark's ReuseExchange
+    * collapses the two identical pre-aggregate shuffles into one, so
+    * the quarter-pruned lineitem scan's shuffle is paid once even
+    * though the view is named twice.
+    */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    def revenue = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+        .as("total_rev"))
+    val maxRev = revenue.agg(max(col("total_rev")).as("max_rev"))
+    revenue.join(broadcast(maxRev), col("total_rev") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("total_rev") * 10000).cast("long").as("total_rev_e4"))
+  }
+
   /** I6/q13 — customer order-count distribution (TPC-H Q13 shape): the
     * canonical OUTER-JOIN-then-aggregate-twice topology. The priority
     * filter lives in the JOIN CONDITION, not a WHERE — an outer-join

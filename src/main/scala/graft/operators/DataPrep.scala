@@ -51,6 +51,35 @@ object DataPrep {
           .when(col("bucket") < 9, "val")
           .otherwise("test"))
 
+  /** Temporal holdout split — the third leakage axis after identity
+    * (`trainSplit`) and near-duplication (`leakageSafeSplit`): models
+    * evaluated on events that precede their training data are
+    * time-travel-contaminated. The cutoff is min + 80% of the observed
+    * time RANGE in pure Long microsecond arithmetic (`*8 div 10` —
+    * never a float fraction, never a global row-rank), so the boundary
+    * is identical on every engine and stable under reordering. The
+    * output rollup carries each split's ts bounds: `max(train) <
+    * min(holdout)` is visible in the result, not just asserted.
+    *
+    * Scale: the bounds aggregate is one 1-row broadcast; the split
+    * itself is a per-row comparison — no shuffle beyond the final
+    * 2-group rollup. A global percentile-by-rank cutoff would need a
+    * total sort; a range-based cutoff needs only min/max.
+    */
+  def timeSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(unix_micros(col("ts")).as("ts_us"))
+    val bounds = ev.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("split",
+        when(col("ts_us") < expr("lo + (hi - lo) * 8 div 10"), "train")
+          .otherwise("holdout"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us"))
+  }
+
   /** Quality-weighted sample without replacement (Efraimidis–Spirakis
     * A-ES), fully deterministic and seedless: each document draws
     * u ∈ (0,1] from its md5 (the same engine-portable "random" the

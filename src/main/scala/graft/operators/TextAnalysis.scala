@@ -500,4 +500,73 @@ object TextAnalysis {
         coalesce(col("n_ascii_chars"), lit(0L)).as("n_ascii_chars"),
         coalesce(col("entropy"), lit(0.0)).as("entropy"))
   }
+
+  /** BPE merge learning — the first `k` byte-pair-encoding merges over
+    * the corpus, the tokenizer-training primitive an LLM data pipeline
+    * runs before anything else. Classic Sennrich BPE: count adjacent
+    * symbol pairs over the WORD-FREQUENCY vocabulary, merge the argmax
+    * pair everywhere (greedy left-to-right, non-overlapping), recount,
+    * repeat.
+    *
+    * The corpus-scale work — word counting — happens exactly once; every
+    * iteration after that runs on the distinct-word token table, whose
+    * size is bounded by |vocabulary| × word length, NOT corpus size (the
+    * reason real BPE trainers tokenize word-frequency tables). Greedy
+    * non-overlap (the `aaa` + merge `(a,a)` → `[aa, a]` case) is
+    * resolved declaratively: runs of consecutive candidate positions
+    * keep every other member (gaps-and-islands `pos - cum` run ids +
+    * parity — no sequential scan, no UDF). Each iteration's argmax pair
+    * is ONE collected row — the merge table is O(k) driver-side
+    * metadata by definition, exactly like collected min/max bounds.
+    * Ties break on (count desc, pair asc): deterministic on both
+    * engines for ASCII symbols.
+    */
+  def bpeMerges(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val win = Window.partitionBy("w").orderBy("pos")
+    val cumWin = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")).between(1, 30))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var toks = words
+      .select(col("w"), col("freq"), posexplode(split(col("w"), "")))
+      .toDF("w", "freq", "pos", "sym")
+      .filter(length(col("sym")) === 1)
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (i <- 1 to k) {
+      toks = toks.persist()
+      cached += toks
+      val top = toks
+        .withColumn("nxt", lead(col("sym"), 1).over(win))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("sym"), col("nxt"))
+        .agg(sum(col("freq")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("sym").asc, col("nxt").asc)
+        .head()
+      val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((i, a, b, cnt))
+      toks = toks
+        .withColumn("nxt", lead(col("sym"), 1).over(win))
+        .withColumn("cand",
+          coalesce(col("sym") === lit(a) && col("nxt") === lit(b), lit(false)))
+        .withColumn("cum",
+          sum(when(col("cand"), 1).otherwise(0)).over(cumWin))
+        .withColumn("runid", col("pos") - col("cum"))
+        .withColumn("keep", col("cand")
+          && (col("cum") - min(when(col("cand"), col("cum")))
+            .over(Window.partitionBy("w", "runid"))) % 2 === 0)
+        .withColumn("prev_keep",
+          coalesce(lag(col("keep"), 1).over(win), lit(false)))
+        .filter(!col("prev_keep"))
+        .select(col("w"), col("freq"),
+          (row_number().over(win) - 1).as("pos"),
+          when(col("keep"), concat(col("sym"), col("nxt")))
+            .otherwise(col("sym")).as("sym"))
+    }
+    cached.foreach(_.unpersist())
+    merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+  }
 }
