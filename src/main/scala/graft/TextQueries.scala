@@ -32,6 +32,8 @@ object TextQueries {
     "q_train_split" -> ((s, d) => graft.operators.DataPrep.trainSplit(s, d)),
     "q_time_split" -> ((s, d) => graft.operators.DataPrep.timeSplit(s, d)),
     "q_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
+    "q_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),
+    "q_fuzzy_join" -> ((s, d) => Dedup.fuzzyNameMatch(s, d)),
     "q_split_leakage_safe" -> ((s, d) => graft.operators.DataPrep.leakageSafeSplit(s, d)),
     "q_sample_stratified" -> ((s, d) => graft.operators.DataPrep.stratifiedSample(s, d)),
     "q_sample_weighted" -> ((s, d) => graft.operators.DataPrep.weightedSample(s, d)),
@@ -127,7 +129,7 @@ object TextQueries {
        |    CASE WHEN keep THEN sym || nxt ELSE sym END AS sym
        |  FROM h$i WHERE NOT prev_keep)""".stripMargin
 
-  private def bpeOracle(k: Int): String = {
+  private def bpeChain(k: Int): String = {
     val base =
       """WITH words AS (
         |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -137,16 +139,59 @@ object TextQueries {
         |toks0 AS (
         |  SELECT w, freq, pos, substr(w, pos + 1, 1) AS sym FROM (
         |    SELECT w, freq, unnest(range(0, length(w))) AS pos FROM words))""".stripMargin
-    val iters = (1 to k).map(bpeIteration).mkString(",\n")
+    base + ",\n" + (1 to k).map(bpeIteration).mkString(",\n")
+  }
+
+  private def bpeOracle(k: Int): String = {
     val finals = (1 to k).map(i =>
       s"SELECT CAST($i AS INTEGER) AS merge_rank, a AS left_sym, " +
         s"b AS right_sym, CAST(pair_count AS BIGINT) AS pair_count FROM top$i")
       .mkString(" UNION ALL ")
-    s"$base,\n$iters\nSELECT * FROM ($finals) ORDER BY merge_rank"
+    s"${bpeChain(k)}\nSELECT * FROM ($finals) ORDER BY merge_rank"
   }
+
+  private def bpeApplyOracle(k: Int): String =
+    s"""${bpeChain(k)},
+       |word_cost AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n_bpe FROM toks$k GROUP BY 1),
+       |corpus AS (
+       |  SELECT source, w FROM (
+       |    SELECT source, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+       |    FROM documents)
+       |  WHERE length(w) BETWEEN 1 AND 30)
+       |SELECT c.source, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(wc.n_bpe) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(wc.n_bpe) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT)
+       |    AS bpe_per_1000_words
+       |FROM corpus c JOIN word_cost wc ON c.w = wc.w
+       |GROUP BY 1""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_bpe_merges" -> bpeOracle(3),
+    "q_bpe_apply" -> bpeApplyOracle(3),
+
+    // FastSS deletion-neighborhood candidates + exact levenshtein
+    // verify, identical construction on both engines.
+    "q_fuzzy_join" ->
+      """WITH names AS (SELECT c_name AS nm FROM customer),
+        |variants AS (
+        |  SELECT nm, unnest(list_append(
+        |    list_transform(range(0, length(nm)),
+        |      i -> substr(nm, 1, i) || substr(nm, i + 2, length(nm))), nm))
+        |    AS key
+        |  FROM names),
+        |cand AS (
+        |  SELECT DISTINCT a.nm AS n1, b.nm AS n2
+        |  FROM variants a JOIN variants b ON a.key = b.key AND a.nm < b.nm),
+        |matched AS (
+        |  SELECT n1, n2 FROM cand WHERE levenshtein(n1, n2) <= 1),
+        |neigh AS (
+        |  SELECT nm, CAST(count(*) AS BIGINT) AS n_neighbors FROM (
+        |    SELECT n1 AS nm FROM matched UNION ALL SELECT n2 AS nm FROM matched)
+        |  GROUP BY 1)
+        |SELECT n_neighbors, CAST(count(*) AS BIGINT) AS n_customers,
+        |  min(nm) AS first_name, max(nm) AS last_name
+        |FROM neigh GROUP BY 1""".stripMargin,
     "q_text_stats" ->
       s"""WITH $baseCte
          |SELECT doc_id, CAST(length(text) AS BIGINT) AS len_text,

@@ -587,4 +587,42 @@ object Dedup {
       .filter(col("n_inter") * 10 >= col("n_union") * 8)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
   }
+
+  /** Fuzzy entity resolution by edit distance — the typo/near-miss name
+    * matcher, via FastSS deletion-neighborhood blocking (Bocek et al.,
+    * "Fast Similarity Search in Large Dictionaries", 2007): two strings
+    * within Levenshtein distance 1 ALWAYS share a member of each
+    * other's single-deletion neighborhood, so candidate generation is a
+    * plain EQUI-join on generated deletion keys — never a quadratic
+    * scan within coarse blocks (first-letter blocking's failure mode),
+    * never a cartesian. The neighborhood over-generates (transposition
+    * pairs share deletion variants too), so survivors pass through the
+    * exact `levenshtein` verify — the same candidates→verify discipline
+    * as minhash dedup.
+    *
+    * Scale: variants = O(N × name-length) rows of (name, key); the
+    * self-join shuffles on the key, and each key bucket holds only the
+    * handful of names one deletion apart — skew-free by construction.
+    * Output is the neighbor-count histogram: bounded by max degree, not
+    * corpus size.
+    */
+  def fuzzyNameMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = Tables.customer(spark, sfDir).select(col("c_name").as("nm"))
+    val variants = names.select(col("nm"), explode(expr(
+      """concat(
+        |  transform(sequence(0, length(nm) - 1),
+        |    i -> concat(substr(nm, 1, i), substr(nm, i + 2, length(nm)))),
+        |  array(nm))""".stripMargin)).as("key"))
+    val cand = variants.as("a").join(variants.as("b"),
+        col("a.key") === col("b.key") && col("a.nm") < col("b.nm"))
+      .select(col("a.nm").as("n1"), col("b.nm").as("n2"))
+      .distinct()
+    val matched = cand.filter(levenshtein(col("n1"), col("n2")) <= 1)
+    val neigh = matched.select(col("n1").as("nm"))
+      .union(matched.select(col("n2").as("nm")))
+      .groupBy(col("nm")).agg(count(lit(1)).as("n_neighbors"))
+    neigh.groupBy(col("n_neighbors"))
+      .agg(count(lit(1)).as("n_customers"),
+        min(col("nm")).as("first_name"), max(col("nm")).as("last_name"))
+  }
 }

@@ -521,12 +521,27 @@ object TextAnalysis {
     * Ties break on (count desc, pair asc): deterministic on both
     * engines for ASCII symbols.
     */
-  def bpeMerges(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def bpeMerges(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame =
+    bpeMergesFrom(spark, Tables.documents(spark, sfDir), k)
+
+  private[graft] def bpeMergesFrom(spark: SparkSession, docs: DataFrame,
+      k: Int): DataFrame = {
     import spark.implicits._
+    val (merges, toks) = bpeLearn(docs, k)
+    toks.unpersist()
+    merges.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** The shared BPE trainer: returns the merge table (driver metadata)
+    * and the final segmentation of every distinct word (still
+    * persisted — callers unpersist when done).
+    */
+  private def bpeLearn(docs: DataFrame, k: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy("w").orderBy("pos")
     val cumWin = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val words = Tables.documents(spark, sfDir)
+    val words = docs
       .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
       .filter(length(col("w")).between(1, 30))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
@@ -566,7 +581,39 @@ object TextAnalysis {
           when(col("keep"), concat(col("sym"), col("nxt")))
             .otherwise(col("sym")).as("sym"))
     }
+    toks = toks.persist()
     cached.foreach(_.unpersist())
-    merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+    (merges.toSeq, toks)
+  }
+
+  /** Tokenizer APPLICATION — the pass that actually touches 100 TB.
+    * The learned segmentation lives on the DISTINCT-WORD table
+    * (vocab-bounded), so applying BPE to the corpus is a map-side
+    * explode of each document's words joined to a broadcast word →
+    * token-count map — the corpus never re-runs the merge recursion.
+    * Output: per-source whitespace-vs-BPE token accounting plus the
+    * compression ratio in integer tokens-per-1000-words.
+    */
+  def bpeApply(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val (_, toks) = bpeLearn(docs, k)
+    val wordCost = toks.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_bpe"))
+    val corpusWords = docs
+      .select(col("source"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")).between(1, 30))
+    val out = corpusWords
+      .join(broadcast(wordCost), Seq("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_bpe")).as("n_bpe_tokens"))
+      .withColumn("bpe_per_1000_words",
+        expr("n_bpe_tokens * 1000 div n_words"))
+    // materialize before unpersisting the segmentation it depends on
+    val rows = out.collect()
+    toks.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq), out.schema)
   }
 }
