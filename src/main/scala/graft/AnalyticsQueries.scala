@@ -151,7 +151,10 @@ object AnalyticsQueries {
     "q8_market_share" -> ((s, d) => Analytics.q8MarketShare(s, d)),
     "q7_nation_volume" -> ((s, d) => Analytics.q7NationVolume(s, d)),
     "q15_top_supplier" -> ((s, d) => Analytics.q15TopSupplier(s, d)),
+    "q9_profit" -> ((s, d) => Analytics.q9Profit(s, d)),
+    "q_attribution_decay" -> ((s, d) => Analytics.decayAttribution(s, d)),
     "q19_disjunctive" -> ((s, d) => Analytics.q19Disjunctive(s, d)),
+    "q4_order_priority" -> ((s, d) => Analytics.q4OrderPriority(s, d)),
     "q_cms_audit" -> ((s, d) => Analytics.cmsPointCheck(s, d))
   )
 
@@ -963,6 +966,65 @@ object AnalyticsQueries {
         |    // CAST(sum(rev) * 10000 AS BIGINT) AS share_bp
         |FROM f GROUP BY o_year""".stripMargin,
 
+
+    "q9_profit" ->
+      """SELECT ns.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER)
+        |    AS o_year,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+        |    - CAST(l.l_quantity AS DECIMAL(18,2))
+        |      * CAST(p.p_retailprice AS DECIMAL(18,2)) * 0.80)
+        |    * 10000 AS BIGINT) AS profit_e4
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE p.p_name LIKE '%bolt%'
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Hyperbolic integer decay weights (1e6 // (1 + age_h)) — floor
+    // division everywhere, so both engines split credit identically.
+    "q_attribution_decay" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS value_c
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT p.purchase_id, p.value_c, v.view_ts, v.view_id,
+        |    (epoch_us(p.purchase_ts) - epoch_us(v.view_ts)) // 3600000000
+        |      AS age_h
+        |  FROM p JOIN v ON p.user_id = v.user_id
+        |    AND v.view_ts <= p.purchase_ts
+        |    AND v.view_ts >= p.purchase_ts - INTERVAL 24 HOURS),
+        |k AS (SELECT *, 1000000 // (1 + age_h) AS tw FROM j),
+        |m AS (SELECT *, sum(tw) OVER (PARTITION BY purchase_id) AS w_sum,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |      ORDER BY view_ts, view_id) AS rn
+        |  FROM k),
+        |b AS (SELECT *, tw * 10000 // w_sum AS bp0,
+        |    sum(tw * 10000 // w_sum) OVER (PARTITION BY purchase_id) AS bp_sum
+        |  FROM m),
+        |c AS (SELECT view_ts, value_c, bp0 + CASE WHEN rn = 1
+        |    THEN 10000 - bp_sum ELSE 0 END AS bp
+        |  FROM b)
+        |SELECT CAST(view_ts AS DATE) AS view_day,
+        |  CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum(bp) AS BIGINT) AS sum_bp,
+        |  CAST(sum(value_c * bp // 10000) AS BIGINT) AS credit_c
+        |FROM c GROUP BY 1""".stripMargin,
+
+    // correlated EXISTS: orders in the quarter with at least one line
+    // shipped >45 days after the order date, counted once per order
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY)
+        |GROUP BY 1""".stripMargin,
 
     "q7_nation_volume" ->
       """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,

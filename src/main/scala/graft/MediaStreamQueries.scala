@@ -25,6 +25,12 @@ object MediaStreamQueries {
     "q_stream_flagship" -> ((s, _) => TwseStreaming.flagshipStream(s)),
     "q_stream_flagship_jdbc" -> ((s, _) =>
       graft.streaming.JdbcStreamSink.flagshipStreamJdbc(s)),
+    "q_stream_heavy_hitters" -> ((s, d) =>
+      graft.streaming.DocsStreaming.heavyHittersStream(s, d)),
+    "q_stream_tws" -> ((s, d) =>
+      graft.streaming.TwsStreaming.runningTotals(s, d)),
+    "q_state_inspect" -> ((s, d) =>
+      graft.streaming.StateInspect.aggStateReadback(s, d)),
     "q_stream_dedup" -> ((s, d) =>
       graft.streaming.DocsStreaming.dedupHashes(s, d)),
     "q_stream_interval_join" -> ((s, d) =>
@@ -163,6 +169,29 @@ object MediaStreamQueries {
     "q_stream_flagship" -> TwseQueries.oracleSql("q_flagship"),
     // exactly-once JDBC terminal: same golden row as the parquet terminal
     "q_stream_flagship_jdbc" -> TwseQueries.oracleSql("q_flagship"),
+
+    // the checkpoint's state store read back as a table equals the
+    // batch aggregate — the state IS the result for an update-mode agg
+    "q_state_inspect" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS spend_c
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // transformWithState running totals: the last emitted snapshot per
+    // user equals the plain batch lifetime aggregate.
+    "q_stream_tws" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS spend_c
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // B x O(k) bucket sketches in the state store + exact batch
+    // recount: the streaming pipeline returns the same exact
+    // heavy-hitter set as the batch sketch and the brute-force HAVING.
+    "q_stream_heavy_hitters" -> TextQueries.oracleSql("q_heavy_hitters"),
 
     // Ingest-time dedup: the streamed distinct-hash set equals the
     // batch DISTINCT.

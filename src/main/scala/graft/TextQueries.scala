@@ -16,6 +16,7 @@ object TextQueries {
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "q_quality_lr" -> ((s, d) => TextAnalysis.linearScore(s, d)),
     "q_doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "q_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q_lm_score" -> ((s, d) => TextAnalysis.lmScore(s, d)),
@@ -39,6 +40,7 @@ object TextQueries {
     "q_sample_weighted" -> ((s, d) => graft.operators.DataPrep.weightedSample(s, d)),
     "q_mixture_sample" -> ((s, d) => graft.operators.DataPrep.mixtureSample(s, d)),
     "q_pack_sequences" -> ((s, d) => graft.operators.DataPrep.packSequences(s, d)),
+    "q_chunk_stride" -> ((s, d) => graft.operators.DataPrep.chunkStride(s, d)),
     "q_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_near" -> ((s, d) => Dedup.near(s, d)),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashBands(s, d)),
@@ -285,6 +287,22 @@ object TextQueries {
         |  + CAST((n_stopwords > 0) AS INTEGER) AS quality_score
         |FROM m""".stripMargin,
 
+    // linear quality classifier: integer micro-unit weights x integer
+    // count features — the keep decision is the exact sign of the score
+    "q_quality_lr" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+        |  CAST(len(regexp_extract_all(lower(trim(text)), '\b(the|a|of|and|to)\b')) AS BIGINT) AS n_stopwords
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(-800000 + 20000 * n_tokens + 500 * n_chars
+        |    - 60000 * n_punct + 30000 * n_stopwords AS BIGINT) AS score_e6,
+        |  (-800000 + 20000 * n_tokens + 500 * n_chars
+        |    - 60000 * n_punct + 30000 * n_stopwords) > 0 AS keep
+        |FROM m""".stripMargin,
+
     "q_doc_fingerprint" ->
       s"""WITH $baseCte
          |SELECT doc_id,
@@ -462,6 +480,21 @@ object TextQueries {
         |  FROM t)
         |SELECT doc_id, source, n_tokens, tokens_before,
         |  tokens_before // 512 AS pack_id FROM c""".stripMargin,
+
+    // chunk starts are every 48 tokens while < len; chunk covers up to
+    // 64 tokens; fingerprint = md5 of the space-joined token window
+    "q_chunk_stride" ->
+      s"""WITH $baseCte,
+         |c AS (SELECT doc_id, toks, len(toks) AS n,
+         |    unnest(range(0, CAST(len(toks) AS BIGINT), 48)) AS start
+         |  FROM base)
+         |SELECT doc_id,
+         |  CAST(start // 48 AS INTEGER) AS chunk_id,
+         |  CAST(start AS INTEGER) AS start_tok,
+         |  CAST(least(64, n - start) AS INTEGER) AS n_tok_chunk,
+         |  md5(array_to_string(toks[start + 1 : start + 64], ' '))
+         |    AS chunk_md5
+         |FROM c""".stripMargin,
 
     "q_tfidf_top" ->
       s"""WITH $baseCte,

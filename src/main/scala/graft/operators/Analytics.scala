@@ -255,6 +255,33 @@ object Analytics {
         count(lit(1)).as("n_items"))
   }
 
+  /** I6/q4 — order-priority check (TPC-H Q4, adapted: the schema has no
+    * commit/receipt dates, so "late" is a lineitem shipped more than 45
+    * days after its order date). The shape under test is the CORRELATED
+    * EXISTS — here declared directly as a LEFT SEMI join whose condition
+    * mixes the equi key with a cross-side date inequality: Catalyst
+    * extracts `l_orderkey = o_orderkey` as the hash-join key and keeps
+    * the date comparison as the join residual, so each order is counted
+    * once no matter how many late lines it has and the probe side is
+    * never widened (semi joins emit the build row at FIRST match).
+    *
+    * Scale: the quarter filter prunes orders at its scan before the
+    * only shuffle; lineitem ships just (l_orderkey, l_shipdate).
+    */
+  def q4OrderPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01")
+        && col("o_orderdate") < lit("1996-04-01"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li, col("l_orderkey") === col("o_orderkey")
+        && col("l_shipdate") > col("o_orderdate") + expr("interval 45 days"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
   /** I6/q6 — the canonical scan benchmark (TPC-H Q6): no join at all —
     * one predicate-dense lineitem scan, every filter pushed to parquet
     * (shipdate range, discount band, quantity cap), one global exact-
@@ -386,10 +413,12 @@ object Analytics {
     * equality is on exact DECIMAL, so a revenue tie returns every tied
     * supplier on both engines instead of an arbitrary winner.
     *
-    * Scale: the aggregate is O(|suppliers|) rows; Spark's ReuseExchange
-    * collapses the two identical pre-aggregate shuffles into one, so
-    * the quarter-pruned lineitem scan's shuffle is paid once even
-    * though the view is named twice.
+    * Scale: the aggregate is O(|suppliers|) rows. The twice-named view
+    * re-runs its quarter-pruned scan + partial agg per reference
+    * (verified: AQE plans the two shuffles separately, exchange reuse
+    * does not fire across the differently-shaped consumers) — cheap
+    * here, but the production form persists the O(|suppliers|) revenue
+    * view once and reads it twice.
     */
   def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
     def revenue = Tables.lineitem(spark, sfDir)
@@ -1264,6 +1293,83 @@ object Analytics {
       .agg(count(lit(1)).as("n_touches"),
         sum(col("bp")).as("sum_bp"),
         sum(expr("value_c * bp div 10000")).as("credit_c"))
+  }
+
+  /** Time-decay multi-touch attribution — completes the attribution
+    * family (first-touch / linear / decay): recent touches earn more
+    * credit. The decay weight is HYPERBOLIC in whole hours of age —
+    * `1e6 div (1 + age_h)` — pure integer floor-division, because an
+    * exponential `pow(2, -age/halflife)` double would make credit
+    * splits hostage to last-ulp `pow` differences across engines.
+    * Shares are then integer basis points `w·10⁴ div Σw` with the
+    * floor remainder assigned to the earliest touch: each purchase
+    * still sums to exactly 10000 bp, every credited cent is exact.
+    * All three windows (Σw, Σbp, time rank) share one purchase_id
+    * exchange+sort.
+    */
+  def decayAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"),
+        (dec("value") * 100).cast("long").as("value_c"))
+    val w = Window.partitionBy(col("purchase_id"))
+    val byTime = w.orderBy(col("view_ts"), col("view_id"))
+    purchases.join(views,
+        col("user_id") === col("p_user")
+          && col("view_ts") <= col("purchase_ts")
+          && col("view_ts") >= col("purchase_ts") - expr("interval 24 hours"))
+      .withColumn("age_h",
+        expr("(unix_micros(purchase_ts) - unix_micros(view_ts)) div 3600000000"))
+      .withColumn("tw", expr("1000000 div (1 + age_h)"))
+      .withColumn("w_sum", sum(col("tw")).over(w))
+      .withColumn("rn", row_number().over(byTime))
+      .withColumn("bp0", expr("tw * 10000 div w_sum"))
+      .withColumn("bp_sum", sum(col("bp0")).over(w))
+      .withColumn("bp", col("bp0")
+        + when(col("rn") === 1, lit(10000) - col("bp_sum")).otherwise(lit(0)))
+      .groupBy(to_date(col("view_ts")).as("view_day"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("bp")).as("sum_bp"),
+        sum(expr("value_c * bp div 10000")).as("credit_c"))
+  }
+
+  /** I6/q9 — product-line profit by nation and year (TPC-H Q9 shape,
+    * adapted: the schema has no partsupp, so supply cost is modeled as
+    * 80% of the part's retail price — the join topology, the LIKE
+    * part filter, and the two-term profit expression are the point).
+    * Profit stays exact DECIMAL end-to-end and ships ×10⁴ fixed-point.
+    * Scale: the LIKE-filtered part dim (carrying retailprice into the
+    * profit expression) and the supplier→nation chain both broadcast;
+    * the only fact-fact shuffle is lineitem⋈orders.
+    */
+  def q9Profit(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        dec("l_extendedprice").as("ep"), dec("l_discount").as("disc"),
+        dec("l_quantity").as("qty"))
+    val parts = Tables.part(spark, sfDir)
+      .filter(col("p_name").like("%bolt%"))
+      .select(col("p_partkey"), dec("p_retailprice").as("rp"))
+    val supN = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("nation"))
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    li.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg((sum(col("ep") * (lit(1) - col("disc"))
+          - col("qty") * col("rp") * lit(BigDecimal("0.80"))) * 10000)
+        .cast("long").as("profit_e4"))
   }
 
   /** User-journey path analysis — each user's ordered event-type

@@ -192,4 +192,33 @@ object DataPrep {
       .agg(count(lit(1)).as("n_kept"),
         sum(col("n_chars")).cast("long").as("sum_chars_kept"))
   }
+
+  /** Sliding-window document chunking — the context-window pass every
+    * training (and RAG-indexing) pipeline runs before tokenized text
+    * meets a model: each document becomes overlapping windows of
+    * `chunk` tokens starting every `stride` tokens (overlap =
+    * chunk − stride), so no boundary-spanning n-gram is lost to a hard
+    * cut. Chunk starts are generated IN-PLAN (`sequence` + `explode`) —
+    * per-row narrow work, zero shuffles, no driver loop — and each
+    * chunk ships as bounds + an md5 content fingerprint rather than
+    * repeated text (at 100 TB the expansion factor chunk/stride is paid
+    * in 16-byte hashes, not duplicated corpus bytes; a writer that
+    * needs the text slices the token array with the same bounds).
+    */
+  def chunkStride(spark: SparkSession, sfDir: String,
+      chunk: Int = 64, stride: Int = 48): DataFrame = {
+    val toks = graft.functions.TextFunctions.wsTokens(col("text"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(stride))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("int").as("chunk_id"),
+        col("start").cast("int").as("start_tok"),
+        least(lit(chunk), col("n") - col("start")).cast("int")
+          .as("n_tok_chunk"),
+        md5(array_join(slice(col("toks"), col("start") + 1, lit(chunk)), " "))
+          .as("chunk_md5"))
+  }
 }

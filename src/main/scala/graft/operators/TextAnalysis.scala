@@ -86,6 +86,33 @@ object TextAnalysis {
         .as("quality_score"))
   }
 
+  /** Quality-classifier INFERENCE — the shape of every learned filter in
+    * a curation pipeline (fastText-style quality/toxicity models): a
+    * trained weight vector applied to per-document features, keep/drop
+    * by threshold. The weight vector rides along as an in-plan array
+    * literal (a model registry would broadcast it — weights are bytes,
+    * never a join); the dot product is `zip_with` + `aggregate` over the
+    * feature array — per-row narrow work, zero shuffles, and the 100 TB
+    * cost is exactly one corpus scan. Weights are integer micro-units
+    * and features are integer counts, so the score — and therefore the
+    * keep/drop DECISION — is exact BIGINT arithmetic: the sigmoid is
+    * monotone, so classifying at p > 0.5 needs only the sign of the
+    * linear score, never a float `exp`.
+    */
+  def linearScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val nTokens = size(wsTokens(col("text"))).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val punct = (length(col("text"))
+      - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long")
+    val stop = patternCount(col("text"), "\\b(the|a|of|and|to)\\b").cast("long")
+    val feats = array(lit(1L), nTokens, nChars, punct, stop)
+    val weights = array(Seq(-800000L, 20000L, 500L, -60000L, 30000L).map(lit): _*)
+    val score = aggregate(zip_with(feats, weights, (x, w) => x * w),
+      lit(0L), (acc, x) => acc + x)
+    Tables.documents(spark, sfDir).select(col("doc_id"),
+      score.as("score_e6"), (score > 0).as("keep"))
+  }
+
   /** Regex row-generation (UDTF-shaped): every digit-run in every
     * document becomes a row — `regexp_extract_all` + `posexplode`, the
     * generator pattern for mining structured fragments out of text. Runs

@@ -54,4 +54,101 @@ object DocsStreaming {
     // memory (see EventsStreaming.runToParquet)
     EventsStreaming.runToParquet(spark, deduped, name)
   }
+
+  /** Per-bucket space-saving sketch state: cumulative token count plus
+    * the O(capacity) counter map.
+    */
+  case class BucketSketch(nSeen: Long, entries: Map[String, Long])
+  case class SketchRow(bucket: Int, n_seen: Long, token: String)
+
+  private def stagedShardedDocs(spark: SparkSession, sfDir: String,
+      shards: Int): String = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_stream_docs_sh${shards}_$safe")
+    if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
+      spark.read.schema(docSchema).parquet(s"$sfDir/documents.parquet")
+        .repartition(shards, col("doc_id"))
+        .write.mode("overwrite").parquet(dir.toString)
+    dir.toString
+  }
+
+  /** Streaming heavy-hitter tokens — the online form of the batch
+    * space-saving pipeline (`TextAnalysis.heavyHitters`): an unbounded
+    * token stream can never hold a full token group-by in the state
+    * store, but it CAN hold B × O(k) space-saving counters. Tokens hash
+    * to one of B bucket sketches (`flatMapGroupsWithState`), so every
+    * occurrence of a token updates exactly one sketch and the per-bucket
+    * no-false-negative guarantee (freq > N_bucket/k ⇒ present, and
+    * N_bucket ≤ N) survives bucketing for the global N/k threshold.
+    * Each micro-batch the group emits its current candidate set tagged
+    * with the cumulative count; readback keeps each bucket's LAST
+    * emission (max n_seen), then the exact recount + threshold runs as
+    * one batch pass over the corpus — so the streaming sketch, like the
+    * batch one, returns the EXACT heavy-hitter set the brute-force
+    * HAVING oracle computes.
+    *
+    * Scale: state is B×k strings, constant in stream length; the only
+    * per-batch shuffle is the token stream hashed to B buckets. The
+    * eviction scan is O(k) — see [[graft.functions.SpaceSavingAgg]] for
+    * the heap note at production k.
+    */
+  def heavyHittersStream(spark: SparkSession, sfDir: String,
+      buckets: Int = 16, capacity: Int = 512): DataFrame =
+      EventsStreaming.withStreamPartitions(spark, 8) {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import graft.functions.TextFunctions.wsTokens
+    val name = s"graft_stream_docs_hh_${nameCounter.incrementAndGet()}"
+    val srcDir = stagedShardedDocs(spark, sfDir, shards = 4)
+
+    val toks = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .select(explode(wsTokens(col("text"))).as("token"),
+        pmod(xxhash64(col("token")), lit(buckets)).cast("int").as("bucket"))
+      .as[(String, Int)]
+
+    def fn(bucket: Int, it: Iterator[(String, Int)],
+        state: org.apache.spark.sql.streaming.GroupState[BucketSketch])
+        : Iterator[SketchRow] = {
+      var n = state.getOption.map(_.nSeen).getOrElse(0L)
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      state.getOption.foreach(s => m ++= s.entries)
+      it.foreach { case (tok, _) =>
+        n += 1
+        m.get(tok) match {
+          case Some(c) => m.update(tok, c + 1)
+          case None if m.size < capacity => m.update(tok, 1L)
+          case None =>
+            val (mk, mc) = m.minBy(_._2)
+            m.remove(mk)
+            m.update(tok, mc + 1)
+        }
+      }
+      state.update(BucketSketch(n, m.toMap))
+      m.keysIterator.map(t => SketchRow(bucket, n, t))
+    }
+
+    val sketches = toks.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+    val dumped = EventsStreaming.runToParquet(spark, sketches.toDF(), name)
+
+    // final sketch state = each bucket's last emission; then the exact
+    // candidate recount over the batch corpus (the sketch is the
+    // candidate generator, exactness comes from the recount)
+    val lastPerBucket = dumped
+      .groupBy(col("bucket")).agg(max(col("n_seen")).as("n_seen"))
+    val cand = broadcast(dumped
+      .join(lastPerBucket, Seq("bucket", "n_seen"))
+      .select(col("token")).distinct())
+    val corpus = spark.read.schema(docSchema).parquet(srcDir)
+      .select(explode(wsTokens(col("text"))).as("token"))
+    val nTok = broadcast(corpus.agg(count(lit(1)).as("n_tok")))
+    corpus.join(cand, Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("n_occurrences"))
+      .crossJoin(nTok)
+      .filter(col("n_occurrences") * capacity > col("n_tok"))
+      .select(col("token"), col("n_occurrences"))
+  }
 }

@@ -20,6 +20,8 @@ import org.apache.spark.sql.types._
 object EventsStreaming {
 
   private val nameCounter = new AtomicInteger()
+
+  private[streaming] def nextName(): Int = nameCounter.incrementAndGet()
   // unique per JVM so a stale checkpoint/sink from an earlier process
   // (possibly older code) can never replay into this run's output
   private val jvmTag = java.util.UUID.randomUUID().toString.take(8)
@@ -144,6 +146,9 @@ object EventsStreaming {
     }
     dir.toString
   }
+
+  private[streaming] def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
+    streamSource(spark, sfDir)
 
   private def streamSource(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = stagedDir(spark, sfDir, withEos = false)
