@@ -73,6 +73,7 @@ object AnalyticsQueries {
       graft.sources.JdbcStore.eventsDailyPartitioned(s, d)),
     // Format breadth + table maintenance (operators/Formats.scala).
     "q_orc_roundtrip" -> ((s, d) => Formats.orcRoundtrip(s, d)),
+    "q_xml_roundtrip" -> ((s, d) => Formats.xmlRoundtrip(s, d)),
     "q_json_roundtrip" -> ((s, d) => Formats.jsonRoundtrip(s, d)),
     "q_compact" -> ((s, d) => Formats.compactRoundtrip(s, d)),
     "q_backfill_partition" -> ((s, d) => Formats.backfillPartition(s, d,
@@ -804,6 +805,7 @@ object AnalyticsQueries {
     // summary computed straight from the parquet table.
     "q_orc_roundtrip" -> ordersSummarySql,
     "q_json_roundtrip" -> ordersSummarySql,
+    "q_xml_roundtrip" -> ordersSummarySql,
     // compaction is content-preserving: same lossless summary oracle
     "q_compact" -> ordersSummarySql,
 

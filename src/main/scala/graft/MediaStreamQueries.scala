@@ -31,6 +31,8 @@ object MediaStreamQueries {
       graft.streaming.TwsStreaming.runningTotals(s, d)),
     "q_state_inspect" -> ((s, d) =>
       graft.streaming.StateInspect.aggStateReadback(s, d)),
+    "q_stream_tws_map" -> ((s, d) =>
+      graft.streaming.TwsStreaming.perTypeCounts(s, d)),
     "q_stream_dedup" -> ((s, d) =>
       graft.streaming.DocsStreaming.dedupHashes(s, d)),
     "q_stream_interval_join" -> ((s, d) =>
@@ -169,6 +171,12 @@ object MediaStreamQueries {
     "q_stream_flagship" -> TwseQueries.oracleSql("q_flagship"),
     // exactly-once JDBC terminal: same golden row as the parquet terminal
     "q_stream_flagship_jdbc" -> TwseQueries.oracleSql("q_flagship"),
+
+    // MapState per-(user, type) counters: last snapshot per sub-key
+    // equals the batch two-key aggregate
+    "q_stream_tws_map" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // the checkpoint's state store read back as a table equals the
     // batch aggregate — the state IS the result for an update-mode agg

@@ -17,6 +17,7 @@ object TextQueries {
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q_quality_lr" -> ((s, d) => TextAnalysis.linearScore(s, d)),
+    "q_sql_custom_fn" -> ((s, d) => TextAnalysis.sqlFunctionRegistry(s, d)),
     "q_doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "q_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q_lm_score" -> ((s, d) => TextAnalysis.lmScore(s, d)),
@@ -302,6 +303,16 @@ object TextQueries {
         |  (-800000 + 20000 * n_tokens + 500 * n_chars
         |    - 60000 * n_punct + 30000 * n_stopwords) > 0 AS keep
         |FROM m""".stripMargin,
+
+    // the registered graft_token_stats SQL function must agree with the
+    // portable token-stats formulation
+    "q_sql_custom_fn" ->
+      s"""WITH $baseCte
+         |SELECT doc_id,
+         |  CAST(len(toks) AS INTEGER) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq_tokens,
+         |  CAST(list_max(list_transform(toks, w -> length(w))) AS INTEGER) AS max_token_len
+         |FROM base""".stripMargin,
 
     "q_doc_fingerprint" ->
       s"""WITH $baseCte

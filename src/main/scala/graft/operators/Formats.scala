@@ -49,6 +49,21 @@ object Formats {
     ordersSummary(spark.read.schema(orders.schema).json(dir))
   }
 
+  /** XML round-trip — Spark 4's built-in XML source (the donated
+    * spark-xml): the interchange format legacy feeds still speak. Writes
+    * one `<order>` row element per record, reads back with the schema
+    * pinned (same no-inference-pass discipline as JSON; XML inference
+    * additionally coerces types from text). Timestamps round-trip as
+    * ISO-8601 text.
+    */
+  def xmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = fmtDir("xml", sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    orders.write.mode("overwrite").option("rowTag", "order").xml(dir)
+    ordersSummary(
+      spark.read.schema(orders.schema).option("rowTag", "order").xml(dir))
+  }
+
   /** SCD2 compaction of each customer's order-priority timeline: keep
     * only change rows, each valid [effective_from, effective_to). Two
     * window passes over ONE (custkey)-clustered shuffle — lag to detect

@@ -113,6 +113,28 @@ object TextAnalysis {
       score.as("score_e6"), (score > 0).as("keep"))
   }
 
+  /** Custom expression through the SQL FRONT DOOR: `TokenStats` (a
+    * codegen'd catalyst Expression) registered in the session's function
+    * registry at runtime, then invoked from plain SQL text — the
+    * `CREATE FUNCTION` integration path that lets SQL-only users (BI
+    * tools, dbt models, ad-hoc notebooks) call the engine's native
+    * expressions with zero DataFrame API. Same single-pass scan and
+    * whole-stage codegen as the Column-API form; struct-field access
+    * (`graft_token_stats(text).n_tokens`) resolves in SQL too.
+    */
+  def sqlFunctionRegistry(spark: SparkSession, sfDir: String): DataFrame = {
+    org.apache.spark.sql.GraftPlanBridge.registerSqlFunction(
+      spark, "graft_token_stats",
+      { case Seq(e) => graft.functions.TokenStats(e) })
+    Tables.documents(spark, sfDir).createOrReplaceTempView("documents")
+    spark.sql(
+      """SELECT doc_id,
+        |  graft_token_stats(text).n_tokens AS n_tokens,
+        |  graft_token_stats(text).n_uniq_tokens AS n_uniq_tokens,
+        |  graft_token_stats(text).max_token_len AS max_token_len
+        |FROM documents""".stripMargin)
+  }
+
   /** Regex row-generation (UDTF-shaped): every digit-run in every
     * document becomes a row — `regexp_extract_all` + `posexplode`, the
     * generator pattern for mining structured fragments out of text. Runs

@@ -26,6 +26,27 @@ object GraftPlanBridge {
     }
   }
 
+  /** Idempotent runtime registration of a SQL function backed by a
+    * catalyst Expression builder — the `CREATE FUNCTION` path for custom
+    * expressions, so `spark.sql("... graft_fn(col) ...")` text works on
+    * sessions built without the extensions config.
+    */
+  def registerSqlFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+        => org.apache.spark.sql.catalyst.expressions.Expression): Unit = {
+    val registry =
+      spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+    if (!registry.functionExists(ident)) {
+      registry.registerFunction(ident,
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft", name),
+        builder)
+    }
+  }
+
   /** Idempotent runtime registration of an optimizer rule. */
   def registerOptimization(
       spark: SparkSession,
