@@ -74,6 +74,9 @@ object AnalyticsQueries {
     // Format breadth + table maintenance (operators/Formats.scala).
     "q_orc_roundtrip" -> ((s, d) => Formats.orcRoundtrip(s, d)),
     "q_xml_roundtrip" -> ((s, d) => Formats.xmlRoundtrip(s, d)),
+    "q_file_provenance" -> ((s, d) => Formats.fileProvenance(s, d)),
+    "q_variant_props" -> ((s, d) => Analytics.variantProps(s, d)),
+    "q_observe_metrics" -> ((s, d) => Analytics.observedIngest(s, d)),
     "q_json_roundtrip" -> ((s, d) => Formats.jsonRoundtrip(s, d)),
     "q_compact" -> ((s, d) => Formats.compactRoundtrip(s, d)),
     "q_backfill_partition" -> ((s, d) => Formats.backfillPartition(s, d,
@@ -806,6 +809,29 @@ object AnalyticsQueries {
     "q_orc_roundtrip" -> ordersSummarySql,
     "q_json_roundtrip" -> ordersSummarySql,
     "q_xml_roundtrip" -> ordersSummarySql,
+
+    // the testdata ships one file per table, so provenance rolls up to
+    // a single literal-named row at every scale factor
+    "q_file_provenance" ->
+      """SELECT 'orders.parquet' AS file_name,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+        |FROM orders""".stripMargin,
+
+    // variant path extraction must agree with plain JSON extraction
+    "q_variant_props" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // in-plan observed metrics equal the straight aggregate
+    "q_observe_metrics" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price_c
+        |FROM lineitem""".stripMargin,
     // compaction is content-preserving: same lossless summary oracle
     "q_compact" -> ordersSummarySql,
 

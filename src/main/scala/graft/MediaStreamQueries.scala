@@ -49,6 +49,11 @@ object MediaStreamQueries {
       EventsStreaming.quarantineStream(s, d)),
     "q_stream_enrich" -> ((s, d) =>
       EventsStreaming.cohortEnrichedCounts(s, d)),
+    "q_stream_tws_session" -> ((s, d) =>
+      graft.streaming.TwsStreaming.timerSessions(s, d).select(
+        col("user_id"), col("session_id"), col("n_events"),
+        date_format(expr("timestamp_micros(session_start_us)"),
+          "yyyy-MM-dd HH:mm:ss").as("session_start"))),
     "q_stream_sessionize" -> ((s, d) =>
       EventsStreaming.sessionize(s, d).select(
         col("user_id"), col("session_id"), col("n_events"),
@@ -249,6 +254,26 @@ object MediaStreamQueries {
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON v.user_id = p.user_id
         |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""".stripMargin,
+
+    // Timer-driven tws sessionize shares the exact batch contract: the
+    // engine-closed trailing sessions must be indistinguishable from
+    // marker-closed ones.
+    "q_stream_tws_session" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
 
     // Streaming sessionize must equal the batch gaps-and-islands form
     // (integer fields only; double session sums are checked in the spec).

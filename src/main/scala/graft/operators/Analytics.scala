@@ -1227,6 +1227,46 @@ object Analytics {
       .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("n"))
 
+  /** Semi-structured props via the VARIANT type (Spark 4): `parse_json`
+    * once into the binary variant encoding, then typed `variant_get`
+    * path extraction — unlike `get_json_object`, the JSON text is parsed
+    * ONCE per row no matter how many paths are later read, and the
+    * open-schema column survives keys the pipeline has never seen
+    * (`from_json` would need the schema declared up front; new keys
+    * silently null out). At 100 TB, ingest-parse-once-then-bytes is the
+    * difference between one text parse and one per downstream path.
+    */
+  def variantProps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'int')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
+  /** Ingest-gate metrics via `Observation`/`observe` — data-quality
+    * counters collected as a CollectMetrics node INSIDE the ingest job's
+    * own plan: zero extra scans, no second query racing the data. The
+    * "ingest" here is a noop-format write (all partitions processed);
+    * the RESULT is the observation itself — at scale these metrics feed
+    * the expectations gate (`q_expectations`) without re-reading 100 TB.
+    */
+  def observedIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val obs = new org.apache.spark.sql.Observation("ingest_gate")
+    Tables.lineitem(spark, sfDir)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("n_bad_qty"),
+        (sum(dec("l_extendedprice")) * 100).cast("long").as("sum_price_c"))
+      .write.mode("overwrite").format("noop").save()
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n_rows").asInstanceOf[Long], m("n_bad_qty").asInstanceOf[Long],
+      m("sum_price_c").asInstanceOf[Long]))
+      .toDF("n_rows", "n_bad_qty", "sum_price_c")
+  }
+
   /** First-touch attribution — each purchase credited to the EARLIEST
     * view in its 24 h lookback (the as-of join is the last-touch dual:
     * latest view before the event). The per-purchase rank filter plans

@@ -49,6 +49,22 @@ object Formats {
     ordersSummary(spark.read.schema(orders.schema).json(dir))
   }
 
+  /** File provenance via the `_metadata` hidden column — every parquet
+    * row can answer "which file did you come from" without any column
+    * stored for it: the scan synthesizes file name/size/mtime per split.
+    * This is the ingest-audit primitive (which landed file produced the
+    * bad rows; which files feed each partition) and it composes with
+    * pruning — `_metadata.file_name` predicates prune at the file list,
+    * before any row is read.
+    */
+  def fileProvenance(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("_metadata.file_name").as("file_name"),
+        col("o_orderkey"))
+      .groupBy(col("file_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_keys"))
+
   /** XML round-trip — Spark 4's built-in XML source (the donated
     * spark-xml): the interchange format legacy feeds still speak. Writes
     * one `<order>` row element per record, reads back with the schema

@@ -81,7 +81,7 @@ object EventsStreaming {
   /** Raw events schema as stored (ns timestamps as long — see
     * Tables.events).
     */
-  private val rawSchema = StructType(Seq(
+  private[streaming] val rawSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
     StructField("user_id", LongType),

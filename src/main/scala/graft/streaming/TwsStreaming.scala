@@ -113,6 +113,149 @@ object TwsStreaming {
     }
   }
 
+  case class SessEv(event_id: Long, user_id: Long, ts_us: Long)
+  case class SessRow(user_id: Long, session_id: Int, n_events: Long,
+      session_start_us: Long)
+  case class SessState(sessionId: Int, lastTsUs: Long, nEvents: Long,
+      startUs: Long)
+
+  /** Timer-driven sessionizer — the piece of `transformWithState` the
+    * other two processors don't exercise: EVENT-TIME TIMERS. The
+    * flatMapGroupsWithState sessionizer (`EventsStreaming.sessionize`)
+    * needs explicit flush-marker rows routed to every user to close
+    * trailing sessions; here the ENGINE closes them — each batch arms
+    * one timer at last_event + gap, and when the watermark proves no
+    * continuation can arrive, `handleExpiredTimer` emits the session
+    * and clears the state. No per-user sentinel fan-out, and state for
+    * idle users dies exactly when their session closes.
+    */
+  private class TimerSessionizer
+      extends StatefulProcessor[Long, SessEv, SessRow] {
+    @transient private var st: ValueState[SessState] = _
+    private val gapUs = 30L * 60 * 1000000L
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessState](
+        "session", Encoders.product[SessState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[SessEv],
+        timers: TimerValues): Iterator[SessRow] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var cur = Option(st.get()).getOrElse(SessState(0, Long.MinValue, 0L, 0L))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessRow]
+      sorted.foreach { e =>
+        if (e.event_id < 0L) () // sentinel: watermark carrier only
+        else if (cur.nEvents == 0L)
+          cur = SessState(cur.sessionId + 1, e.ts_us, 1L, e.ts_us)
+        else if (e.ts_us - cur.lastTsUs > gapUs) {
+          out += SessRow(key, cur.sessionId, cur.nEvents, cur.startUs)
+          cur = SessState(cur.sessionId + 1, e.ts_us, 1L, e.ts_us)
+        } else cur = SessState(cur.sessionId, e.ts_us, cur.nEvents + 1L,
+          cur.startUs)
+      }
+      st.update(cur)
+      if (cur.nEvents > 0L) {
+        // exactly one armed timer per user: a stale (earlier) timer
+        // would close a session that new rows just extended
+        getHandle.listTimers().foreach(t =>
+          getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(cur.lastTsUs / 1000L + gapUs / 1000L + 1L)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessRow] = {
+      val cur = st.get()
+      // belt-and-braces: only close once the watermark really clears the
+      // gap horizon (a re-armed timer makes this always true in practice)
+      if (cur != null && cur.nEvents > 0L
+          && timerValues.getCurrentWatermarkInMs() >= cur.lastTsUs / 1000L + gapUs / 1000L) {
+        st.clear()
+        Iterator.single(SessRow(key, cur.sessionId, cur.nEvents, cur.startUs))
+      } else Iterator.empty
+    }
+  }
+
+  /** Stage events + two PER-USER far-future sentinel batches. The shared
+    * EOS staging's second batch is a single row — enough to advance the
+    * watermark, but timer SWEEPS happen per state partition as data is
+    * processed, so a one-row final batch leaves the other partitions'
+    * armed timers unswept. One sentinel per user in every trailing batch
+    * puts data in every state partition every batch, so every armed
+    * timer is visited once the watermark clears it. (In an unbounded
+    * production stream this is moot — data keeps arriving everywhere;
+    * it is the finite-stream shutdown that needs the nudge.)
+    */
+  private def stagedTimerSrc(spark: SparkSession, sfDir: String): String = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_stream_src_timer_$safe")
+    val target = dir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(target)) {
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(sfDir, "events.parquet"), target)
+      val ev = spark.read.schema(EventsStreaming.rawSchema)
+        .parquet(target.toString)
+      val maxTsNs = ev.agg(max(col("ts"))).head.getLong(0)
+      val day = 86400L * 1000000000L
+      Seq((2L, "zz_eos1.parquet", 60000L), (4L, "zz_eos2.parquet", 120000L))
+        .foreach { case (days, fileName, mtimeOff) =>
+          val tmp = dir.resolve(s"_build_$fileName")
+          ev.select(col("user_id")).distinct()
+            .select(lit(-days).as("event_id"),
+              lit(maxTsNs + days * day).as("ts"), col("user_id"),
+              lit("eos").as("event_type"), lit(0.0).as("value"),
+              lit(null).cast("string").as("props"))
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = java.nio.file.Files.list(tmp).filter(p =>
+            p.getFileName.toString.endsWith(".parquet")).findFirst.get
+          val f = dir.resolve(fileName)
+          java.nio.file.Files.move(part, f)
+          java.nio.file.Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime.fromMillis(
+              java.nio.file.Files.getLastModifiedTime(target).toMillis + mtimeOff))
+        }
+    }
+    dir.toString
+  }
+
+  /** Streaming 30-minute-gap sessionization with engine-managed session
+    * close (event-time timers + watermark), contract-equal to the batch
+    * gaps-and-islands form. The EOS sentinel rows only advance the
+    * WATERMARK here — they are filtered out before the processor, so
+    * unlike the flatMapGroupsWithState form nothing user-written ever
+    * sees a flush marker.
+    */
+  def timerSessions(spark: SparkSession, sfDir: String): DataFrame =
+      EventsStreaming.withStreamPartitions(spark, 8) {
+    import spark.implicits._
+    withRocksDb(spark) {
+      val name = s"graft_stream_twssess_${EventsStreaming.nextName()}"
+      val srcDir = stagedTimerSrc(spark, sfDir)
+      val src = spark.readStream.schema(EventsStreaming.rawSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        // NO eos filter before the watermark: a pushed-down filter would
+        // drop the sentinels at the scan, below the EventTimeWatermark
+        // node, and the watermark would never advance past the last real
+        // event (observed: trailing timers never fire). The processor
+        // skips them instead.
+        .withWatermark("ts", "1 hour")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        .as[SessEv]
+      val out = src.groupByKey(_.user_id)
+        .transformWithState(new TimerSessionizer,
+          TimeMode.EventTime(), OutputMode.Append())
+      EventsStreaming.runToParquet(spark, out.toDF(), name)
+    }
+  }
+
   /** Streaming per-user lifetime totals via `transformWithState` — the
     * contract is the plain batch per-user aggregate, computed instead by
     * keyed ValueState folded across micro-batches. Update-mode

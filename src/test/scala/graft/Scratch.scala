@@ -42,6 +42,17 @@ object Scratch {
         val df = SparkEntry.queries(args(2))(spark, d)
         df.collect()
         println(df.queryExecution.executedPlan.toString)
+      case "twsdebug" =>
+        val df = graft.streaming.TwsStreaming.timerSessions(spark, d)
+        println("rows=" + df.count())
+        graft.streaming.EventsStreaming.lastProgressFor("graft_stream_twssess_")
+          .foreach { pr =>
+            println(s"batch=${pr.batchId} rows=${pr.numInputRows} " +
+              s"wm=${pr.eventTime.get("watermark")} " +
+              pr.stateOperators.map(so =>
+                s"op=${so.operatorName} out=${so.numRowsUpdated} " +
+                s"timers=${so.customMetrics}").mkString(" | "))
+          }
       case "sweep" =>
         // plan-shape audit: flag cartesians, count exchanges, check scans
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
