@@ -77,6 +77,7 @@ object AnalyticsQueries {
     "q_file_provenance" -> ((s, d) => Formats.fileProvenance(s, d)),
     "q_variant_props" -> ((s, d) => Analytics.variantProps(s, d)),
     "q_observe_metrics" -> ((s, d) => Analytics.observedIngest(s, d)),
+    "q_hll_rollup" -> ((s, d) => Analytics.hllRollup(s, d)),
     "q_json_roundtrip" -> ((s, d) => Formats.jsonRoundtrip(s, d)),
     "q_compact" -> ((s, d) => Formats.compactRoundtrip(s, d)),
     "q_backfill_partition" -> ((s, d) => Formats.backfillPartition(s, d,
@@ -824,6 +825,14 @@ object AnalyticsQueries {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
         |  CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
         |  CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // sketch-rollup audit: weekly distinct from unioned daily sketches,
+    // verdict vs the exact recount (Monday-start weeks on both engines)
+    "q_hll_rollup" ->
+      """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS within_tol
         |FROM events GROUP BY 1""".stripMargin,
 
     // in-plan observed metrics equal the straight aggregate

@@ -33,6 +33,8 @@ object MediaStreamQueries {
       graft.streaming.StateInspect.aggStateReadback(s, d)),
     "q_stream_tws_map" -> ((s, d) =>
       graft.streaming.TwsStreaming.perTypeCounts(s, d)),
+    "q_stream_tws_list" -> ((s, d) =>
+      graft.streaming.TwsStreaming.firstTouches(s, d)),
     "q_stream_dedup" -> ((s, d) =>
       graft.streaming.DocsStreaming.dedupHashes(s, d)),
     "q_stream_interval_join" -> ((s, d) =>
@@ -176,6 +178,13 @@ object MediaStreamQueries {
     "q_stream_flagship" -> TwseQueries.oracleSql("q_flagship"),
     // exactly-once JDBC terminal: same golden row as the parquet terminal
     "q_stream_flagship_jdbc" -> TwseQueries.oracleSql("q_flagship"),
+
+    // ListState first-k prefix per user equals the batch rank window
+    "q_stream_tws_list" ->
+      """SELECT user_id, CAST(rn AS INTEGER) AS rank, event_id FROM (
+        |  SELECT user_id, event_id, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn <= 5""".stripMargin,
 
     // MapState per-(user, type) counters: last snapshot per sub-key
     // equals the batch two-key aggregate

@@ -1267,6 +1267,37 @@ object Analytics {
       .toDF("n_rows", "n_bad_qty", "sum_price_c")
   }
 
+  /** Mergeable-sketch rollup via the DataSketches HLL surface
+    * (`hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`) — the
+    * pattern that makes distinct counts ROLLUP-ABLE: a daily materialized
+    * table stores each day's user SKETCH (a few KB), and any coarser
+    * grain (weekly here) is answered by UNIONING stored sketches —
+    * exact distinct counts cannot be rolled up from partials at all
+    * (|A ∪ B| ≠ |A| + |B|), so without sketches every new grain
+    * re-scans raw history. Audited like the other sketch queries: the
+    * contract carries the exact recount and the tolerance verdict, the
+    * estimate stays engine-internal.
+    */
+  def hllRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val weekly = daily
+      .groupBy(date_format(date_trunc("week", col("day")), "yyyy-MM-dd")
+        .as("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = Tables.events(spark, sfDir)
+      .groupBy(date_format(date_trunc("week", col("ts")), "yyyy-MM-dd")
+        .as("week"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(weekly, "week")
+      .select(col("week"), col("n_exact"),
+        // HLL with default lgK=12 is far tighter than 5% at these
+        // cardinalities; the verdict is the contract
+        (abs(col("est") - col("n_exact")) * 20 <= col("n_exact"))
+          .as("within_tol"))
+  }
+
   /** First-touch attribution — each purchase credited to the EARLIEST
     * view in its 24 h lookback (the as-of join is the last-touch dual:
     * latest view before the event). The per-purchase rank filter plans

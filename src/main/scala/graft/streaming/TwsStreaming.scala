@@ -113,6 +113,65 @@ object TwsStreaming {
     }
   }
 
+  /** Per-(user, rank) emission from ListState. */
+  case class FirstTouchRow(user_id: Long, rank: Int, ts_us: Long, event_id: Long)
+
+  /** ListState form: each user's FIRST-k event ids in event-time order —
+    * the bounded-journey prefix an onboarding-analysis pipeline keeps
+    * per user. ListState appends are O(new element): the store never
+    * rewrites the existing list entries, where a ValueState carrying a
+    * Seq would serialize the whole list every update. The k-cap bounds
+    * state per user regardless of stream length.
+    */
+  private class FirstTouches(k: Int)
+      extends StatefulProcessor[Long, (Long, Long, Long), FirstTouchRow] {
+    @transient private var firsts: org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      firsts = getHandle.getListState[(Long, Long)](
+        "firsts", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+        timers: TimerValues): Iterator[FirstTouchRow] = {
+      val have = firsts.get().toSeq // ≤ k entries by construction
+      val merged = (have ++ rows.map { case (_, ts, id) => (ts, id) })
+        .sortBy(identity).take(k)
+      firsts.clear()
+      merged.foreach(firsts.appendValue) // k tiny entries; batches that
+      // no longer change the prefix re-write nothing (merged == have)
+      merged.iterator.zipWithIndex.map { case ((ts, id), i) =>
+        FirstTouchRow(key, i + 1, ts, id)
+      }
+    }
+  }
+
+  /** Streaming first-k touchpoints per user via `transformWithState`
+    * ListState; readback keeps the final (latest-batch) prefix, contract
+    * = the batch rank-≤-k window.
+    */
+  def firstTouches(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame =
+      EventsStreaming.withStreamPartitions(spark, 8) {
+    import spark.implicits._
+    withRocksDb(spark) {
+      val name = s"graft_stream_twslist_${EventsStreaming.nextName()}"
+      val typed = EventsStreaming.eventsStream(spark, sfDir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"))
+        .as[(Long, Long, Long)]
+      val out = typed.groupByKey(_._1)
+        .transformWithState(new FirstTouches(k),
+          TimeMode.None(), OutputMode.Update())
+      EventsStreaming.runToParquet(spark, out.toDF(), name, OutputMode.Update)
+        // final prefix per user: a rank's value only ever moves EARLIER
+        // in (ts, id) order as new batches refine the prefix, so the
+        // latest emission at each rank is its (ts, id)-minimum
+        .groupBy(col("user_id"), col("rank"))
+        .agg(min(struct(col("ts_us"), col("event_id"))).as("m"))
+        .select(col("user_id"), col("rank"), col("m.event_id").as("event_id"))
+    }
+  }
+
   case class SessEv(event_id: Long, user_id: Long, ts_us: Long)
   case class SessRow(user_id: Long, session_id: Int, n_events: Long,
       session_start_us: Long)
