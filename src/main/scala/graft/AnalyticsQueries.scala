@@ -78,6 +78,8 @@ object AnalyticsQueries {
     "q_variant_props" -> ((s, d) => Analytics.variantProps(s, d)),
     "q_observe_metrics" -> ((s, d) => Analytics.observedIngest(s, d)),
     "q_hll_rollup" -> ((s, d) => Analytics.hllRollup(s, d)),
+    "q_rfm" -> ((s, d) => Analytics.rfmSegments(s, d)),
+    "q_markov" -> ((s, d) => Analytics.markovTransitions(s, d)),
     "q_json_roundtrip" -> ((s, d) => Formats.jsonRoundtrip(s, d)),
     "q_compact" -> ((s, d) => Formats.compactRoundtrip(s, d)),
     "q_backfill_partition" -> ((s, d) => Formats.backfillPartition(s, d,
@@ -814,7 +816,7 @@ object AnalyticsQueries {
     // the testdata ships one file per table, so provenance rolls up to
     // a single literal-named row at every scale factor
     "q_file_provenance" ->
-      """SELECT 'orders.parquet' AS file_name,
+      """SELECT 'orders.parquet' AS src_file,
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
         |FROM orders""".stripMargin,
@@ -826,6 +828,35 @@ object AnalyticsQueries {
         |  CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
         |  CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
         |FROM events GROUP BY 1""".stripMargin,
+
+    // RFM quartile segmentation: ntile ties broken by user_id so both
+    // engines deal identical quartiles
+    "q_rfm" ->
+      """WITH u AS (SELECT user_id,
+        |    max(epoch_us(ts)) AS last_us,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS monetary_c
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, frequency, monetary_c,
+        |  CAST(ntile(4) OVER (ORDER BY last_us DESC, user_id) AS VARCHAR)
+        |  || CAST(ntile(4) OVER (ORDER BY frequency ASC, user_id) AS VARCHAR)
+        |  || CAST(ntile(4) OVER (ORDER BY monetary_c ASC, user_id) AS VARCHAR)
+        |    AS segment
+        |FROM u""".stripMargin,
+
+    // first-order journey transition matrix in integer basis points
+    "q_markov" ->
+      """WITH p AS (SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |c AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT cur, sum(n) AS row_n FROM c GROUP BY 1)
+        |SELECT c.cur, c.nxt, c.n, CAST(c.n * 10000 // t.row_n AS BIGINT) AS p_bp
+        |FROM c JOIN t ON c.cur = t.cur""".stripMargin,
 
     // sketch-rollup audit: weekly distinct from unioned daily sketches,
     // verdict vs the exact recount (Monday-start weeks on both engines)

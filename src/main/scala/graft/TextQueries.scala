@@ -18,6 +18,7 @@ object TextQueries {
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q_quality_lr" -> ((s, d) => TextAnalysis.linearScore(s, d)),
     "q_sql_custom_fn" -> ((s, d) => TextAnalysis.sqlFunctionRegistry(s, d)),
+    "q_feature_hash" -> ((s, d) => TextAnalysis.featureHash(s, d)),
     "q_doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "q_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q_lm_score" -> ((s, d) => TextAnalysis.lmScore(s, d)),
@@ -303,6 +304,16 @@ object TextQueries {
         |  (-800000 + 20000 * n_tokens + 500 * n_chars
         |    - 60000 * n_punct + 30000 * n_stopwords) > 0 AS keep
         |FROM m""".stripMargin,
+
+    // hashing-trick featurizer: md5-derived buckets, vocabulary-free
+    "q_feature_hash" ->
+      s"""WITH $baseCte,
+         |t AS (SELECT doc_id, unnest(toks) AS token FROM base)
+         |SELECT doc_id,
+         |  CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS UBIGINT)
+         |    % 64 AS INTEGER) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM t GROUP BY 1, 2""".stripMargin,
 
     // the registered graft_token_stats SQL function must agree with the
     // portable token-stats formulation

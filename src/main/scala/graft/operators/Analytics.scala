@@ -1267,6 +1267,61 @@ object Analytics {
       .toDF("n_rows", "n_bad_qty", "sum_price_c")
   }
 
+  /** RFM customer segmentation — the standard lifecycle-marketing
+    * rollup: per-user Recency (days since last event), Frequency (event
+    * count), Monetary (purchase cents), each cut into integer quartiles
+    * and concatenated into a segment code ('444' = best). Quartiles are
+    * `ntile` over the per-USER relation — cardinality = users, not
+    * events — so the only event-scale work is the first aggregate; the
+    * three window passes share one single-partition... no: ntile needs a
+    * global order, so each runs over an un-partitioned window on the
+    * (small) per-user table — acceptable ONLY because that table is
+    * user-cardinality; never ntile the raw fact.
+    */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("frequency"),
+        sum(when(col("event_type") === "purchase",
+          (dec("value") * 100).cast("long")).otherwise(lit(0L)))
+          .as("monetary_c"))
+    // ties broken by user_id so every engine deals the same quartiles
+    def q(c: String, asc: Boolean) = ntile(4).over(
+      if (asc) Window.orderBy(col(c).asc, col("user_id").asc)
+      else Window.orderBy(col(c).desc, col("user_id").asc))
+    perUser.select(col("user_id"), col("frequency"), col("monetary_c"),
+        q("last_us", asc = false).as("r_q"),
+        q("frequency", asc = true).as("f_q"),
+        q("monetary_c", asc = true).as("m_q"))
+      .select(col("user_id"), col("frequency"), col("monetary_c"),
+        concat(col("r_q"), col("f_q"), col("m_q")).as("segment"))
+  }
+
+  /** Event-type transition matrix — first-order Markov journey model:
+    * P(next = b | cur = a) over each user's time-ordered stream, with
+    * probabilities in integer basis points (count×10⁴ div row-total) so
+    * both engines floor identically. One window pass (lead over the
+    * per-user order) + one tiny aggregate; the matrix is |types|² rows
+    * no matter how many events feed it.
+    */
+  def markovTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("cur"))
+      .withColumn("nxt", lead(col("cur"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("cur")).agg(sum(col("n")).as("row_n"))
+    pairs.join(totals, "cur")
+      .select(col("cur"), col("nxt"), col("n"),
+        expr("n * 10000 div row_n").as("p_bp"))
+  }
+
   /** Mergeable-sketch rollup via the DataSketches HLL surface
     * (`hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`) — the
     * pattern that makes distinct counts ROLLUP-ABLE: a daily materialized

@@ -610,7 +610,11 @@ object Dedup {
     * corpus size.
     */
   def fuzzyNameMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    // resolve DISTINCT entities: fuzzy ER is a relation over names, not
+    // rows — duplicated source rows (10x at scaled sf) must not square
+    // the match multiplicity
     val names = Tables.customer(spark, sfDir).select(col("c_name").as("nm"))
+      .distinct()
       .repartition() // single-file dim: spread the explode + probes
     // One deletion variant per position, KEYED BY POSITION. Joining on
     // (variant, position) makes the match exact by construction:

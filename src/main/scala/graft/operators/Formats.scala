@@ -59,9 +59,13 @@ object Formats {
     */
   def fileProvenance(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/orders.parquet")
-      .select(col("_metadata.file_name").as("file_name"),
+      // the table-level source (first *.parquet path component): stable
+      // whether the table is one file or a directory of parts —
+      // per-PART accounting would just group by _metadata.file_name
+      .select(regexp_extract(col("_metadata.file_path"),
+          "([^/]+\\.parquet)", 1).as("src_file"),
         col("o_orderkey"))
-      .groupBy(col("file_name"))
+      .groupBy(col("src_file"))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("o_orderkey")).as("n_keys"))
 

@@ -113,6 +113,25 @@ object TextAnalysis {
       score.as("score_e6"), (score > 0).as("keep"))
   }
 
+  /** Feature hashing (the hashing trick) — fixed-width sparse feature
+    * vectors with NO vocabulary pass: token → md5-derived bucket in
+    * [0, dim), per-doc bucket counts. This is how a streaming/online
+    * featurizer avoids the two-pass build-vocab-then-encode shape (and
+    * its unbounded vocab table): the "vocabulary" is a hash function,
+    * identical on every engine and every ingest batch. Collisions are
+    * the accepted trade (dim trades memory for collision rate). One
+    * explode + one (doc, bucket) aggregate; output is bounded by
+    * docs × dim, not vocabulary size.
+    */
+  def featureHash(spark: SparkSession, sfDir: String, dim: Int = 64): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("token")), 1, 8), 16, 10).cast("bigint")
+          % dim).cast("int").as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
   /** Custom expression through the SQL FRONT DOOR: `TokenStats` (a
     * codegen'd catalyst Expression) registered in the session's function
     * registry at runtime, then invoked from plain SQL text — the
