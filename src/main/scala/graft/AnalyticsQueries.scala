@@ -162,6 +162,12 @@ object AnalyticsQueries {
     "q_attribution_decay" -> ((s, d) => Analytics.decayAttribution(s, d)),
     "q19_disjunctive" -> ((s, d) => Analytics.q19Disjunctive(s, d)),
     "q4_order_priority" -> ((s, d) => Analytics.q4OrderPriority(s, d)),
+    "q12_ship_priority" -> ((s, d) => Analytics.q12ShipPriority(s, d)),
+    "q21_waiting_suppliers" -> ((s, d) => Analytics.q21WaitingSuppliers(s, d)),
+    "q16_supplier_cnt" -> ((s, d) => Analytics.q16SupplierCount(s, d)),
+    "q20_excess_supply" -> ((s, d) => Analytics.q20ExcessSupply(s, d)),
+    "q2_min_cost" -> ((s, d) => Analytics.q2MinCost(s, d)),
+    "q11_important_parts" -> ((s, d) => Analytics.q11ImportantParts(s, d)),
     "q_cms_audit" -> ((s, d) => Analytics.cmsPointCheck(s, d))
   )
 
@@ -985,6 +991,84 @@ object AnalyticsQueries {
     "q_lateral_topk" -> lateralTopkText,
     "q17_small_lots" -> q17Text,
     "q22_idle_balance" -> q22Text,
+
+    "q12_ship_priority" ->
+      """SELECT l.l_returnflag AS ship_mode,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """WITH late AS (
+        |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM late l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY 1""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45'
+        |  AND p_size IN (1, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+        |GROUP BY p_brand, p_size""".stripMargin,
+
+    "q2_min_cost" ->
+      """WITH sc AS (SELECT l_partkey, l_suppkey,
+        |  CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS cost_cents
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT p.p_partkey, s.s_name, n.n_name, sc.cost_cents
+        |FROM part p
+        |JOIN sc ON sc.l_partkey = p.p_partkey
+        |JOIN supplier s ON s.s_suppkey = sc.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE p.p_size = 15
+        |  AND sc.cost_cents = (SELECT min(sc2.cost_cents) FROM sc sc2
+        |    WHERE sc2.l_partkey = p.p_partkey)""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS value_cents
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier JOIN nation
+        |      ON s_nationkey = n_nationkey
+        |    WHERE n_name IN ('NATION_1','NATION_3','NATION_5',
+        |      'NATION_7','NATION_9'))
+        |  GROUP BY 1)
+        |SELECT l_partkey, value_cents FROM v
+        |WHERE value_cents * 10000 > 10 * (SELECT sum(value_cents) FROM v)""".stripMargin,
+
+    "q20_excess_supply" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 60)""".stripMargin,
 
     "q13_custdist" ->
       """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (

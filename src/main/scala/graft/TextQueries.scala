@@ -66,7 +66,11 @@ object TextQueries {
     "q_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "q_char_entropy" -> ((s, d) => TextAnalysis.charEntropy(s, d)),
     "q_sketch_source" -> ((s, d) => Dedup.sourceSketch(s, d)),
-    "q_sketch_source_sim" -> ((s, d) => Dedup.sourceSimilarity(s, d))
+    "q_sketch_source_sim" -> ((s, d) => Dedup.sourceSimilarity(s, d)),
+    "q_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
+    "q_dup_ngrams" -> ((s, d) => Dedup.dupNgrams(s, d)),
+    "q_length_buckets" -> ((s, d) => graft.operators.DataPrep.lengthBuckets(s, d)),
+    "q_domain_cap" -> ((s, d) => graft.operators.DataPrep.domainCap(s, d))
   )
 
   /** Shared DuckDB CTE fragments (must mirror TextFunctions exactly). */
@@ -970,6 +974,69 @@ object TextQueries {
          |  CAST(sa.sz + sb.sz - n_inter AS INTEGER) AS n_union
          |FROM inter JOIN szs sa ON doc_a = sa.doc_id
          |JOIN szs sb ON doc_b = sb.doc_id
-         |WHERE n_inter * 10 >= (sa.sz + sb.sz - n_inter) * 8""".stripMargin
+         |WHERE n_inter * 10 >= (sa.sz + sb.sz - n_inter) * 8""".stripMargin,
+
+    "q_gopher_rules" ->
+      s"""WITH $baseCte,
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_words,
+         |  CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT) AS sum_len,
+         |  CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha_words,
+         |  CAST(len(list_filter(toks,
+         |    t -> list_contains(['the','a','of','and','to','in','is'], t))) AS BIGINT) AS stop_hits
+         |  FROM base)
+         |SELECT doc_id, n_words,
+         |  sum_len * 1000 // n_words AS mean_word_len_e3,
+         |  alpha_words * 10000 // n_words AS frac_alpha_bp,
+         |  stop_hits,
+         |  (n_words BETWEEN 5 AND 5000
+         |    AND sum_len * 1000 // n_words BETWEEN 2000 AND 10000
+         |    AND alpha_words * 10000 // n_words >= 8000
+         |    AND stop_hits >= 1) AS passes
+         |FROM m""".stripMargin,
+
+    "q_dup_ngrams" ->
+      s"""WITH $baseCte, $shinglesCte,
+         |d AS (SELECT DISTINCT doc_id, unnest(s) AS shingle FROM sh),
+         |df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+         |  FROM d GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_shingles,
+         |  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 10000
+         |    // count(*) AS BIGINT) AS dup_bp
+         |FROM d JOIN df USING (shingle)
+         |GROUP BY doc_id""".stripMargin,
+
+    "q_length_buckets" ->
+      s"""WITH $baseCte,
+         |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM base),
+         |b AS (SELECT n_tokens,
+         |  CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+         |       WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+         |       WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512
+         |       WHEN n_tokens <= 1024 THEN 1024 ELSE 2048 END AS bucket
+         |  FROM m)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(bucket * count(*) - sum(n_tokens) AS BIGINT) AS pad_tokens,
+         |  CAST(sum(n_tokens) * 10000 // (bucket * count(*)) AS BIGINT)
+         |    AS fill_bp
+         |FROM b GROUP BY bucket""".stripMargin,
+
+    "q_domain_cap" ->
+      """WITH ranked AS (SELECT source, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM documents),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |kept AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
+        |  FROM ranked WHERE rk <= 20 GROUP BY 1)
+        |SELECT t.source, t.n_docs, k.n_kept,
+        |  t.n_docs - k.n_kept AS n_dropped, k.kept_chars
+        |FROM tot t JOIN kept k ON t.source = k.source""".stripMargin
   )
 }

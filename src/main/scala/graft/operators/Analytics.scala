@@ -1621,4 +1621,193 @@ object Analytics {
       .groupBy(col("disposition"))
       .agg(count(lit(1)).as("n"), sum(col("k")).cast("bigint").as("sum_k"))
   }
+
+  /** I6/q12 — shipping-mode priority mix (TPC-H Q12 shape, adapted: this
+    * schema has no l_shipmode/l_receiptdate, so l_returnflag stands in as
+    * the mode axis and "late" = shipped more than 60 days after the order
+    * date). The interesting plan property Q12 exercises survives the
+    * adaptation: a fact-fact join whose selective predicate SPANS both
+    * sides (shipdate vs orderdate), so it cannot push into either scan —
+    * only the single-sided year band prunes lineitem at the parquet
+    * level; the cross-side comparison runs as a join residual on the
+    * orderkey hash join. Conditional counts fold both priority classes
+    * into ONE aggregate pass (no second join, no self-union). At 100 TB:
+    * one orderkey shuffle, AQE-coalesced; 6-row result.
+    */
+  def q12ShipPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_returnflag"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(o, col("l_orderkey") === col("o_orderkey")
+        && col("l_shipdate") > col("o_orderdate") + expr("interval 60 days"))
+      .groupBy(col("l_returnflag").as("ship_mode"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** I6/q21 — suppliers who kept orders waiting (TPC-H Q21 shape,
+    * adapted: "late" = shipped more than 90 days after the order date).
+    * The signature topology is the DOUBLE correlated quantifier over the
+    * same relation — for each late (order, supplier): EXISTS another
+    * supplier on the order (multi-supplier orders only) AND NOT EXISTS
+    * another LATE supplier on the order (this supplier is solely at
+    * fault). Declared as left-semi + left-anti hash joins on l_orderkey
+    * with the supplier inequality as the join residual — Catalyst plans
+    * exactly what the manual decorrelation would write, and the
+    * `late` relation is computed ONCE and reused for both the probe and
+    * the anti side. At 100 TB: the late set is a small fraction of
+    * lineitem (date-band filtered before the join), so the two
+    * quantifier joins shuffle late-rows + distinct (orderkey, suppkey)
+    * pairs, never raw lineitem twice; the 100-row supplier dim
+    * broadcasts for the name.
+    */
+  def q21WaitingSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val late = li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("interval 90 days"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val others = li.select(col("l_orderkey").as("o2_orderkey"),
+      col("l_suppkey").as("o2_suppkey")).distinct()
+    val lateOthers = late.select(col("l_orderkey").as("l3_orderkey"),
+      col("l_suppkey").as("l3_suppkey"))
+    val blamed = late
+      .join(others, col("o2_orderkey") === col("l_orderkey")
+        && col("o2_suppkey") =!= col("l_suppkey"), "left_semi")
+      .join(lateOthers, col("l3_orderkey") === col("l_orderkey")
+        && col("l3_suppkey") =!= col("l_suppkey"), "left_anti")
+    blamed
+      .join(broadcast(Tables.supplier(spark, sfDir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  /** I6/q16 — supplier count per part slice (TPC-H Q16 shape, adapted:
+    * no partsupp table, so lineitem is the part↔supplier link). The plan
+    * shape this adds to the join family is NOT IN over a subquery — the
+    * NULL-AWARE anti join, a genuinely different operator from q22's
+    * NOT EXISTS anti join: NOT IN must return zero rows if the subquery
+    * ever yields NULL, so Catalyst plans a broadcast null-aware anti
+    * join (s_suppkey is non-null here, but the OPERATOR must prove it at
+    * runtime, which NOT EXISTS never checks). Distinct suppliers per
+    * (brand, size) after excluding the blacklist. At 100 TB: the
+    * blacklist subquery is a tiny broadcast; part is the only other dim;
+    * lineitem pays one (brand, size, suppkey) distinct shuffle.
+    */
+  def q16SupplierCount(spark: SparkSession, sfDir: String): DataFrame = {
+    // The Dataset API has no NOT IN surface — left_anti is NOT the same
+    // operator (it silently keeps rows when the subquery yields NULL).
+    // Routing through SQL makes Catalyst plan the real null-aware anti
+    // join (BroadcastHashJoin ... LeftAnti, isNullAwareAntiJoin=true).
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    Tables.part(spark, sfDir).createOrReplaceTempView("part")
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("supplier")
+    spark.sql(
+      """SELECT p_brand, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45'
+        |  AND p_size IN (1, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+        |GROUP BY p_brand, p_size""".stripMargin)
+  }
+
+  /** I6/q20 — suppliers with excess supply of a part family (TPC-H Q20
+    * shape, adapted to the lineitem link). The topology: a NESTED
+    * membership chain — suppliers IN (pairs grouped-HAVING over lineitem
+    * semi-joined to a LIKE-filtered part dim). Each IN level becomes a
+    * LEFT SEMI hash join, so "membership" never duplicates supplier rows
+    * no matter how many qualifying parts a supplier has. The HAVING
+    * aggregate runs on (suppkey, partkey) pairs AFTER the part filter
+    * prunes ~1/9 of lineitem via broadcast semi join — the grouped
+    * relation is bounded by |qualifying pairs|, not |lineitem|. At
+    * 100 TB: one pair-key shuffle over the filtered fact, then
+    * broadcast-size results the rest of the way.
+    */
+  /** I6/q2 — min-cost supplier per part (TPC-H Q2 shape, adapted: no
+    * partsupp, so a part's supply cost from a supplier = the minimum
+    * exact-decimal price that supplier ever charged for it in lineitem).
+    * The topology: a correlated scalar subquery ("= (SELECT min(...)
+    * WHERE partkey = outer.partkey)") expressed the way Catalyst itself
+    * rewrites it — the per-part min as ONE grouped aggregate joined
+    * back on (partkey, cost equality), returning every tied supplier.
+    * Exact integer cents make the tie set engine-identical. At 100 TB:
+    * the (partkey, suppkey) aggregate is the only fact shuffle; the
+    * min-join-back reuses its partitioning, and part/supplier/nation
+    * dims broadcast.
+    */
+  def q2MinCost(spark: SparkSession, sfDir: String): DataFrame = {
+    val sc = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg((min(dec("l_extendedprice")) * 100).cast("long").as("cost_cents"))
+    val scMin = sc.groupBy(col("l_partkey"))
+      .agg(min(col("cost_cents")).as("min_cents"))
+    sc.join(scMin, "l_partkey")
+      .filter(col("cost_cents") === col("min_cents"))
+      .join(broadcast(Tables.part(spark, sfDir).filter(col("p_size") === 15)),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, sfDir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("s_name"), col("n_name"),
+        col("cost_cents"))
+  }
+
+  /** I7/q11 — important stock parts (TPC-H Q11 shape, adapted: part
+    * value = exact-decimal Σ(price × qty) over lineitem, suppliers from
+    * a 5-nation region slice). The topology: a grouped aggregate
+    * compared against a FRACTION of its own global total — an
+    * uncorrelated scalar subquery in HAVING. The fraction test is an
+    * integer cross-multiplication (part_cents × 10⁴ > total_cents ×
+    * threshold_bp), never `total * 0.0001` — a float fraction of a
+    * 100 TB total is exactly where engines drift. The global total is a
+    * 1-row broadcast, so the HAVING probe adds no exchange; ReuseExchange
+    * collapses the value table's two uses onto one shuffle.
+    */
+  def q11ImportantParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val suppNations = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .filter(col("n_name").isin("NATION_1", "NATION_3", "NATION_5",
+            "NATION_7", "NATION_9"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val value = Tables.lineitem(spark, sfDir)
+      .join(broadcast(suppNations), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg((sum(dec("l_extendedprice") * dec("l_quantity")) * 100)
+        .cast("long").as("value_cents"))
+    val total = value.agg(sum(col("value_cents")).as("total_cents"))
+    value.join(broadcast(total))
+      .filter(col("value_cents") * 10000 > col("total_cents") * 10)
+      .select(col("l_partkey"), col("value_cents"))
+  }
+
+  def q20ExcessSupply(spark: SparkSession, sfDir: String): DataFrame = {
+    val redParts = Tables.part(spark, sfDir)
+      .filter(col("p_name").like("red%")).select(col("p_partkey"))
+    val pairs = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+      .filter(col("qty") > 60)
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(spark, sfDir)
+      .join(pairs, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+  }
 }

@@ -221,4 +221,72 @@ object DataPrep {
         md5(array_join(slice(col("toks"), col("start") + 1, lit(chunk)), " "))
           .as("chunk_md5"))
   }
+
+  /** Padding-efficiency length bucketing — the batch-assembly dual of
+    * [[packSequences]]: assign each document to the smallest power-of-two
+    * token-length bucket that holds it, and report how many tokens each
+    * bucket wastes as padding. Training loaders batch same-bucket
+    * sequences; this is the audit that tells you whether your bucket
+    * ladder (and truncation cap) fits the corpus' length distribution.
+    *
+    * The bucket boundary is a CASE ladder over power-of-two literals —
+    * pure integer comparisons, no log2/pow floats whose rounding could
+    * reassign a boundary-length document differently per engine. Per-row
+    * map + one tiny aggregate: a 100 TB corpus pays one scan, and the
+    * shuffle carries |buckets| partial rows.
+    */
+  def lengthBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = size(graft.functions.TextFunctions.wsTokens(col("text")))
+      .cast("long")
+    val ladder = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L)
+    val bucket = ladder.reverse.foldLeft(lit(2048L)) {
+      case (acc, b) => when(n <= b, b).otherwise(acc)
+    }
+    Tables.documents(spark, sfDir)
+      .select(n.as("n_tokens"), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .select(col("bucket"), col("n_docs"), col("total_tokens"),
+        (col("bucket") * col("n_docs") - col("total_tokens"))
+          .as("pad_tokens"),
+        expr("total_tokens * 10000 div (bucket * n_docs)")
+          .as("fill_bp"))
+  }
+
+  /** Per-domain document cap — the crawl-hygiene selection pass (C4,
+    * RefinedWeb, FineWeb all cap per-registered-domain contributions so
+    * no single site dominates the corpus). Keep the top `cap` documents
+    * per source by (n_chars desc, doc_id asc) — a deterministic total
+    * order — and account kept/dropped per source.
+    *
+    * The rank filter compiles to Spark's WindowGroupLimit: each map task
+    * keeps only its local top-`cap` per source BEFORE the exchange, so
+    * the shuffle carries at most partitions×sources×cap rows, not the
+    * corpus — the same partial-top-k physics as TakeOrderedAndProject,
+    * applied per group. (At web scale `source` is the registered domain
+    * — millions of values, so the post-shuffle work is well spread; a
+    * handful of mega-domains is exactly the skew AQE splits.)
+    */
+  def domainCap(spark: SparkSession, sfDir: String, cap: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    // totals: plain hash aggregate — map-side partial combine, the
+    // shuffle moves |sources| partial buffers, never corpus rows
+    val totals = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    // kept set: the rank predicate is a real FILTER, so the optimizer
+    // inserts WindowGroupLimit and each map task pre-limits to its local
+    // top-`cap` per source before the window exchange
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val kept = docs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+    totals.join(kept, "source")
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_dropped"), col("kept_chars"))
+  }
 }

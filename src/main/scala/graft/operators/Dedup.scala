@@ -455,6 +455,37 @@ object Dedup {
     * text shows top-shingle ratios near 1; clean prose stays low. The
     * flag threshold (≥20%) is cross-multiplied so no engine divides.
     */
+  /** Per-document duplicated-ngram fraction — the exact-substring-dup
+    * signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"): what share of a document's distinct
+    * shingles also appear in at least one OTHER document. Near-dup
+    * clustering finds whole-document copies; this finds boilerplate —
+    * headers, licenses, templates — that contaminates otherwise-unique
+    * documents, and is the standard pre-training diagnostic for "how
+    * much of this corpus is repeated text".
+    *
+    * Inverted-index shape: distinct (doc_id, shingle) pairs, document
+    * frequency per shingle, then a co-partitioned self-join — both
+    * sides hash on `shingle`, so the join adds NO exchange beyond the
+    * two aggregation shuffles. At 100 TB the df table is bounded by
+    * |distinct shingles| and the heavy keys (boilerplate shingles!) are
+    * exactly the ones AQE's skew split handles; nothing materializes
+    * per-pair like a doc×doc comparison would.
+    */
+  def dupNgrams(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
+      .distinct()
+    val df = pairs.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+    pairs.join(df, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_shingles"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup_shingles"),
+        expr("n_dup_shingles * 10000 div n_shingles").as("dup_bp"))
+  }
+
   def repetition(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))

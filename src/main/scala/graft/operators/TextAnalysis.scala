@@ -684,4 +684,39 @@ object TextAnalysis {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq), out.schema)
   }
+
+  /** Rule-based document filter battery in the Gopher/MassiveText style
+    * (Rae et al. 2021 §A1.1): word-count band, mean-word-length band,
+    * alphabetic-word fraction, stopword presence — the cheap first gate
+    * every web-scale curation pipeline runs before any learned filter.
+    *
+    * All four statistics come from ONE pass over the token array with
+    * higher-order functions (transform/filter/aggregate) — per-row
+    * narrow work, zero shuffles, one corpus scan at 100 TB. Ratios are
+    * integer fixed-point (×1000 mean length, basis-point alpha
+    * fraction, BIGINT floor division) so the pass/fail DECISION is
+    * exact on both engines — a float mean near a band edge could
+    * otherwise split them.
+    */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val nWords = size(toks).cast("long")
+    val sumLen = aggregate(transform(toks, t => length(t)),
+      lit(0L), (acc, x) => acc + x)
+    val alphaWords = size(filter(toks,
+      t => t.rlike("[a-z]"))).cast("long")
+    val stopHits = size(filter(toks, t =>
+      t.isin("the", "a", "of", "and", "to", "in", "is"))).cast("long")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), nWords.as("n_words"), sumLen.as("sum_len"),
+        alphaWords.as("alpha_words"), stopHits.as("stop_hits"))
+      .select(col("doc_id"), col("n_words"),
+        expr("sum_len * 1000 div n_words").as("mean_word_len_e3"),
+        expr("alpha_words * 10000 div n_words").as("frac_alpha_bp"),
+        col("stop_hits"),
+        (col("n_words").between(5, 5000)
+          && expr("sum_len * 1000 div n_words").between(2000, 10000)
+          && expr("alpha_words * 10000 div n_words") >= 8000
+          && col("stop_hits") >= 1).as("passes"))
+  }
 }

@@ -25,16 +25,32 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events` carries a nanosecond parquet timestamp, which Spark's
-    * vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL
-    * INT64(TIMESTAMP(NANOS))). Read nanos as Long, then convert with
-    * integer division — `ts div 1000` stays in Long arithmetic (a
-    * double division would lose precision above 2^53) and matches
-    * DuckDB's own ns→µs truncation, so oracles agree to the microsecond.
+  /** Raw events with `ts` normalized to Long NANOSECONDS — the internal
+    * convention the streaming stagers persist to their landing dirs.
+    *
+    * The driver's fixture has shipped two physical encodings across
+    * rounds: INT64(TIMESTAMP(NANOS)) — which Spark's vectorized reader
+    * rejects outright (PARQUET_TYPE_ILLEGAL) unless read as Long via
+    * `nanosAsLong` — and plain timestamp[us], which Spark reads as
+    * TIMESTAMP_NTZ. Both normalize here by inspecting the footer schema,
+    * so every downstream consumer is encoding-agnostic. All arithmetic
+    * stays in Long (a double division would lose precision above 2^53);
+    * the µs path multiplies exactly, matching DuckDB's own reading of
+    * the same file to the microsecond.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  def eventsRawNanos(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      // NTZ under the UTC session zone casts value-identically to LTZ
+      case _ => raw.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
   }
+
+  /** `events` with `ts` as a proper TIMESTAMP (µs, UTC session). */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    eventsRawNanos(spark, sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 }

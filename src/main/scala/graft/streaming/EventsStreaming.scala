@@ -7,6 +7,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
+import graft.sources.Tables
+
 /** Structured-streaming forms of the event operators (SURVEY.md §2.I5 and
   * the reference's daily micro-batch cadence, `Final_app.py:17`).
   *
@@ -22,6 +24,20 @@ object EventsStreaming {
   private val nameCounter = new AtomicInteger()
 
   private[streaming] def nextName(): Int = nameCounter.incrementAndGet()
+
+  /** Write `df` as ONE parquet data file at exactly `target` (the file
+    * stream source wants stable, individually-named landing files whose
+    * mod-times order the micro-batches).
+    */
+  private[streaming] def stageSingleFile(df: DataFrame,
+      dir: java.nio.file.Path, target: java.nio.file.Path): Unit = {
+    val tmp = dir.resolve(s"_build_${target.getFileName}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).filter(p =>
+      p.getFileName.toString.endsWith(".parquet")).findFirst.get
+    java.nio.file.Files.move(part, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
   // unique per JVM so a stale checkpoint/sink from an earlier process
   // (possibly older code) can never replay into this run's output
   private val jvmTag = java.util.UUID.randomUUID().toString.take(8)
@@ -98,16 +114,17 @@ object EventsStreaming {
     * event-time-timeout flush.
     */
   private def stagedDir(spark: SparkSession, sfDir: String, withEos: Boolean): String = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val suffix = if (withEos) "_eos_v3" else ""
+    val suffix = if (withEos) "_eos_v4" else "_v2"
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_stream_src_$safe$suffix")
     val target = dir.resolve("events.parquet")
     if (!java.nio.file.Files.exists(target)) {
       java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(sfDir, "events.parquet"), target)
+      // Re-stage through the encoding-adaptive reader (NOT a raw file
+      // copy): the landing file always carries the Long-nanos `ts`
+      // convention rawSchema pins, whatever the fixture's encoding.
+      stageSingleFile(Tables.eventsRawNanos(spark, sfDir), dir, target)
       if (withEos) {
         val ev = spark.read.schema(rawSchema).parquet(target.toString)
         val maxTsNs = ev.agg(max(col("ts"))).head.getLong(0)
@@ -163,12 +180,11 @@ object EventsStreaming {
     * deterministic; gated on _SUCCESS so a crashed half-write rebuilds.
     */
   private def stagedShardedDir(spark: SparkSession, sfDir: String, shards: Int): String = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val dir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_stream_src_sharded${shards}_$safe")
+      sys.props("java.io.tmpdir"), s"graft_stream_src_sharded${shards}_${safe}_v2")
     if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
-      spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+      Tables.eventsRawNanos(spark, sfDir)
         .repartition(shards, col("event_id"))
         .write.mode("overwrite").parquet(dir.toString)
     dir.toString
@@ -472,20 +488,15 @@ object EventsStreaming {
     val name = s"graft_stream_dedup_wm_${nameCounter.incrementAndGet()}"
     val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val dir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_stream_dupsrc_$safe")
+      sys.props("java.io.tmpdir"), s"graft_stream_dupsrc_${safe}_v2")
     val target = dir.resolve("events.parquet")
     if (!java.nio.file.Files.exists(target)) {
       java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(sfDir, "events.parquet"), target)
+      stageSingleFile(Tables.eventsRawNanos(spark, sfDir), dir, target)
       val dups = spark.read.schema(rawSchema).parquet(target.toString)
         .filter(col("event_id") % 10 === 0)
-      val tmp = dir.resolve("_build_dups")
-      dups.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).filter(p =>
-        p.getFileName.toString.endsWith(".parquet")).findFirst.get
       val f = dir.resolve("zz_dups.parquet")
-      java.nio.file.Files.move(part, f)
+      stageSingleFile(dups, dir, f)
       java.nio.file.Files.setLastModifiedTime(f,
         java.nio.file.attribute.FileTime.fromMillis(
           java.nio.file.Files.getLastModifiedTime(target).toMillis + 60000))

@@ -248,15 +248,16 @@ object TwsStreaming {
     * it is the finite-stream shutdown that needs the nudge.)
     */
   private def stagedTimerSrc(spark: SparkSession, sfDir: String): String = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val dir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_stream_src_timer_$safe")
+      sys.props("java.io.tmpdir"), s"graft_stream_src_timer_${safe}_v2")
     val target = dir.resolve("events.parquet")
     if (!java.nio.file.Files.exists(target)) {
       java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(sfDir, "events.parquet"), target)
+      // encoding-adaptive re-stage (not a file copy): landing file keeps
+      // the Long-nanos ts convention whatever the fixture encodes
+      EventsStreaming.stageSingleFile(
+        graft.sources.Tables.eventsRawNanos(spark, sfDir), dir, target)
       val ev = spark.read.schema(EventsStreaming.rawSchema)
         .parquet(target.toString)
       val maxTsNs = ev.agg(max(col("ts"))).head.getLong(0)

@@ -59,4 +59,71 @@ class Round6OpsSpec extends SparkTestBase {
       assert(r.getBoolean(2) == (r.getLong(1) > 0L))
     }
   }
+
+  test("q16 NOT IN plans the null-aware anti join, not a loop join") {
+    val plan = Analytics.q16SupplierCount(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected an anti join:\n$plan")
+    // Spark marks the null-aware variant on the broadcast hash join;
+    // a BroadcastNestedLoopJoin here would be the quadratic fallback
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"),
+      s"NOT IN must stay a hash join on this non-null key:\n$plan")
+  }
+
+  test("q21 plans both quantifiers as semi/anti hash joins on the order key") {
+    val plan = Analytics.q21WaitingSuppliers(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      s"expected semi + anti quantifier joins:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the supplier inequality must ride the equi join as a residual:\n$plan")
+  }
+
+  test("domainCap kept-branch pre-limits per map task (WindowGroupLimit)") {
+    val plan = DataPrep.domainCap(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=cap filter should trigger the partial group limit:\n$plan")
+  }
+
+  test("domainCap accounting: kept + dropped = total, kept <= cap") {
+    val rows = DataPrep.domainCap(spark, sf(), cap = 20).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) == r.getLong(1))
+      assert(r.getLong(2) <= 20)
+    }
+  }
+
+  test("length buckets: every doc in the smallest holding bucket, fill <= 1") {
+    val rows = DataPrep.lengthBuckets(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bucket = r.getLong(0); val nDocs = r.getLong(1)
+      val total = r.getLong(2); val pad = r.getLong(3)
+      assert(pad == bucket * nDocs - total && pad >= 0)
+      // smallest-holding-bucket: average fill must exceed the next
+      // bucket down (if everyone fit in bucket/2, they'd be there)
+      if (bucket > 16) assert(total > (bucket / 2 - 1) * (nDocs - 1),
+        s"bucket $bucket holds docs that fit a smaller bucket")
+    }
+  }
+
+  test("dupNgrams: bp identity holds and sharing is symmetric") {
+    val rows = graft.operators.Dedup.dupNgrams(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    var anyDup = 0L
+    rows.foreach { r =>
+      val n = r.getLong(1); val dup = r.getLong(2); val bp = r.getLong(3)
+      assert(dup >= 0 && dup <= n && n > 0)
+      assert(bp == dup * 10000 / n)
+      anyDup += dup
+    }
+    // sharing is symmetric: a duplicated shingle is duplicated in at
+    // least TWO documents, so the global dup count can never be 1
+    assert(anyDup != 1L)
+    // the fixture's near-dup corpus guarantees SOME boilerplate overlap
+    assert(anyDup > 0L, "expected at least one cross-document shingle")
+  }
 }
