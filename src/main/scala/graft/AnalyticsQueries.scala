@@ -60,6 +60,7 @@ object AnalyticsQueries {
     "q_parse_quarantine" -> ((s, d) => Analytics.parseQuarantine(s, d)),
     "q_retention" -> ((s, d) => Analytics.retentionMatrix(s, d)),
     "q_user_paths" -> ((s, d) => Analytics.userPaths(s, d)),
+    "q_path_pattern" -> ((s, d) => Analytics.pathPattern(s, d)),
     "q_attribution_first" -> ((s, d) => Analytics.firstTouchAttribution(s, d)),
     "q_attribution_linear" -> ((s, d) => Analytics.linearAttribution(s, d)),
     "q_anomaly_zscore" -> ((s, d) => Analytics.anomalyZscore(s, d)),
@@ -699,6 +700,24 @@ object AnalyticsQueries {
         |    max(cnt) > 10000 AS truncated
         |  FROM r WHERE rn <= 10000 GROUP BY user_id)
         |SELECT path, truncated, count(*) AS n_users FROM p GROUP BY 1, 2""".stripMargin,
+
+    "q_path_pattern" ->
+      """WITH r AS (SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT user_id,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+        |    CAST(count(*) AS BIGINT) AS n_ev
+        |  FROM r WHERE rn <= 5 GROUP BY user_id)
+        |SELECT CASE
+        |    WHEN regexp_matches(path, 'view.*purchase') THEN 'view_then_purchase'
+        |    WHEN regexp_matches(path, 'purchase') THEN 'purchase_no_prior_view'
+        |    WHEN regexp_matches(path, 'view') THEN 'view_no_purchase'
+        |    ELSE 'neither' END AS pattern,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(n_ev) AS BIGINT) AS n_events
+        |FROM p GROUP BY 1""".stripMargin,
 
     // Moments from exact integer fixed-point sums (cents; HUGEINT Σx²
     // mirrors the engine's decimal(38) — both exact integers, so the

@@ -62,6 +62,7 @@ object TextQueries {
     "q_pagerank" -> ((s, d) => graft.operators.Graph.pagerank(s, d)),
     "q_triangles" -> ((s, d) => graft.operators.Graph.triangles(s, d)),
     "q_reach_bfs" -> ((s, d) => graft.operators.Graph.reachBfs(s, d)),
+    "q_kcore" -> ((s, d) => graft.operators.Graph.kcore(s, d)),
     "q_bm25_top" -> ((s, d) => TextAnalysis.bm25Top(s, d)),
     "q_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "q_char_entropy" -> ((s, d) => TextAnalysis.charEntropy(s, d)),
@@ -435,6 +436,30 @@ object TextQueries {
            |  r3.rank_f AS pagerank_f,
            |  CAST(round(CAST(r3.rank_f AS DOUBLE) / 1e12, 9) AS DOUBLE) AS pagerank
            |FROM r3 LEFT JOIN deg ON r3.doc_id = deg.src""".stripMargin
+    },
+
+    // Three k=2 peeling rounds unrolled — each round keeps edges whose
+    // both endpoints still have degree >= 2, mirroring the engine's
+    // semi-join rounds exactly (set semantics, integer degrees).
+    "q_kcore" -> {
+      val peel = (i: Int) =>
+        s"""a$i AS (SELECT src FROM e${i - 1} GROUP BY src
+           |  HAVING count(*) >= 2),
+           |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+           |  JOIN a$i s ON e.src = s.src
+           |  JOIN a$i t ON e.dst = t.src)""".stripMargin
+      bandsCte +
+        s""",
+           |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b ON a.band_id = b.band_id
+           |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |e0 AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+           |  UNION ALL SELECT doc_b, doc_a FROM prs),
+           |${peel(1)},
+           |${peel(2)},
+           |${peel(3)}
+           |SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+           |FROM e3 GROUP BY src""".stripMargin
     },
 
     // Near-dup components (same recursive CTE as q_dedup_components)

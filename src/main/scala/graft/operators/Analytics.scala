@@ -1539,6 +1539,50 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Journey pattern matching — the MATCH_RECOGNIZE shape without the
+    * clause: each user's ordered event-type journey rendered as a
+    * delimited string, then classified by REGULAR EXPRESSIONS into
+    * mutually-exclusive funnel outcomes (a CASE ladder, first match
+    * wins). Regex over a synthesized sequence string is the portable
+    * way to express "a view EVENTUALLY followed by a purchase" — order
+    * constraints that no per-row predicate can state — and both engines
+    * share the POSIX subset used here (`.*` reachability only).
+    *
+    * Scale shape: one user-key shuffle builds the journeys (the same
+    * exchange q_user_paths pays), the regex classification is per-row
+    * narrow work on |users| strings, and the result aggregate moves
+    * 4 partial rows. Journey length is bounded by the q_user_paths cap
+    * argument in production; the classification itself never needs the
+    * corpus again.
+    */
+  def pathPattern(spark: SparkSession, sfDir: String, prefix: Int = 5): DataFrame = {
+    // classify the first-`prefix` events of each journey — the onboarding
+    // funnel window (whole-journey regexes saturate on long histories);
+    // row_number + filter is the WindowGroupLimit pre-limit shape again
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val paths = Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") <= prefix)
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(
+            unix_micros(col("ts")).as("t"),
+            col("event_id").as("e"),
+            col("event_type").as("et")))),
+          x => x.getField("et")), ">").as("path"),
+        count(lit(1)).as("n_ev"))
+    paths
+      .withColumn("pattern",
+        when(col("path").rlike("view.*purchase"), "view_then_purchase")
+          .when(col("path").rlike("purchase"), "purchase_no_prior_view")
+          .when(col("path").rlike("view"), "view_no_purchase")
+          .otherwise("neither"))
+      .groupBy(col("pattern"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_ev")).as("n_events"))
+  }
+
   /** Daily-volume anomaly detection — per event type, z-scores of daily
     * value totals against that type's own mean/stddev. The moments are
     * derived from EXACT integer sums (Σx, Σx², n) in fixed-point cents —

@@ -143,6 +143,38 @@ object Graph {
     * duplicate paths. The identical dialect-common text runs on DuckDB
     * over an edges CTE rebuilt from the band keys in SQL.
     */
+  /** Bounded k-core peeling — k=2, three unrolled rounds. The k-core is
+    * the standard "dense duplicate neighborhood" signal: a vertex that
+    * survives repeated removal of degree-<k vertices sits in a tightly
+    * interlinked cluster (template farms, mirror sets), where a vertex
+    * whose candidates all hang off one hub does not. Exact k-core needs
+    * data-dependent convergence; THREE rounds is the fixed-depth
+    * approximation that unrolls into ONE declarative plan (the pagerank
+    * pattern) — each round is a degree aggregate + two left-semi joins
+    * keeping edges whose BOTH endpoints stay alive, all on the same
+    * `src`/`dst` hash partitioning, sized by AQE. Rounds only shrink the
+    * edge set, so cost is monotonically decreasing; at 100 TB the first
+    * degree aggregate is the only full-edge shuffle.
+    */
+  def kcore(spark: SparkSession, sfDir: String, k: Int = 2,
+      rounds: Int = 3): DataFrame = {
+    val pairs = Dedup.minhashPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).truncateLineage()
+    val edges0 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val surviving = (1 to rounds).foldLeft(edges0) { (edges, _) =>
+      val alive = edges.groupBy(col("src"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("v"))
+      edges
+        .join(alive.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(alive.select(col("v").as("dst")), Seq("dst"), "left_semi")
+    }
+    surviving.groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("core_degree"))
+  }
+
   def reachBfs(spark: SparkSession, sfDir: String): DataFrame = {
     Dedup.minhashPairs(spark, sfDir).createOrReplaceTempView("prs")
     Tables.documents(spark, sfDir).select(col("doc_id"))
