@@ -113,8 +113,18 @@ private class TwseScanBuilder(baseUrl: Option[String], dates: Option[Seq[String]
   override def build(): Scan = new TwseScan(baseUrl, dates, required, countPushed)
 }
 
+/** Partition-keyed scan (SupportsReportPartitioning): the table IS
+  * key-grouped by `dt` — one partition per day by construction — so the
+  * scan reports `KeyGroupedPartitioning(identity(dt))` and every
+  * day-grouped aggregation over the source runs EXCHANGE-FREE (with
+  * `spark.sql.sources.v2.bucketing.enabled`): each day's rollup
+  * completes inside the partition that fetched it. This is the DSv2
+  * analogue of a bucketed table, and at a 10-year backfill scale it
+  * removes the only shuffle the landing aggregation would have.
+  */
 private class TwseScan(baseUrl: Option[String], dates: Option[Seq[String]],
-    required: StructType, countPushed: Boolean) extends Scan with Batch {
+    required: StructType, countPushed: Boolean) extends Scan with Batch
+    with SupportsReportPartitioning {
   override def readSchema(): StructType =
     if (countPushed)
       StructType(Seq(StructField("count(*)", org.apache.spark.sql.types.LongType,
@@ -122,18 +132,28 @@ private class TwseScan(baseUrl: Option[String], dates: Option[Seq[String]],
     else required
   override def toBatch: Batch = this
 
+  private val ds: Seq[String] =
+    dates.getOrElse(TwseFixtureSource.days.map(_._1))
+
   /** One partition per day — the unit of fetch parallelism. */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val ds = dates.getOrElse(TwseFixtureSource.days.map(_._1))
+  override def planInputPartitions(): Array[InputPartition] =
     ds.map(dt => TwseDayPartition(dt, baseUrl): InputPartition).toArray
-  }
+
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      Array(org.apache.spark.sql.connector.expressions.Expressions.identity("dt")),
+      ds.length)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new TwseReaderFactory(required.fieldNames, countPushed)
 }
 
 private case class TwseDayPartition(dt: String, baseUrl: Option[String])
-    extends InputPartition
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    InternalRow(UTF8String.fromString(dt))
+}
 
 private class TwseReaderFactory(cols: Array[String], countPushed: Boolean)
     extends PartitionReaderFactory {

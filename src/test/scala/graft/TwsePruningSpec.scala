@@ -64,4 +64,25 @@ class TwsePruningSpec extends SparkTestBase {
       "grouped count must fall back to a pruned dt-only scan")
     assert(grouped.count() === 3)
   }
+
+  test("reported key-grouped partitioning makes the dt-grouped agg exchange-free") {
+    def planOf(bucketing: Boolean): String = {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", bucketing)
+      try {
+        val df = source.load()
+          .groupBy("dt").agg(org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.length(
+              org.apache.spark.sql.functions.col("body"))).as("n_bytes"))
+        assert(df.collect().length === 3) // values identical either way
+        df.queryExecution.executedPlan.toString
+      } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+    // with v2 bucketing on, the scan's KeyGroupedPartitioning(dt)
+    // satisfies the aggregation's distribution — no shuffle at all
+    assert(!planOf(bucketing = true).contains("Exchange"),
+      "day-grouped agg over the day-partitioned source must not shuffle")
+    // control: without the conf the same plan pays a hash exchange,
+    // proving the report (not plan size) is what removed it
+    assert(planOf(bucketing = false).contains("Exchange"))
+  }
 }
