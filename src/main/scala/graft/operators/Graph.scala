@@ -162,14 +162,22 @@ object Graph {
       .select(col("doc_a"), col("doc_b")).truncateLineage()
     val edges0 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    val surviving = (1 to rounds).foldLeft(edges0) { (edges, _) =>
+    // Truncate lineage once per round (the CC-loop policy, durable via
+    // graft.cc.checkpointDir): each round references the previous edge
+    // set THREE times (degree agg + two semi probes), so without the cut
+    // the plan re-derives the whole upstream 3^rounds times — observed
+    // as a 249-exchange plan for 3 rounds.
+    val surviving = (1 to rounds).foldLeft(edges0) { (edges, round) =>
       val alive = edges.groupBy(col("src"))
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("src").as("v"))
-      edges
+      val peeled = edges
         .join(alive.select(col("v").as("src")), Seq("src"), "left_semi")
         .join(alive.select(col("v").as("dst")), Seq("dst"), "left_semi")
+      // the FINAL round feeds one aggregate — a single reference needs
+      // no cut; edges0 is two unions of the already-truncated pairs
+      if (round < rounds) peeled.truncateLineage() else peeled
     }
     surviving.groupBy(col("src").as("doc_id"))
       .agg(count(lit(1)).as("core_degree"))
