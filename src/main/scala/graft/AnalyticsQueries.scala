@@ -49,6 +49,7 @@ object AnalyticsQueries {
     "q_agg_salted" -> ((s, d) => Analytics.saltedAgg(s, d)),
     "q_count_distinct" -> ((s, d) => Analytics.distinctCounts(s, d)),
     "q_percentile" -> ((s, d) => Analytics.quantiles(s, d)),
+    "q_winsorize" -> ((s, d) => Analytics.winsorize(s, d)),
     "q_scalar_funcs" -> ((s, d) => Analytics.scalarFuncs(s, d)),
     "q_grouping_sets" -> ((s, d) => Analytics.groupingSetsAgg(s, d)),
     "q_stats_moments" -> ((s, d) => Analytics.statsMoments(s, d)),
@@ -604,6 +605,28 @@ object AnalyticsQueries {
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
         |count(*) AS n FROM orders GROUP BY 1""".stripMargin,
+
+    // Discrete (ceil-rank) p05/p95 cuts by pure integer rank arithmetic
+    // — both engines select the identical data element, no interpolation.
+    "q_winsorize" ->
+      """WITH r AS (SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |c AS (SELECT event_type,
+        |    max(CASE WHEN rn <= (5 * n + 99) // 100 THEN value END) AS lo,
+        |    max(CASE WHEN rn <= (95 * n + 99) // 100 THEN value END) AS hi
+        |  FROM r GROUP BY 1)
+        |SELECT r.event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN r.value < c.lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(sum(CASE WHEN r.value > c.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_hi,
+        |  CAST(sum(greatest(least(CAST(r.value AS DECIMAL(18,2)),
+        |      CAST(c.hi AS DECIMAL(18,2))), CAST(c.lo AS DECIMAL(18,2))))
+        |    * 100 AS BIGINT) AS clipped_cents
+        |FROM r JOIN c USING (event_type) GROUP BY 1""".stripMargin,
 
     "q_events_window" ->
       """SELECT strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d') AS day,

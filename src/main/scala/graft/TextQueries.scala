@@ -50,6 +50,7 @@ object TextQueries {
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "q_dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "q_containment" -> ((s, d) => Dedup.containment(s, d)),
     "q_jaccard_prefix" -> ((s, d) => Dedup.jaccardPrefix(s, d)),
     "q_dedup_verify_pairs" -> ((s, d) => Dedup.verifyPairs(s, d)),
     "q_jaccard_calibration" -> ((s, d) => Dedup.jaccardCalibration(s, d)),
@@ -985,6 +986,28 @@ object TextQueries {
          |  n_inter * 10 >= (sa.sz + sb.sz - n_inter) * 8 AS near_dup
          |FROM inter JOIN szs sa ON doc_a = sa.doc_id
          |JOIN szs sb ON doc_b = sb.doc_id""".stripMargin,
+
+    // Containment scored from each sharing pair's smaller side; the
+    // stop cap is corpus-wide (cross-source excerpts are the point).
+    "q_containment" ->
+      s"""WITH $baseCte, $shinglesCte,
+         |ex AS (SELECT doc_id, unnest(list_distinct(s)) AS shingle FROM sh),
+         |stop AS (SELECT shingle FROM (
+         |  SELECT shingle, count(*) AS df FROM ex GROUP BY 1) WHERE df > 100),
+         |kept AS (SELECT ex.* FROM ex ANTI JOIN stop USING (shingle)),
+         |szs AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS sz
+         |  FROM kept GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+         |    CAST(count(*) AS INTEGER) AS n_inter
+         |  FROM kept a JOIN kept b ON a.shingle = b.shingle
+         |    AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+         |SELECT doc_small, doc_big, n_inter,
+         |  sa.sz AS sz_small, sb.sz AS sz_big,
+         |  CAST(n_inter * 10000 // sa.sz AS BIGINT) AS containment_bp
+         |FROM inter JOIN szs sa ON doc_small = sa.doc_id
+         |JOIN szs sb ON doc_big = sb.doc_id
+         |WHERE (sa.sz < sb.sz OR (sa.sz = sb.sz AND doc_small < doc_big))
+         |  AND n_inter * 10 >= sa.sz * 9""".stripMargin,
 
     // Brute-force threshold join within source — the prefix filter must
     // lose NOTHING above the 0.8 threshold (its exactness guarantee).

@@ -952,6 +952,41 @@ object Analytics {
         round(expr("percentile(l_quantity, 0.95)"), 6).as("p95_qty"),
         round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"))
 
+  /** Winsorization — outlier clipping at the exact DISCRETE p05/p95 per
+    * event type, the feature-hygiene pass a training pipeline runs
+    * before normalizing numeric columns (a single corrupt 10⁹ reading
+    * otherwise dominates a mean or a minmax scale). Discrete (ceil-rank
+    * element) cuts, not interpolated: the cut IS a value from the data,
+    * selected by pure integer rank arithmetic (`(5n+99) div 100`), so
+    * both engines pick the identical element — interpolation would
+    * manufacture a float midway through division. Clamped sums stay in
+    * exact decimal cents.
+    *
+    * Shape: one event_type window shuffle (shared by rank and count),
+    * a |types|-row cut table joined back broadcast, one final aggregate.
+    * The per-type total order bounds this exact form to bounded-
+    * cardinality group keys; the 100 TB path for wide keys is the
+    * audited sketch (q_approx_percentile), same contract.
+    */
+  def winsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val ranked = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val cuts = ranked.groupBy(col("event_type")).agg(
+      max(when(col("rn") <= expr("(5 * n + 99) div 100"), col("value"))).as("lo"),
+      max(when(col("rn") <= expr("(95 * n + 99) div 100"), col("value"))).as("hi"))
+    val clipped = greatest(least(dec("value"), dec("hi")), dec("lo"))
+    ranked.join(broadcast(cuts), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        (sum(clipped) * 100).cast("long").as("clipped_cents"))
+  }
+
   /** Fixed-width histogram of order values — integer-exact bucketing
     * (floor of a double division is deterministic across engines).
     */

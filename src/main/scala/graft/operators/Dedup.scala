@@ -571,6 +571,47 @@ object Dedup {
         .as("near_dup"))
   }
 
+  /** Asymmetric containment dedup — excerpt/quote detection, the
+    * duplicate class Jaccard MISSES by construction: a 50-shingle doc
+    * fully embedded in a 500-shingle doc has containment 1.0 but
+    * Jaccard 0.1, far under any near-dup threshold. C(A,B) =
+    * |sh(A)∩sh(B)| / |sh(A)| scored for the SMALLER side of each
+    * sharing pair; ≥ 0.9 (by cross-multiplication, no division) flags A
+    * as contained in B. Cross-source on purpose — copied excerpts are
+    * precisely the cross-source phenomenon — so the stop-shingle cap is
+    * corpus-wide rather than per-source; the same inverted-index
+    * postings shape as [[ngramJaccard]] (only sharing pairs ever
+    * materialize, O(postings + collisions) not O(pairs)).
+    */
+  def containment(spark: SparkSession, sfDir: String, maxDf: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles3(col("text")))).as("shingle"))
+      .truncateLineage()
+    val stop = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
+      .select(col("shingle"))
+    val postings = sh.join(broadcast(stop), Seq("shingle"), "left_anti")
+      .withColumn("sz",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))).cast("int"))
+      .truncateLineage()
+    postings.as("a").join(postings.as("b"),
+        col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_small"), col("b.doc_id").as("doc_big"),
+        col("a.sz").as("sz_small"), col("b.sz").as("sz_big"))
+      .agg(count(lit(1)).cast("int").as("n_inter"))
+      // score each unordered pair once, from its smaller side
+      .filter(col("sz_small") < col("sz_big")
+        || (col("sz_small") === col("sz_big")
+          && col("doc_small") < col("doc_big")))
+      .filter(col("n_inter") * 10 >= col("sz_small") * 9)
+      .select(col("doc_small"), col("doc_big"), col("n_inter"),
+        col("sz_small"), col("sz_big"),
+        expr("n_inter * 10000 div sz_small").as("containment_bp"))
+  }
+
   /** Threshold set-similarity join via PREFIX FILTERING (the
     * SSJoin/PPJoin family, Chaudhuri et al. ICDE'06): for Jaccard ≥ t,
     * two sets MUST share at least one element among their first

@@ -85,4 +85,29 @@ class TwsePruningSpec extends SparkTestBase {
     // proving the report (not plan size) is what removed it
     assert(planOf(bucketing = false).contains("Exchange"))
   }
+
+  test("two key-grouped reads storage-partition-join on dt with no shuffle") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = source.load().select(col("dt"),
+        length(col("body")).as("a_bytes"))
+      val b = source.load().select(col("dt").as("dt2"),
+        length(col("body")).as("b_bytes"))
+      val joined = a.join(b, col("dt") === col("dt2"))
+        .select(col("dt"), col("a_bytes"), col("b_bytes"))
+      val rows = joined.collect()
+      assert(rows.length === 3)
+      rows.foreach(r => assert(r.getInt(1) === r.getInt(2)))
+      // both scans report KeyGroupedPartitioning(dt), so the join is a
+      // storage-partitioned join: partitions pair up by key, no exchange
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected a storage-partitioned join with zero shuffles:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
