@@ -45,6 +45,8 @@ object MediaStreamQueries {
       EventsStreaming.viewPurchaseFullJoin(s, d)),
     "q_stream_dedup_wm" -> ((s, d) =>
       EventsStreaming.dedupWithinWatermark(s, d)),
+    "q_stream_dedup_agg" -> ((s, d) =>
+      EventsStreaming.dedupThenWindow(s, d)),
     "q_stream_session_native" -> ((s, d) =>
       EventsStreaming.sessionWindowStream(s, d)),
     "q_stream_quarantine" -> ((s, d) =>
@@ -224,6 +226,16 @@ object MediaStreamQueries {
     // dedup must restore exactly the original duplicate-free table.
     "q_stream_dedup_wm" ->
       "SELECT event_id, event_type FROM events",
+
+    // Chained stateful operators: the dedup stage absorbs the staged
+    // re-sends, so the downstream windows must equal the plain daily
+    // aggregate over the duplicate-free table — exactly-once counts
+    // from an at-least-once source.
+    "q_stream_dedup_agg" ->
+      """SELECT strftime(CAST(date_trunc('day', ts) AS TIMESTAMP),
+        |    '%Y-%m-%d') AS day,
+        |  event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // Native streaming session_window must emit exactly the batch
     // sessions — same oracle as q_session_window.

@@ -511,6 +511,74 @@ object EventsStreaming {
     runToParquet(spark, deduped, name)
   }
 
+  /** Stage events + duplicate re-sends + EOS sentinel batches: the
+    * composite source for the chained-stateful query — duplicates prove
+    * the dedup stage drops real cross-batch re-sends, sentinels drive
+    * the watermark past the last window so append mode finalizes.
+    */
+  private def stagedDupEosDir(spark: SparkSession, sfDir: String): String = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_stream_dupeos_${safe}_v1")
+    val target = dir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(target)) {
+      java.nio.file.Files.createDirectories(dir)
+      stageSingleFile(Tables.eventsRawNanos(spark, sfDir), dir, target)
+      val ev = spark.read.schema(rawSchema).parquet(target.toString)
+      val maxTsNs = ev.agg(max(col("ts"))).head.getLong(0)
+      val day = 86400L * 1000000000L
+      def mtime(f: java.nio.file.Path, off: Long): Unit =
+        java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(
+            java.nio.file.Files.getLastModifiedTime(target).toMillis + off))
+      val dups = dir.resolve("zz_dups.parquet")
+      stageSingleFile(ev.filter(col("event_id") % 10 === 0), dir, dups)
+      mtime(dups, 60000)
+      Seq((2L, "zz_eos1.parquet", 120000L), (4L, "zz_eos2.parquet", 180000L))
+        .foreach { case (days, fileName, off) =>
+          val f = dir.resolve(fileName)
+          stageSingleFile(ev.select(col("user_id")).distinct()
+            .select(lit(-days).as("event_id"),
+              lit(maxTsNs + days * day).as("ts"), col("user_id"),
+              lit("eos").as("event_type"), lit(0.0).as("value"),
+              lit(null).cast("string").as("props")), dir, f)
+          mtime(f, off)
+        }
+    }
+    dir.toString
+  }
+
+  /** CHAINED STATEFUL OPERATORS in one streaming query — watermarked
+    * dedup state feeding append-mode window state: re-sent events die in
+    * `dropDuplicatesWithinWatermark` (bounded, watermark-evicted state),
+    * and the SURVIVORS aggregate into daily windows that finalize
+    * exactly once — so the downstream count is exactly-once EVEN WHEN
+    * the upstream delivers at-least-once, which is the production
+    * ingest contract (replayed Kafka offsets, retried uploads). Spark
+    * runs both stateful stages in one query off one shared watermark;
+    * before multi-stateful-operator support this took two jobs with an
+    * intermediate landing table. Oracle: the batch distinct→window
+    * aggregate over the duplicate-free table.
+    */
+  def dedupThenWindow(spark: SparkSession, sfDir: String): DataFrame = withStreamPartitions(spark, 8) {
+    val name = s"graft_stream_dedup_agg_${nameCounter.incrementAndGet()}"
+    val dir = stagedDupEosDir(spark, sfDir)
+    val agg = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      // vacuous ts disjunct: keep the sentinel filter ABOVE the
+      // watermark collector (see dailyCountsAppend)
+      .filter(col("event_type") =!= "eos" || col("ts").isNull)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"))
+    runToParquet(spark, agg, name)
+  }
+
   /** LEFT OUTER stream-stream interval join — the semantically hard
     * streaming shape: matched (view, purchase) pairs emit like the
     * inner join, and a view with NO purchase within its hour emits
