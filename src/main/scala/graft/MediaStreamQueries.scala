@@ -47,6 +47,8 @@ object MediaStreamQueries {
       EventsStreaming.dedupWithinWatermark(s, d)),
     "q_stream_dedup_agg" -> ((s, d) =>
       EventsStreaming.dedupThenWindow(s, d)),
+    "q_stream_cdc_apply" -> ((s, d) =>
+      graft.streaming.CdcStreaming(s, d)),
     "q_stream_session_native" -> ((s, d) =>
       EventsStreaming.sessionWindowStream(s, d)),
     "q_stream_quarantine" -> ((s, d) =>
@@ -240,6 +242,10 @@ object MediaStreamQueries {
     // Native streaming session_window must emit exactly the batch
     // sessions — same oracle as q_session_window.
     "q_stream_session_native" -> AnalyticsQueries.oracleSql("q_session_window"),
+
+    // The streamed CDC merge loop must land exactly the batch
+    // cdcApply table — same oracle.
+    "q_stream_cdc_apply" -> AnalyticsQueries.oracleSql("q_cdc_apply"),
 
     // The streamed DLQ fan-out must account for every row exactly like
     // the batch quarantine — same oracle.

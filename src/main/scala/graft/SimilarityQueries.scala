@@ -14,6 +14,7 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk" -> ((s, d) => Similarity.topK(s, d)),
+    "q_embed_stats" -> ((s, d) => Similarity.embedStats(s, d)),
     "q_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     // int8 scalar quantization: range + checksum view of the quantized
     // vectors (scalars, because array rendering differs per engine).
@@ -69,6 +70,19 @@ object SimilarityQueries {
     "CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"
 
   val oracleSql: Map[String, String] = Map(
+    // components snapped to ×1e6 BIGINT before the sums — exact integer
+    // Σx/Σx², so mean/variance are scalar divisions both engines agree on
+    "q_embed_stats" ->
+      """WITH t AS (SELECT CAST(i - 1 AS INTEGER) AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS xi
+        |  FROM embeddings, range(1, 65) r(i)),
+        |a AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    sum(xi) AS s1, sum(xi * xi) AS s2 FROM t GROUP BY 1)
+        |SELECT dim, n,
+        |  CAST(round(CAST(s1 AS DOUBLE) / 1e6 / n, 6) AS DOUBLE) AS mean,
+        |  CAST(round(CAST(n * s2 - s1 * s1 AS DOUBLE) / n / n / 1e12, 6)
+        |    AS DOUBLE) AS variance
+        |FROM a""".stripMargin,
 
     // Unrolled 2-iteration Lloyd: every quantity is a positive BIGINT
     // (coordinates snapped ×1e6 then shifted +1e6), so floor division

@@ -367,4 +367,31 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("inertia"))
       .select(col("cid").as("cluster_id"), col("n_vecs"), col("inertia"))
   }
+
+  /** Per-dimension embedding statistics — the whitening/normalization
+    * prep every embedding pipeline runs before indexing or training a
+    * probe (a dimension with 10× the variance dominates every cosine
+    * unless centered/scaled). Each component is snapped to ×10⁶ BIGINT
+    * BEFORE the distributed sums (the charEntropy discipline), so Σx and
+    * Σx² are exact integers no matter the summation order — the mean and
+    * variance become per-group scalar divisions of exact integers, and
+    * float non-associativity across partitions can never split engines.
+    *
+    * Scale shape: the (dim, component) explode is narrow; partial
+    * aggregation means the shuffle carries dims × partitions partial
+    * buffers — never N×64 component rows.
+    */
+  def embedStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"),
+        round(col("x").cast("double") * 1e6).cast("bigint").as("xi"))
+    t.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("xi")).as("s1"),
+        sum(col("xi") * col("xi")).as("s2"))
+      .select(col("dim"), col("n"),
+        round(col("s1").cast("double") / 1e6 / col("n"), 6).as("mean"),
+        round((col("n") * col("s2") - col("s1") * col("s1")).cast("double")
+          / col("n") / col("n") / 1e12, 6).as("variance"))
+  }
 }
