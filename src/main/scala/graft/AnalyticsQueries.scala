@@ -1099,7 +1099,8 @@ object AnalyticsQueries {
         |      'NATION_7','NATION_9'))
         |  GROUP BY 1)
         |SELECT l_partkey, value_cents FROM v
-        |WHERE value_cents * 10000 > 10 * (SELECT sum(value_cents) FROM v)""".stripMargin,
+        |WHERE value_cents * (SELECT count(*) FROM v)
+        |  > 2 * (SELECT sum(value_cents) FROM v)""".stripMargin,
 
     "q20_excess_supply" ->
       """SELECT s_suppkey, s_name FROM supplier

@@ -1866,9 +1866,12 @@ object Analytics {
       .groupBy(col("l_partkey"))
       .agg((sum(dec("l_extendedprice") * dec("l_quantity")) * 100)
         .cast("long").as("value_cents"))
-    val total = value.agg(sum(col("value_cents")).as("total_cents"))
+    val total = value.agg(sum(col("value_cents")).as("total_cents"),
+      count(lit(1)).as("n_parts"))
     value.join(broadcast(total))
-      .filter(col("value_cents") * 10000 > col("total_cents") * 10)
+      // scale-free threshold (TPC-H's fraction/SF intent): share > 2x
+      // the uniform share, by integer cross-multiplication
+      .filter(col("value_cents") * col("n_parts") > col("total_cents") * 2)
       .select(col("l_partkey"), col("value_cents"))
   }
 
