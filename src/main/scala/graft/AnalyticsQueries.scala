@@ -113,6 +113,43 @@ object AnalyticsQueries {
       s.sql(sqlApiText)
     }),
 
+    // Spark 4 SQL PIPE syntax (`|>`): the linear form of the same front
+    // door — each stage reads top-to-bottom like the DataFrame API but
+    // stays pure SQL text. Same Catalyst plan as the nested form; the
+    // oracle states the query in classic SQL (the point: syntax
+    // surfaces differ, the relational contract doesn't).
+    "q_sql_pipe" -> ((s, d) => {
+      graft.sources.Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """FROM lineitem
+          ||> WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |     AND l_shipdate < TIMESTAMP '1997-01-01'
+          ||> EXTEND CAST(l_extendedprice AS DECIMAL(12,2))
+          |     * (1 - CAST(l_discount AS DECIMAL(4,2))) AS disc_price
+          ||> AGGREGATE CAST(count(*) AS BIGINT) AS n_items,
+          |     CAST(sum(disc_price) * 10000 AS BIGINT) AS revenue_e4
+          |   GROUP BY l_returnflag
+          ||> ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // Parameterized SQL — named parameter markers bound server-side
+    // (spark.sql(text, args)): the injection-safe form of
+    // q_sql_templating's string rendering. The literal never enters the
+    // SQL text, so a hostile value cannot terminate the statement; the
+    // plan is identical to the inlined-literal query (markers fold to
+    // literals before optimization, so pushdown still sees them).
+    "q_sql_params" -> ((s, d) => {
+      graft.sources.Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+          |    AS total_cents
+          |FROM orders
+          |WHERE o_orderdate >= :start AND o_orderstatus = :status
+          |GROUP BY o_orderpriority""".stripMargin,
+        Map("start" -> "1996-01-01", "status" -> "F"))
+    }),
+
     // Correlated EXISTS/NOT EXISTS through the SQL front door —
     // Catalyst DECORRELATES both into semi/anti joins (RewritePredicate
     // Subquery), so the "per-row subquery" never executes per row: the
@@ -1029,6 +1066,27 @@ object AnalyticsQueries {
         |FROM b FULL OUTER JOIN u ON b.user_id = u.user_id""".stripMargin,
 
     "q_sql_api" -> sqlApiText,
+
+    // classic-SQL statement of the pipe-syntax query
+    "q_sql_pipe" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(4,2)))) * 10000 AS BIGINT)
+        |    AS revenue_e4
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag""".stripMargin,
+
+    // inlined-literal statement of the parameterized query
+    "q_sql_params" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS total_cents
+        |FROM orders
+        |WHERE o_orderdate >= '1996-01-01' AND o_orderstatus = 'F'
+        |GROUP BY o_orderpriority""".stripMargin,
+
     "q_exists_subquery" -> existsSubqueryText,
     "q_lateral_topk" -> lateralTopkText,
     "q17_small_lots" -> q17Text,
