@@ -113,6 +113,36 @@ object AnalyticsQueries {
       s.sql(sqlApiText)
     }),
 
+    // Spark 4 COLLATED strings: case-insensitive equality/grouping as a
+    // TYPE property (UTF8_LCASE), not an expression rewrite — the
+    // engine's comparators, joins, and aggregates all honor it, where a
+    // lower() rewrite must be repeated at every use site (and silently
+    // missed at one). The fixture's sources are case-mangled in-plan to
+    // make the insensitive grouping observable; oracle uses DuckDB's
+    // NOCASE collation — two engines' collation machinery, one result.
+    "q_collation" -> ((s, d) => {
+      graft.sources.Tables.documents(s, d)
+        .createOrReplaceTempView("documents")
+      s.sql(
+        """SELECT source_ci AS source_grouped,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(count(DISTINCT raw_source) AS BIGINT) AS n_case_variants
+          |FROM (
+          |  SELECT CASE WHEN doc_id % 3 = 0 THEN upper(source)
+          |              WHEN doc_id % 3 = 1 THEN source
+          |              ELSE initcap(source) END AS raw_source,
+          |    CAST(CASE WHEN doc_id % 3 = 0 THEN upper(source)
+          |              WHEN doc_id % 3 = 1 THEN source
+          |              ELSE initcap(source) END
+          |      AS STRING COLLATE UTF8_LCASE) AS source_ci
+          |  FROM documents)
+          |GROUP BY source_ci""".stripMargin)
+        // the group's representative among case variants is
+        // nondeterministic by design — normalize it for the contract
+        .selectExpr("lower(CAST(source_grouped AS STRING)) AS source_grouped",
+          "n_docs", "n_case_variants")
+    }),
+
     // Spark 4 SQL PIPE syntax (`|>`): the linear form of the same front
     // door — each stage reads top-to-bottom like the DataFrame API but
     // stays pure SQL text. Same Catalyst plan as the nested form; the
@@ -1066,6 +1096,20 @@ object AnalyticsQueries {
         |FROM b FULL OUTER JOIN u ON b.user_id = u.user_id""".stripMargin,
 
     "q_sql_api" -> sqlApiText,
+
+    // the oracle states the same case-insensitive grouping result
+    // (lower-key grouping; DuckDB has no initcap — spelled out)
+    "q_collation" ->
+      """WITH m AS (SELECT
+        |  CASE WHEN doc_id % 3 = 0 THEN upper(source)
+        |       WHEN doc_id % 3 = 1 THEN source
+        |       ELSE upper(substr(source, 1, 1)) || substr(source, 2)
+        |  END AS raw_source
+        |  FROM documents)
+        |SELECT lower(raw_source) AS source_grouped,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT raw_source) AS BIGINT) AS n_case_variants
+        |FROM m GROUP BY 1""".stripMargin,
 
     // classic-SQL statement of the pipe-syntax query
     "q_sql_pipe" ->
