@@ -2,12 +2,15 @@ package graft.sources
 
 import java.util
 
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
 
 /** DataSource V2 WRITE-side provider — the transactional batch-writer
   * protocol (SURVEY.md §2.E1's sink family, as a custom connector): the
@@ -30,29 +33,45 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * FileOutputCommitter's design, restated through the DSv2 API where
   * the engine, not the FS layout, drives the protocol.
   *
+  * All staging and publish I/O goes through the Hadoop `FileSystem`
+  * resolved from the sink path, so the protocol holds on distributed
+  * storage (HDFS, object-store committers with rename semantics), not
+  * just a shared local disk: executors stage via the same FS the
+  * driver publishes on. The Hadoop configuration is captured on the
+  * driver at write-build time and shipped to executors inside the
+  * `DataWriterFactory` (`SerializableConfiguration`), exactly as
+  * Spark's own file sources ship theirs.
+  *
+  * `SaveMode.Overwrite` arrives as `SupportsTruncate.truncate()`; the
+  * builder records it and `BatchWrite.commit` deletes every previously
+  * committed `part-*` file and the old `_SUCCESS` marker BEFORE
+  * publishing the new generation — so overwrite replaces, never
+  * silently appends. The delete happens inside commit (not at job
+  * start) so an aborted overwrite leaves the previous generation
+  * intact and readable.
+  *
   * Rows serialize as tab-joined text (long/int/double/string/bool
   * columns) — the format is deliberately trivial because the PROTOCOL
   * is the subject; `GraftSinkSpec` injects a first-attempt task failure
-  * and proves the retried write lands exactly once.
+  * and proves the retried write lands exactly once, and proves
+  * overwrite-after-commit replaces the old generation.
   */
 class GraftCommitSink extends TableProvider {
+  /** Pure sink: the schema always comes from the write query
+    * (`supportsExternalMetadata`), never from provider state — a read
+    * attempt fails loudly instead of observing whatever schema some
+    * other write happened to leave behind.
+    */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftCommitSink.lastSchema.get() match {
-      case null => StructType(Nil)
-      case s => s
-    }
+    throw new UnsupportedOperationException(
+      "graft.sources.GraftCommitSink is write-only; the schema comes from the write query")
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table = {
-    GraftCommitSink.lastSchema.set(schema)
+      properties: util.Map[String, String]): Table =
     new GraftSinkTable(schema)
-  }
   override def supportsExternalMetadata(): Boolean = true
 }
 
 object GraftCommitSink {
-  private[sources] val lastSchema =
-    new java.util.concurrent.atomic.AtomicReference[StructType]()
-
   private[sources] def render(row: InternalRow, schema: StructType): String =
     schema.fields.zipWithIndex.map { case (f, i) =>
       if (row.isNullAt(i)) "null"
@@ -75,60 +94,77 @@ private class GraftSinkTable(schema: StructType) extends Table with SupportsWrit
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
-      // overwrite = drop previously committed files; staging discipline
-      // is identical either way
-      override def truncate(): WriteBuilder = this
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
-          new GraftBatchWrite(info.options.get("path"), info.schema())
+      private var truncateFirst = false
+      override def truncate(): WriteBuilder = { truncateFirst = true; this }
+      override def build(): Write = {
+        val doTruncate = truncateFirst
+        new Write {
+          override def toBatch: BatchWrite =
+            new GraftBatchWrite(info.options.get("path"), info.schema(),
+              doTruncate,
+              new SerializableConfiguration(
+                SparkSession.active.sessionState.newHadoopConf()))
+        }
       }
     }
 }
 
 private case class StagedFile(path: String) extends WriterCommitMessage
 
-private class GraftBatchWrite(dir: String, schema: StructType) extends BatchWrite {
+private class GraftBatchWrite(dir: String, schema: StructType,
+    truncateFirst: Boolean, conf: SerializableConfiguration) extends BatchWrite {
   require(dir != null, "GraftCommitSink requires .option(\"path\", ...)")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(dir, schema)
+    new GraftWriterFactory(dir, schema, conf)
 
-  /** Driver-side atomic publish: move ONLY the files named by committed
-    * task messages, then the _SUCCESS marker last.
+  /** Driver-side atomic publish: (for overwrite) drop the previous
+    * generation, then move ONLY the files named by committed task
+    * messages, then the _SUCCESS marker last.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val d = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.createDirectories(d)
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf.value)
+    fs.mkdirs(d)
+    if (truncateFirst) {
+      // SaveMode.Overwrite: the previous generation's data files go
+      // first, its _SUCCESS marker with them — a reader racing this
+      // commit sees either the complete old table or (briefly) an
+      // unborn one, never a mix of generations.
+      val old = Option(fs.globStatus(new Path(d, "part-*"))).getOrElse(Array.empty)
+      old.foreach(st => fs.delete(st.getPath, false))
+      fs.delete(new Path(d, "_SUCCESS"), false)
+    }
     messages.foreach { case StagedFile(p) =>
-      val src = java.nio.file.Paths.get(p)
-      java.nio.file.Files.move(src, d.resolve(src.getFileName),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val src = new Path(p)
+      fs.rename(src, new Path(d, src.getName))
     }
-    java.nio.file.Files.write(d.resolve("_SUCCESS"), Array.empty[Byte])
+    fs.create(new Path(d, "_SUCCESS"), true).close()
     // leftover staging files belong to aborted/failed attempts: drop them
-    val staging = d.resolve("_staging")
-    if (java.nio.file.Files.exists(staging)) {
-      java.nio.file.Files.list(staging).forEach(java.nio.file.Files.delete(_))
-      java.nio.file.Files.delete(staging)
-    }
+    fs.delete(new Path(d, "_staging"), true)
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(dir).getFileSystem(conf.value)
     messages.filter(_ != null).foreach { case StagedFile(p) =>
-      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p))
+      fs.delete(new Path(p), false)
     }
+  }
 }
 
-private class GraftWriterFactory(dir: String, schema: StructType)
-    extends DataWriterFactory {
+private class GraftWriterFactory(dir: String, schema: StructType,
+    conf: SerializableConfiguration) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val staged = {
-        val staging = java.nio.file.Paths.get(dir, "_staging")
-        java.nio.file.Files.createDirectories(staging)
-        staging.resolve(f"part-$partitionId%05d-attempt-$taskId")
+        val staging = new Path(dir, "_staging")
+        staging.getFileSystem(conf.value).mkdirs(staging)
+        new Path(staging, f"part-$partitionId%05d-attempt-$taskId")
       }
-      private val out = java.nio.file.Files.newBufferedWriter(staged)
+      private val fs = staged.getFileSystem(conf.value)
+      private val out = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(fs.create(staged, true),
+          java.nio.charset.StandardCharsets.UTF_8))
       override def write(row: InternalRow): Unit = {
         out.write(GraftCommitSink.render(row, schema)); out.write("\n")
       }
@@ -136,7 +172,7 @@ private class GraftWriterFactory(dir: String, schema: StructType)
         out.close(); StagedFile(staged.toString)
       }
       override def abort(): Unit = {
-        out.close(); java.nio.file.Files.deleteIfExists(staged)
+        out.close(); fs.delete(staged, false)
       }
       override def close(): Unit = ()
     }

@@ -73,8 +73,7 @@ object CdcStreaming {
   private def latestGen(tableDir: java.nio.file.Path): Option[java.nio.file.Path] =
     if (!java.nio.file.Files.exists(tableDir)) None
     else {
-      val gens = java.nio.file.Files.list(tableDir).toArray
-        .map(_.asInstanceOf[java.nio.file.Path])
+      val gens = graft.FsUtil.listDir(tableDir)
         .filter(p => p.getFileName.toString.startsWith("gen=")
           && java.nio.file.Files.exists(p.resolve("_SUCCESS")))
       if (gens.isEmpty) None

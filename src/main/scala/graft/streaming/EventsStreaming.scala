@@ -33,8 +33,7 @@ object EventsStreaming {
       dir: java.nio.file.Path, target: java.nio.file.Path): Unit = {
     val tmp = dir.resolve(s"_build_${target.getFileName}")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = java.nio.file.Files.list(tmp).filter(p =>
-      p.getFileName.toString.endsWith(".parquet")).findFirst.get
+    val part = graft.FsUtil.singleParquetPart(tmp)
     java.nio.file.Files.move(part, target,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
@@ -139,8 +138,7 @@ object EventsStreaming {
         def writeSentinel(df: DataFrame, fileName: String, mtimeOffsetMs: Long): Unit = {
           val tmp = dir.resolve(s"_build_$fileName")
           df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = java.nio.file.Files.list(tmp).filter(p =>
-            p.getFileName.toString.endsWith(".parquet")).findFirst.get
+          val part = graft.FsUtil.singleParquetPart(tmp)
           val f = dir.resolve(fileName)
           java.nio.file.Files.move(part, f)
           // the source orders batches by mod time: events strictly first

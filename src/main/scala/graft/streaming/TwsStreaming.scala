@@ -271,8 +271,7 @@ object TwsStreaming {
               lit("eos").as("event_type"), lit(0.0).as("value"),
               lit(null).cast("string").as("props"))
             .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = java.nio.file.Files.list(tmp).filter(p =>
-            p.getFileName.toString.endsWith(".parquet")).findFirst.get
+          val part = graft.FsUtil.singleParquetPart(tmp)
           val f = dir.resolve(fileName)
           java.nio.file.Files.move(part, f)
           java.nio.file.Files.setLastModifiedTime(f,

@@ -85,12 +85,11 @@ object ScaleUp {
     def writeFile(df: DataFrame, t: String): Unit = {
       val tmp = java.nio.file.Paths.get(out, s"_build_$t")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).filter(p =>
-        p.getFileName.toString.endsWith(".parquet")).findFirst.get
+      val part = graft.FsUtil.singleParquetPart(tmp)
       val dst = java.nio.file.Paths.get(out, s"$t.parquet")
       java.nio.file.Files.deleteIfExists(dst)
       java.nio.file.Files.move(part, dst)
-      java.nio.file.Files.list(tmp).forEach(p => java.nio.file.Files.delete(p))
+      graft.FsUtil.listDir(tmp).foreach(p => java.nio.file.Files.delete(p))
       java.nio.file.Files.delete(tmp)
       println(s"SCALEUP wrote $t (single file)")
     }

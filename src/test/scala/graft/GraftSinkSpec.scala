@@ -43,6 +43,41 @@ class GraftSinkSpec extends SparkTestBase {
       java.nio.file.Paths.get(dir, "_staging")))
   }
 
+  test("mode(overwrite) replaces the previous generation, never appends to it") {
+    val dir = outDir("overwrite")
+    def write(n: Int, tag: String, mode: String): Unit =
+      spark.range(0, n)
+        .select(col("id"), lit(tag).as("tag")).repartition(3)
+        .write.format("graft.sources.GraftCommitSink")
+        .option("path", dir).mode(mode).save()
+    write(50, "gen1", "append")
+    assert(readBack(dir).length === 50)
+    write(20, "gen2", "overwrite")
+    val lines = readBack(dir)
+    assert(lines.length === 20,
+      s"overwrite must drop the 50 gen1 rows, got ${lines.length}")
+    assert(lines.forall(_.endsWith("\tgen2")),
+      "no gen1 row may survive an overwrite")
+    // and a subsequent append still accumulates on top of gen2
+    write(5, "gen3", "append")
+    assert(readBack(dir).length === 25)
+  }
+
+  test("the provider is write-only: a read without an explicit schema fails loudly") {
+    val dir = outDir("writeonly")
+    spark.range(0, 3).select(col("id"), lit("x").as("tag"))
+      .write.format("graft.sources.GraftCommitSink")
+      .option("path", dir).mode("append").save()
+    val ex = intercept[Exception] {
+      spark.read.format("graft.sources.GraftCommitSink")
+        .option("path", dir).load().collect()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(ex).exists(_.isInstanceOf[UnsupportedOperationException]),
+      s"expected the write-only UnsupportedOperationException, got $ex")
+  }
+
   test("a task that fails after writing rows lands them exactly once on retry") {
     val dir = outDir("retry")
     GraftSinkSpec.attempts.set(0)
