@@ -16,6 +16,7 @@ object MediaStreamQueries {
     "q_media_features" -> ((s, d) => Multimodal.featuresStub(s, d)),
     "q_media_frames" -> ((s, d) => Multimodal.frameSample(s, d)),
     "q_media_decode" -> ((s, d) => Multimodal.decode(s, d).toDF()),
+    "q_media_files" -> ((s, d) => Multimodal.mediaFilesDecode(s, d)),
     "q_media_resize" -> ((s, d) => Multimodal.resize(s, d).toDF()),
     "q_media_dedup" -> ((s, d) => Multimodal.payloadDedup(s, d)),
     "q_stream_events_window" -> ((s, d) => EventsStreaming.dailyCounts(s, d)),
@@ -110,35 +111,61 @@ object MediaStreamQueries {
          |FROM p, range(3) r(f)
          |WHERE length(substr(hex(payload), f*32 + 9, 32)) = 32""".stripMargin,
 
+    // REAL codec audit: Spark decodes actual PNG bytes (javax.imageio)
+    // and sums the gray raster; the oracle recomputes every pixel from
+    // the generator formula (doc_id*31 + 7x + 13y) mod 256 — lossless
+    // PNG means the sums must match bit-exactly.
     "q_media_decode" ->
-      s"""WITH $mediaCte
-         |SELECT doc_id, mt AS media_type,
-         |  CAST(CAST(('0x' || substr(hex(payload), 9, 2)) AS UBIGINT) % 128 + 1 AS INTEGER) AS width,
-         |  CAST(CAST(('0x' || substr(hex(payload), 11, 2)) AS UBIGINT) % 128 + 1 AS INTEGER) AS height,
-         |  CAST(octet_length(payload) AS INTEGER) AS n_bytes
-         |FROM p""".stripMargin,
+      """WITH dims AS (SELECT doc_id,
+        |    CAST(doc_id % 13 + 1 AS INTEGER) AS width,
+        |    CAST(doc_id % 11 + 2 AS INTEGER) AS height FROM documents),
+        |xs AS (SELECT doc_id, width, height,
+        |    unnest(range(0, width)) AS x FROM dims),
+        |px AS (SELECT doc_id, width, height, x,
+        |    unnest(range(0, height)) AS y FROM xs)
+        |SELECT doc_id, 'png' AS media_type, width, height,
+        |  CAST(sum((doc_id*31 + 7*x + 13*y) % 256) AS BIGINT) AS pixel_sum
+        |FROM px GROUP BY 1, 2, 3, 4""".stripMargin,
 
-    // Resize stage: aspect-preserving integer fit to 64 + deterministic
-    // fingerprint of the resampled output.
+    // binaryFile-source ingest of real .png files, decoded by the real
+    // codec; doc identity recovered from the file name. Same pixel
+    // formula as q_media_decode, restricted to the staged id range.
+    "q_media_files" ->
+      """WITH dims AS (SELECT doc_id,
+        |    CAST(doc_id % 13 + 1 AS INTEGER) AS width,
+        |    CAST(doc_id % 11 + 2 AS INTEGER) AS height
+        |  FROM documents WHERE doc_id < 200),
+        |xs AS (SELECT doc_id, width, height,
+        |    unnest(range(0, width)) AS x FROM dims),
+        |px AS (SELECT doc_id, width, height, x,
+        |    unnest(range(0, height)) AS y FROM xs)
+        |SELECT doc_id, width, height,
+        |  CAST(sum((doc_id*31 + 7*x + 13*y) % 256) AS BIGINT) AS pixel_sum
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
+
+    // Resize stage: aspect-preserving nearest-neighbor fit to 8 over the
+    // REAL decoded raster; the oracle restates the floor sampling map
+    // (tx*w/tw, ty*h/th) against the generator formula.
     "q_media_resize" ->
-      s"""WITH $mediaCte,
-         |dec AS (SELECT doc_id, mt AS media_type,
-         |  CAST(CAST(('0x' || substr(hex(payload), 9, 2)) AS UBIGINT) % 128 + 1 AS INTEGER) AS width,
-         |  CAST(CAST(('0x' || substr(hex(payload), 11, 2)) AS UBIGINT) % 128 + 1 AS INTEGER) AS height
-         |  FROM p),
-         |t AS (SELECT *, greatest(width, height) AS longer FROM dec),
-         |r AS (SELECT doc_id, media_type, width, height,
-         |  CASE WHEN longer <= 64 THEN width
-         |    ELSE greatest(1, (width * 64) // longer) END AS target_w,
-         |  CASE WHEN longer <= 64 THEN height
-         |    ELSE greatest(1, (height * 64) // longer) END AS target_h
-         |  FROM t)
-         |SELECT doc_id, media_type, width, height,
-         |  CAST(target_w AS INTEGER) AS target_w,
-         |  CAST(target_h AS INTEGER) AS target_h,
-         |  md5(CAST(doc_id AS VARCHAR) || '|' || CAST(target_w AS VARCHAR)
-         |    || '|' || CAST(target_h AS VARCHAR)) AS resized_md5
-         |FROM r""".stripMargin,
+      """WITH dims AS (SELECT doc_id,
+        |    CAST(doc_id % 13 + 1 AS INTEGER) AS width,
+        |    CAST(doc_id % 11 + 2 AS INTEGER) AS height FROM documents),
+        |t AS (SELECT *, greatest(width, height) AS longer FROM dims),
+        |r AS (SELECT doc_id, width, height,
+        |  CASE WHEN longer <= 8 THEN width
+        |    ELSE greatest(1, (width * 8) // longer) END AS tw,
+        |  CASE WHEN longer <= 8 THEN height
+        |    ELSE greatest(1, (height * 8) // longer) END AS th
+        |  FROM t),
+        |xs AS (SELECT doc_id, width, height, tw, th,
+        |    unnest(range(0, tw)) AS tx FROM r),
+        |px AS (SELECT doc_id, width, height, tw, th, tx,
+        |    unnest(range(0, th)) AS ty FROM xs)
+        |SELECT doc_id, width, height,
+        |  CAST(tw AS INTEGER) AS target_w, CAST(th AS INTEGER) AS target_h,
+        |  CAST(sum((doc_id*31 + 7*((tx*width)//tw) + 13*((ty*height)//th))
+        |    % 256) AS BIGINT) AS resized_sum
+        |FROM px GROUP BY 1, 2, 3, 4, 5""".stripMargin,
 
     // The streaming window aggregation must equal the batch one — same
     // oracle (see AnalyticsQueries).

@@ -8,12 +8,15 @@ import graft.sources.Tables
   * `binary` columns with typed metadata, plus decode / feature-extract /
   * frame-sample stages.
   *
-  * The container has no media codecs, so **decoding is a deterministic
-  * stub** (clearly marked below): it "parses" fake dimensions out of the
-  * leading payload bytes. Everything around the stub — the binary column
-  * plumbing, schemas, typed Dataset + mapPartitions batch shape,
-  * partitioning story — is real and oracle-checked. Swapping the stub for
-  * a JNI/ffmpeg decoder changes one function.
+  * Two payload families. The magic-header `media` relation below keeps
+  * payloads OPAQUE — its operators (dedup, metadata, frames) are about
+  * column pruning and byte-level plumbing, never codec work. The typed
+  * decode/resize path at the bottom runs a REAL image codec
+  * (`javax.imageio` PNG — on every stock JVM, no external libraries)
+  * over deterministically generated PNG payloads, with every pixel
+  * oracle-audited. Audio/video codecs aren't on a stock JVM; those
+  * payloads stay opaque, and a JNI/ffmpeg decoder would plug into the
+  * same batched mapPartitions seam the PNG path demonstrates for real.
   *
   * The `media` relation is derived deterministically from `documents`:
   * payload = 4-byte magic (by source id mod 3: IMG1/AUD1/VID1) ∥ UTF-8
@@ -90,72 +93,191 @@ object Multimodal {
       .withColumn("frame_md5", md5(col("frame_hex")))
   }
 
-  // ---- typed decode path (mapPartitions, batch-shaped) ----
+  // ---- typed decode path (mapPartitions, batch-shaped, REAL codec) ----
+  //
+  // The decode/resize stages run an actual image codec — `javax.imageio`'s
+  // PNG reader/writer, present on every stock JVM — over synthetic
+  // grayscale PNGs generated deterministically from doc_id. The payload
+  // column holds genuine PNG bytes (signature, IHDR, deflate-compressed
+  // IDAT); the decoder genuinely inflates them back to a raster. Because
+  // pixel (x, y) of doc d is defined as (d*31 + 7x + 13y) mod 256 and PNG
+  // is lossless, the DuckDB oracle can recompute every pixel
+  // arithmetically — a decode that mangled even one byte would shift
+  // `pixel_sum` and fail the hash compare.
 
-  case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
-  case class DecodedMedia(doc_id: Long, media_type: String,
-      width: Int, height: Int, n_bytes: Int)
+  case class PngMedia(doc_id: Long, payload: Array[Byte])
+  case class DecodedPng(doc_id: Long, media_type: String,
+      width: Int, height: Int, pixel_sum: Long)
+  case class ResizedPng(doc_id: Long, width: Int, height: Int,
+      target_w: Int, target_h: Int, resized_sum: Long)
 
-  /** STUB decoder — deterministic fake standing in for a codec call:
-    * width/height are "parsed" from payload bytes 5 and 6. The seam a
-    * real decoder plugs into; must stay deterministic for the oracle.
+  /** Deterministic synthetic image: (doc_id%13+1) × (doc_id%11+2) 8-bit
+    * grayscale, pixel (x,y) = (doc_id*31 + 7x + 13y) mod 256, encoded
+    * through the JDK's real PNG writer.
     */
-  private[operators] def decodeStub(r: MediaRecord): DecodedMedia = {
-    val w = if (r.payload.length > 4) (r.payload(4) & 0x7f) + 1 else 1
-    val h = if (r.payload.length > 5) (r.payload(5) & 0x7f) + 1 else 1
-    DecodedMedia(r.doc_id, r.media_type, w, h, r.payload.length)
+  private[operators] def encodePng(id: Long): Array[Byte] = {
+    val w = (id % 13 + 1).toInt
+    val h = (id % 11 + 2).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((id * 31 + 7L * x + 13L * y) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** The PNG media relation: doc_id + real encoded PNG payload bytes.
+    * Narrow stage over `documents` — at scale this is the "payload column
+    * in its own chunk" table the decode stage maps over.
+    */
+  def pngMedia(spark: SparkSession, sfDir: String): Dataset[PngMedia] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => PngMedia(id, encodePng(id))))
+  }
+
+  private def readPng(reader: javax.imageio.ImageReader,
+      payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try { reader.setInput(iis); reader.read(0) } finally iis.close()
   }
 
   /** Decode stage: typed Dataset → mapPartitions in fixed-size batches —
-    * the exact shape a vectorized/native decoder wants (amortized codec
-    * init per batch, bounded memory per task, no shuffle).
+    * the shape a codec wants (reader instantiated ONCE per batch and
+    * reused across its rows, bounded decoded-buffer memory per task, no
+    * shuffle). Emits the decoded dimensions and the exact gray-value sum
+    * so the oracle can audit every pixel.
     */
-  def decode(spark: SparkSession, sfDir: String, batchSize: Int = 32): Dataset[DecodedMedia] = {
+  def decode(spark: SparkSession, sfDir: String, batchSize: Int = 32): Dataset[DecodedPng] = {
     import spark.implicits._
-    media(spark, sfDir).as[MediaRecord]
-      .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch =>
-          // per-batch: where a real impl would init/reuse the decoder
-          batch.iterator.map(decodeStub)
+    pngMedia(spark, sfDir).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val reader =
+          javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+        try batch.map { r =>
+          val img = readPng(reader, r.payload)
+          val raster = img.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              sum += raster.getSample(x, y, 0); x += 1
+            }
+            y += 1
+          }
+          DecodedPng(r.doc_id, reader.getFormatName.toLowerCase,
+            img.getWidth, img.getHeight, sum)
         }
+        finally reader.dispose()
       }
+    }
   }
 
-  case class ResizedMedia(doc_id: Long, media_type: String,
-      width: Int, height: Int, target_w: Int, target_h: Int,
-      resized_md5: String)
-
-  /** STUB resampler — deterministic fake standing in for the pixel
-    * resample: target dims fit the longer side to `maxDim` preserving
-    * aspect ratio (integer arithmetic, floor), and the "resized bytes"
-    * are fingerprinted deterministically. A real implementation swaps
-    * the fingerprint line for the resampled buffer.
+  /** The production media-ingest path: real `.png` FILES on storage read
+    * through Spark's `binaryFile` source (one row per file: path,
+    * modificationTime, length, content) and decoded with the real codec.
+    * Where [[pngMedia]] derives payloads in-plan, this is how a media
+    * corpus actually arrives — a landing directory of blobs — and the
+    * things that matter at 100 TB are source behaviors: `pathGlobFilter`
+    * prunes non-media files at listing time, metadata-only queries
+    * (count, size rollups) never read `content`, and each file is its
+    * own split so decode parallelism follows file count. Staging is
+    * idempotent per sfDir (a `_SUCCESS`-gated one-time write of
+    * `limitDocs` files); doc identity travels IN THE FILE NAME, the
+    * only place a blob store keeps it.
     */
-  private[operators] def resizeStub(d: DecodedMedia, maxDim: Int): ResizedMedia = {
-    val longer = math.max(d.width, d.height)
-    val (tw, th) =
-      if (longer <= maxDim) (d.width, d.height)
-      else (math.max(1, d.width * maxDim / longer),
-        math.max(1, d.height * maxDim / longer))
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val digest = md.digest(s"${d.doc_id}|$tw|$th"
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val hex = digest.map(b => f"$b%02x").mkString
-    ResizedMedia(d.doc_id, d.media_type, d.width, d.height, tw, th, hex)
-  }
-
-  /** Resize stage: decode → batched mapPartitions resample — same batch
-    * shape as decode, chained without a shuffle (both stages are narrow,
-    * so Catalyst fuses them into one task pipeline).
-    */
-  def resize(spark: SparkSession, sfDir: String, maxDim: Int = 64,
-      batchSize: Int = 32): Dataset[ResizedMedia] = {
+  def mediaFilesDecode(spark: SparkSession, sfDir: String,
+      limitDocs: Int = 200, batchSize: Int = 32): DataFrame = {
     import spark.implicits._
-    decode(spark, sfDir, batchSize)
+    val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_media_files_${safe}_v1")
+    val done = dir.resolve("_SUCCESS")
+    if (!java.nio.file.Files.exists(done)) {
+      java.nio.file.Files.createDirectories(dir)
+      (0L until limitDocs.toLong).foreach { id =>
+        java.nio.file.Files.write(dir.resolve(f"doc_$id%05d.png"), encodePng(id))
+      }
+      java.nio.file.Files.write(done, Array.empty[Byte])
+    }
+    val decoded = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .load(dir.toString)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.png", 1).cast("long")
+          .as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          batch.iterator.map(resizeStub(_, maxDim))
+          val reader =
+            javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+          try batch.map { case (id, bytes) =>
+            val img = readPng(reader, bytes)
+            val raster = img.getRaster
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            (id, img.getWidth, img.getHeight, sum)
+          }
+          finally reader.dispose()
         }
       }
+    decoded.toDF("doc_id", "width", "height", "pixel_sum")
+  }
+
+  /** Resize stage: decode → nearest-neighbor resample fitting the longer
+    * side to `maxDim` (aspect-preserving, integer floor arithmetic —
+    * target pixel (tx,ty) samples source (tx*w/tw, ty*h/th), the mapping
+    * the oracle restates in SQL). Chained to decode without a shuffle:
+    * both stages are narrow, one task pipeline. The resample reads the
+    * REAL decoded raster — a codec bug upstream shifts `resized_sum`.
+    */
+  def resize(spark: SparkSession, sfDir: String, maxDim: Int = 8,
+      batchSize: Int = 32): Dataset[ResizedPng] = {
+    import spark.implicits._
+    pngMedia(spark, sfDir).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val reader =
+          javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+        try batch.map { r =>
+          val img = readPng(reader, r.payload)
+          val raster = img.getRaster
+          val w = img.getWidth
+          val h = img.getHeight
+          val longer = math.max(w, h)
+          val (tw, th) =
+            if (longer <= maxDim) (w, h)
+            else (math.max(1, w * maxDim / longer),
+              math.max(1, h * maxDim / longer))
+          var sum = 0L
+          var ty = 0
+          while (ty < th) {
+            var tx = 0
+            while (tx < tw) {
+              sum += raster.getSample(tx * w / tw, ty * h / th, 0); tx += 1
+            }
+            ty += 1
+          }
+          ResizedPng(r.doc_id, w, h, tw, th, sum)
+        }
+        finally reader.dispose()
+      }
+    }
   }
 }

@@ -5,6 +5,7 @@ import graft.operators.{Analytics, Multimodal}
 import graft.streaming.EventsStreaming
 
 class MediaStreamSpec extends SparkTestBase {
+
   private val d = sf()
 
   test("media payloads carry the right magic and full text bytes") {
@@ -18,11 +19,38 @@ class MediaStreamSpec extends SparkTestBase {
     assert(bad === 0)
   }
 
-  test("decode stub is deterministic and batch-shaped") {
+  test("real PNG decode reproduces every generated pixel exactly") {
     val a = Multimodal.decode(spark, d, batchSize = 32).collect().sortBy(_.doc_id)
     val b = Multimodal.decode(spark, d, batchSize = 7).collect().sortBy(_.doc_id)
     assert(a.toSeq === b.toSeq) // batch size must never change results
-    assert(a.forall(r => r.width >= 1 && r.width <= 128 && r.height >= 1))
+    // the payload really is PNG: signature bytes survive the writer
+    val payload = Multimodal.pngMedia(spark, d).head().payload
+    assert(payload.take(4).toSeq === Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    // the decoded sums equal the generator formula computed independently
+    a.take(50).foreach { r =>
+      val (w, h) = ((r.doc_id % 13 + 1).toInt, (r.doc_id % 11 + 2).toInt)
+      assert(r.width === w && r.height === h && r.media_type === "png")
+      val expect = (for (y <- 0 until h; x <- 0 until w)
+        yield (r.doc_id * 31 + 7L * x + 13L * y) % 256).sum
+      assert(r.pixel_sum === expect, s"doc ${r.doc_id}: codec mangled pixels")
+    }
+  }
+
+  test("nearest-neighbor resize samples the real decoded raster") {
+    val rs = Multimodal.resize(spark, d, maxDim = 8).collect().sortBy(_.doc_id)
+    rs.take(50).foreach { r =>
+      val longer = math.max(r.width, r.height)
+      val tw = if (longer <= 8) r.width else math.max(1, r.width * 8 / longer)
+      val th = if (longer <= 8) r.height else math.max(1, r.height * 8 / longer)
+      assert(r.target_w === tw && r.target_h === th)
+      val expect = (for (ty <- 0 until th; tx <- 0 until tw) yield {
+        val sx = tx * r.width / tw; val sy = ty * r.height / th
+        (r.doc_id * 31 + 7L * sx + 13L * sy) % 256
+      }).sum
+      assert(r.resized_sum === expect, s"doc ${r.doc_id}: resample mismatch")
+    }
+    // downscaling genuinely happened somewhere (w up to 13 > 8)
+    assert(rs.exists(r => r.target_w < r.width || r.target_h < r.height))
   }
 
   test("metadata query never reads the payload-bearing text column wastefully") {
@@ -105,8 +133,7 @@ class MediaStreamSpec extends SparkTestBase {
       val tmp = dir.resolve(name + "_build")
       rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp)
-        .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst.get
+      val part = graft.FsUtil.singleParquetPart(tmp)
       Files.move(part, dir.resolve(name))
       Files.setLastModifiedTime(dir.resolve(name), FileTime.fromMillis(mtime))
     }
