@@ -27,6 +27,8 @@ object AnalyticsQueries {
     "q14_promo" -> ((s, d) => Analytics.q14Promo(s, d)),
     "q_approx_distinct" -> ((s, d) => Analytics.approxDistinctCheck(s, d)),
     "q_approx_percentile" -> ((s, d) => Analytics.approxPercentileCheck(s, d)),
+    "q_kmv_distinct" -> ((s, d) => Analytics.kmvDistinctAudit(s, d)),
+    "q_quantile_sketch" -> ((s, d) => Analytics.quantileSketchAudit(s, d)),
     "q_skew_profile" -> ((s, d) => Analytics.skewProfile(s, d)),
     "q_cdc_apply" -> ((s, d) => graft.operators.Formats.cdcApply(s, d)),
     "q_join_incremental" -> ((s, d) => graft.operators.Formats.incrementalJoin(s, d)),
@@ -130,10 +132,12 @@ object AnalyticsQueries {
           |FROM (
           |  SELECT CASE WHEN doc_id % 3 = 0 THEN upper(source)
           |              WHEN doc_id % 3 = 1 THEN source
-          |              ELSE initcap(source) END AS raw_source,
+          |              ELSE concat(upper(substr(source, 1, 1)),
+          |                          lower(substr(source, 2))) END AS raw_source,
           |    CAST(CASE WHEN doc_id % 3 = 0 THEN upper(source)
           |              WHEN doc_id % 3 = 1 THEN source
-          |              ELSE initcap(source) END
+          |              ELSE concat(upper(substr(source, 1, 1)),
+          |                          lower(substr(source, 2))) END
           |      AS STRING COLLATE UTF8_LCASE) AS source_ci
           |  FROM documents)
           |GROUP BY source_ci""".stripMargin)
@@ -409,6 +413,22 @@ object AnalyticsQueries {
       """SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
         |  TRUE AS within_tol
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // KMV sketch audit, same contract discipline as the HLL audit:
+    // exact counts pinned, tolerance verdict asserted, estimate out.
+    "q_kmv_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS within_tol
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // Custom TypedImperativeAggregate quantile sketch (MRL ladder):
+    // per-quantile exact-rank verdicts pinned TRUE, estimates out.
+    "q_quantile_sketch" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_values,
+        |  TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
         |FROM events GROUP BY event_type""".stripMargin,
 
     // Rank-guarantee audit of the quantile sketch; the estimate itself
@@ -1098,12 +1118,17 @@ object AnalyticsQueries {
     "q_sql_api" -> sqlApiText,
 
     // the oracle states the same case-insensitive grouping result
-    // (lower-key grouping; DuckDB has no initcap — spelled out)
+    // (lower-key grouping). The third case variant is deliberately
+    // spelled from upper/lower/substr — NOT initcap — because Spark's
+    // initcap lowercases the remainder and capitalizes every word while
+    // DuckDB has no initcap at all; building the variant from the same
+    // primitive functions makes the two engines agree by construction
+    // on any source value (internal capitals, multi-word, empty).
     "q_collation" ->
       """WITH m AS (SELECT
         |  CASE WHEN doc_id % 3 = 0 THEN upper(source)
         |       WHEN doc_id % 3 = 1 THEN source
-        |       ELSE upper(substr(source, 1, 1)) || substr(source, 2)
+        |       ELSE upper(substr(source, 1, 1)) || lower(substr(source, 2))
         |  END AS raw_source
         |  FROM documents)
         |SELECT lower(raw_source) AS source_grouped,

@@ -556,6 +556,90 @@ object Analytics {
           && col("n_le") * 1000 <= col("n_values") * 510).as("rank_ok"))
   }
 
+  /** Mergeable quantile-sketch audit — [[graft.functions.QuantileSketchAgg]]
+    * (deterministic MRL/KLL compactor ladder) estimating p25/p50/p75 of
+    * integer-cents values per event type in ONE narrow pass, each
+    * estimate then audited by its EXACT rank: count(value ≤ v̂) must sit
+    * within ±5 points of the target fraction — 4× the sketch's worst-
+    * case rank error at k=1024, so the verdict holds under any partial-
+    * merge order Spark chooses. Same contract discipline as the HLL/CMS
+    * audits: exact counts + verdicts in the contract, estimates out.
+    * Where percentile_approx is the engine's built-in (q_approx
+    * _percentile audits that one), this is the ENGINE-EXTENSION proof:
+    * a custom TypedImperativeAggregate whose partials ride the normal
+    * partial/final aggregation machinery — the only shape that answers
+    * quantiles on 100 TB without a global sort.
+    */
+  def quantileSketchAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = (col("value").cast("decimal(12,2)") * 100).cast("long")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), cents.as("c"))
+    val est = ev.groupBy(col("event_type"))
+      .agg(graft.functions.QuantileSketch.quantile_sketch(col("c")).as("est"))
+      .select(col("event_type"), col("est")(0).as("e25"),
+        col("est")(1).as("e50"), col("est")(2).as("e75"))
+    def okBand(rank: org.apache.spark.sql.Column, lo: Int, hi: Int) =
+      rank * 100 >= col("n_values") * lo && rank * 100 <= col("n_values") * hi
+    ev.join(broadcast(est), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_values"),
+        sum(when(col("c") <= col("e25"), 1L).otherwise(0L)).as("r25"),
+        sum(when(col("c") <= col("e50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("c") <= col("e75"), 1L).otherwise(0L)).as("r75"))
+      .select(col("event_type"), col("n_values"),
+        okBand(col("r25"), 20, 30).as("p25_ok"),
+        okBand(col("r50"), 45, 55).as("p50_ok"),
+        okBand(col("r75"), 70, 80).as("p75_ok"))
+  }
+
+  /** KMV (k-minimum-values) distinct-count sketch, audited — the third
+    * sketch family next to HLL (cardinality) and CMS/SpaceSaving
+    * (frequency): keep the k smallest hash values per group; the kth
+    * smallest, as a fraction of hash space, estimates density, so
+    * n̂ = (k−1)/kmv. Where HLL gives a fixed-size register array, KMV's
+    * charm is MERGEABILITY BY UNION (k-min of a union = k-min of pooled
+    * k-mins) and exact set operations on the samples themselves.
+    *
+    * Declarative shape: the distinct (group, hash) aggregate partial-
+    * combines map-side so the exchange carries distinct pairs, and the
+    * rank-≤-k predicate compiles to WindowGroupLimit — each map task
+    * pre-trims to ITS k smallest before the window exchange, the same
+    * partial-top-k physics as the domain cap. The audit contract
+    * mirrors the HLL one: exact count (recomputed from the same
+    * distinct relation) + a tolerance verdict; the estimate itself
+    * stays out of the hash contract. k=256 → σ ≈ n/√(k−2) ≈ 6.3%;
+    * the 25% gate is ~4σ. Groups with < k distinct values carry the
+    * full sample, so the "estimate" is exact there by construction.
+    */
+  def kmvDistinctAudit(spark: SparkSession, sfDir: String, k: Int = 256): DataFrame = {
+    // 48-bit hash as a long: big enough that collisions are ~n²/2^48
+    // (immaterial), small enough for exact integer arithmetic
+    val hv = conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val distinctHashes = Tables.events(spark, sfDir)
+      .select(col("event_type"), hv.as("hv"))
+      .groupBy(col("event_type"), col("hv")).agg(count(lit(1)).as("_n"))
+      .select(col("event_type"), col("hv"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hv"))
+    val sketch = distinctHashes
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_in_sketch"), max(col("hv")).as("kmv"))
+      .select(col("event_type"),
+        when(col("n_in_sketch") < k, col("n_in_sketch").cast("double"))
+          .otherwise(lit((k - 1).toDouble * math.pow(2.0, 48)) / col("kmv"))
+          .as("est"))
+    // exact side counts USERS (the contract), not hashes — a 48-bit
+    // collision would only nudge `est`, which the 4σ gate absorbs
+    val exact = Tables.events(spark, sfDir).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(sketch, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <= col("n_exact") * lit(0.25))
+          .as("within_tol"))
+  }
+
   /** Join-key skew profile — the diagnostic you run BEFORE deciding
     * whether a join needs salting/AQE-skew handling: per-key group
     * sizes reduced to the numbers that matter (key count, max group,
@@ -1570,8 +1654,17 @@ object Analytics {
             col("event_type").as("et")))),
           x => x.getField("et")), ">").as("path"),
         (max(col("n_ev")) > cap).as("truncated"))
-      .groupBy(col("path"), col("truncated"))
-      .agg(count(lit(1)).as("n_users"))
+      // The per-journey count groups on md5(path), NOT the raw path: a
+      // capped journey is a ~100 KB string, and a raw-keyed exchange
+      // would shuffle-sort and byte-compare those as group keys. The
+      // 16-byte digest keys the exchange; the string itself rides as an
+      // aggregation-buffer exemplar (min over identical values — every
+      // member of a digest group holds the same string, so min IS the
+      // path, not a sample). md5 collisions would need 2^64 distinct
+      // journeys to matter — far beyond any user population.
+      .groupBy(md5(col("path")).as("path_key"), col("truncated"))
+      .agg(min(col("path")).as("path"), count(lit(1)).as("n_users"))
+      .select(col("path"), col("truncated"), col("n_users"))
   }
 
   /** Journey pattern matching — the MATCH_RECOGNIZE shape without the
