@@ -72,7 +72,11 @@ object TextQueries {
     "q_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "q_dup_ngrams" -> ((s, d) => Dedup.dupNgrams(s, d)),
     "q_length_buckets" -> ((s, d) => graft.operators.DataPrep.lengthBuckets(s, d)),
-    "q_domain_cap" -> ((s, d) => graft.operators.DataPrep.domainCap(s, d))
+    "q_domain_cap" -> ((s, d) => graft.operators.DataPrep.domainCap(s, d)),
+    // distributed row_number() OVER (ORDER BY …) without the one-task window
+    "q_global_index" -> ((s, d) => graft.operators.DataPrep.globalIndex(s, d)),
+    // exact NTILE staging derived from the distributed global rank
+    "q_curriculum" -> ((s, d) => graft.operators.DataPrep.curriculum(s, d))
   )
 
   /** Shared DuckDB CTE fragments (must mirror TextFunctions exactly). */
@@ -1085,6 +1089,19 @@ object TextQueries {
         |  FROM ranked WHERE rk <= 20 GROUP BY 1)
         |SELECT t.source, t.n_docs, k.n_kept,
         |  t.n_docs - k.n_kept AS n_dropped, k.kept_chars
-        |FROM tot t JOIN kept k ON t.source = k.source""".stripMargin
+        |FROM tot t JOIN kept k ON t.source = k.source""".stripMargin,
+
+    // the distributed two-scan enumeration must equal the window form
+    "q_global_index" ->
+      """SELECT event_id,
+        |  CAST(row_number() OVER (ORDER BY ts, event_id) - 1 AS BIGINT)
+        |    AS global_idx
+        |FROM events""".stripMargin,
+
+    // arithmetic staging from the global rank must equal NTILE exactly
+    "q_curriculum" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS INTEGER) AS stage
+        |FROM documents""".stripMargin
   )
 }

@@ -254,6 +254,75 @@ object DataPrep {
           .as("fill_bp"))
   }
 
+  /** Contiguous global row numbering 0..N-1 in `sortCols` order WITHOUT
+    * a single-partition global sort — the operator behind stable sample
+    * ids, shard assignment, and resumable training order. A bare
+    * `row_number() OVER (ORDER BY …)` is the classic scale trap: Spark
+    * plans an empty-key window, every row lands on ONE task, and the
+    * job is sequential no matter the cluster. The distributed shape is
+    * range-partition + local sort (a normal parallel sort — each of
+    * `parts` tasks holds a contiguous key range), then `zipWithIndex`,
+    * which runs one lightweight count job over the sorted partitions
+    * and offsets each partition's local indices by the prefix sum of
+    * the counts — two scans total, |parts| longs to the driver, never
+    * a row. Range-sampling may place boundaries differently run to
+    * run, but the TOTAL order (partition index, then local sort) is
+    * the same, so the assigned indices are deterministic either way.
+    */
+  private[graft] def withGlobalIndex(df: DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column], parts: Int): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          "global_idx", org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = sorted.toDF().rdd.zipWithIndex().map { case (r, idx) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ idx)
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Global event enumeration by (ts, event_id): the q-entry face of
+    * [[withGlobalIndex]] — equals `row_number() OVER (ORDER BY ts,
+    * event_id) - 1` without ever forming a one-task window.
+    */
+  def globalIndex(spark: SparkSession, sfDir: String): DataFrame =
+    withGlobalIndex(
+      Tables.events(spark, sfDir).select(col("event_id"), col("ts")),
+      Seq(col("ts"), col("event_id")), parts = 32)
+      .select(col("event_id"), col("global_idx"))
+
+  /** Curriculum-stage assignment — order the corpus easy→hard (here by
+    * `n_chars`, the stand-in for a model-based difficulty score) and
+    * cut it into `stages` contiguous cohorts with exact NTILE
+    * semantics: the first N mod s cohorts get ⌈N/s⌉ documents, the
+    * rest ⌊N/s⌋. NTILE is another empty-key window at heart, so the
+    * stage is derived ARITHMETICALLY from [[withGlobalIndex]]'s
+    * distributed global rank instead: two scans + one scalar count,
+    * no single-task sort, bit-identical to the window form the oracle
+    * states.
+    */
+  def curriculum(spark: SparkSession, sfDir: String, stages: Int = 4): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"))
+    val n = docs.count()
+    val q = n / stages
+    val r = n % stages
+    // ntile bucket from 0-based global rank: first r buckets hold q+1
+    val indexed = withGlobalIndex(
+      docs, Seq(col("n_chars"), col("doc_id")), parts = 32)
+    // integer `div`, not `/`: Spark's / is DOUBLE division, and a stage
+    // boundary must never hinge on float rounding
+    indexed.select(col("doc_id"), col("n_chars"),
+      (when(col("global_idx") < lit(r * (q + 1)),
+        expr(s"global_idx div ${q + 1}"))
+        .otherwise(lit(r) + expr(s"(global_idx - ${r * (q + 1)}) div $q"))
+        .cast("int") + 1).as("stage"))
+  }
+
   /** Per-domain document cap — the crawl-hygiene selection pass (C4,
     * RefinedWeb, FineWeb all cap per-registered-domain contributions so
     * no single site dominates the corpus). Keep the top `cap` documents
