@@ -21,6 +21,7 @@ object MediaStreamQueries {
     "q_media_dedup" -> ((s, d) => Multimodal.payloadDedup(s, d)),
     "q_stream_events_window" -> ((s, d) => EventsStreaming.dailyCounts(s, d)),
     "q_stream_approx_distinct" -> ((s, d) => EventsStreaming.dailyApproxDistinct(s, d)),
+    "q_stream_quantile" -> ((s, d) => EventsStreaming.streamingQuantileSketch(s, d)),
     "q_stream_events_append" -> ((s, d) => EventsStreaming.dailyCountsAppend(s, d)),
     "q_stream_daily_rollup" -> ((s, d) => EventsStreaming.dailyRollupMaintained(s, d)),
     "q_stream_flagship" -> ((s, _) => TwseStreaming.flagshipStream(s)),
@@ -182,6 +183,10 @@ object MediaStreamQueries {
 
     // Append mode + watermark must emit exactly the same closed windows.
     "q_stream_events_append" -> AnalyticsQueries.oracleSql("q_events_window"),
+
+    // The streamed sketch snapshot passes the same exact-rank audit as
+    // the batch sketch — verdicts pinned, estimates out of the contract.
+    "q_stream_quantile" -> AnalyticsQueries.oracleSql("q_quantile_sketch"),
 
     // The foreachBatch-MAINTAINED daily-partials table (3 micro-batch
     // upserts, dynamic partition overwrite) must equal the from-scratch

@@ -578,6 +578,15 @@ object Analytics {
       .agg(graft.functions.QuantileSketch.quantile_sketch(col("c")).as("est"))
       .select(col("event_type"), col("est")(0).as("e25"),
         col("est")(1).as("e50"), col("est")(2).as("e75"))
+    quantileRankAudit(ev, est)
+  }
+
+  /** Shared exact-rank audit tail for quantile estimates: given the
+    * per-type (e25, e50, e75) estimates — however produced, batch
+    * aggregate or streaming state snapshot — recompute each estimate's
+    * exact rank over `ev` (event_type, c) and pin the ±5-point verdicts.
+    */
+  private[graft] def quantileRankAudit(ev: DataFrame, est: DataFrame): DataFrame = {
     def okBand(rank: org.apache.spark.sql.Column, lo: Int, hi: Int) =
       rank * 100 >= col("n_values") * lo && rank * 100 <= col("n_values") * hi
     ev.join(broadcast(est), "event_type")

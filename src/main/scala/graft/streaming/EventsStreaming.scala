@@ -333,6 +333,38 @@ object EventsStreaming {
           .as("within_tol"))
   }
 
+  /** The custom quantile-sketch aggregate as STREAMING state — the MRL
+    * compactor ladder ([[graft.functions.QuantileSketchAgg]]) lives in
+    * the state store per event_type: each of the 3 sharded micro-batches
+    * folds its rows into partial ladders, which merge with the
+    * DESERIALIZED prior state (the TypedImperativeAggregate
+    * serialize/merge contract doing double duty as checkpointed stream
+    * state). The complete-mode snapshot after the final trigger is a
+    * sketch over ALL history, audited by the same exact-rank tail as the
+    * batch form — the sketch's any-merge-order guarantee is exactly what
+    * makes the incremental stream answer as good as the one-pass batch
+    * answer. At scale this is how you keep live percentile dashboards
+    * without re-scanning history per refresh.
+    */
+  def streamingQuantileSketch(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamPartitions(spark, 8) {
+      val name = s"graft_stream_quantile_${nameCounter.incrementAndGet()}"
+      val srcDir = stagedShardedDir(spark, sfDir, shards = 3)
+      val cents = (col("value").cast("decimal(12,2)") * 100).cast("long")
+      val agg = spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        .select(col("event_type"), cents.as("c"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.QuantileSketch.quantile_sketch(col("c")).as("est"))
+        .select(col("event_type"), col("est")(0).as("e25"),
+          col("est")(1).as("e50"), col("est")(2).as("e75"))
+      val streamed = runToParquet(spark, agg, name, OutputMode.Complete)
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_type"), cents.as("c"))
+      graft.operators.Analytics.quantileRankAudit(ev, streamed)
+    }
+
   /** The production-shaped form of the daily window: APPEND mode with a
     * one-hour watermark — each window row is emitted exactly once, when
     * the watermark passes its end, instead of re-emitting the whole
