@@ -184,6 +184,57 @@ object AnalyticsQueries {
         Map("start" -> "1996-01-01", "status" -> "F"))
     }),
 
+    // Spark 4 SQL-DEFINED scalar functions (`CREATE FUNCTION … RETURN
+    // expr`): users extend the engine in SQL itself — no Scala, no UDF
+    // registration API. The function body is INLINED into the calling
+    // plan at resolution time (it is not a black-box lambda), so the
+    // banding expression below participates in whole-stage codegen and
+    // constant folding exactly like hand-written CASE text; composition
+    // (band_label calls price_band) resolves transitively. The oracle
+    // states the same query with the bodies inlined by hand — the
+    // contract is that definition-site abstraction changes nothing.
+    "q_sql_udf" -> ((s, d) => {
+      graft.sources.Tables.part(s, d).createOrReplaceTempView("part")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE)
+          |RETURNS STRING
+          |RETURN CASE WHEN p < 930 THEN 'low'
+          |            WHEN p < 970 THEN 'mid' ELSE 'high' END""".stripMargin)
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION band_label(p DOUBLE, sz INT)
+          |RETURNS STRING
+          |RETURN concat(price_band(p), CASE WHEN sz <= 25 THEN '-small'
+          |                                  ELSE '-large' END)""".stripMargin)
+      s.sql(
+        """SELECT band_label(p_retailprice, p_size) AS band,
+          |  CAST(count(*) AS BIGINT) AS n_parts,
+          |  CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+          |    AS total_cents
+          |FROM part GROUP BY band""".stripMargin)
+    }),
+
+    // Spark 4 SQL-defined TABLE function (`RETURNS TABLE`) invoked
+    // through a correlated LATERAL join: per_brand_sizes is a
+    // parameterized view, and the lateral call runs it once per driving
+    // row — which Catalyst decorrelates into ONE aggregate over part
+    // grouped by (brand, size) joined back, not |brands| separate scans.
+    // The TVF is the SQL front door for the "parameterized subreport"
+    // pattern BI layers generate.
+    "q_sql_table_fn" -> ((s, d) => {
+      graft.sources.Tables.part(s, d).createOrReplaceTempView("part")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION brand_size_stats(b STRING)
+          |RETURNS TABLE(p_size INT, n BIGINT, max_price DOUBLE)
+          |RETURN SELECT p_size, CAST(count(*) AS BIGINT),
+          |         max(p_retailprice)
+          |       FROM part WHERE p_brand = b GROUP BY p_size""".stripMargin)
+      s.sql(
+        """SELECT br.p_brand, t.p_size, t.n, t.max_price
+          |FROM (SELECT DISTINCT p_brand FROM part
+          |      WHERE p_brand IN ('Brand#1', 'Brand#10', 'Brand#25')) br,
+          |  LATERAL brand_size_stats(br.p_brand) t""".stripMargin)
+    }),
+
     // Correlated EXISTS/NOT EXISTS through the SQL front door —
     // Catalyst DECORRELATES both into semi/anti joins (RewritePredicate
     // Subquery), so the "per-row subquery" never executes per row: the
@@ -1155,6 +1206,24 @@ object AnalyticsQueries {
         |FROM orders
         |WHERE o_orderdate >= '1996-01-01' AND o_orderstatus = 'F'
         |GROUP BY o_orderpriority""".stripMargin,
+
+    // the SQL-UDF bodies inlined by hand (no function definitions)
+    "q_sql_udf" ->
+      """SELECT concat(
+        |    CASE WHEN p_retailprice < 930 THEN 'low'
+        |         WHEN p_retailprice < 970 THEN 'mid' ELSE 'high' END,
+        |    CASE WHEN p_size <= 25 THEN '-small' ELSE '-large' END) AS band,
+        |  CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+        |    AS total_cents
+        |FROM part GROUP BY band""".stripMargin,
+
+    // the TVF decorrelated by hand: one grouped aggregate, filtered
+    "q_sql_table_fn" ->
+      """SELECT p_brand, p_size, CAST(count(*) AS BIGINT) AS n,
+        |  max(p_retailprice) AS max_price
+        |FROM part WHERE p_brand IN ('Brand#1', 'Brand#10', 'Brand#25')
+        |GROUP BY p_brand, p_size""".stripMargin,
 
     "q_exists_subquery" -> existsSubqueryText,
     "q_lateral_topk" -> lateralTopkText,

@@ -53,6 +53,16 @@ object Scratch {
                 s"op=${so.operatorName} out=${so.numRowsUpdated} " +
                 s"timers=${so.customMetrics}").mkString(" | "))
           }
+      case "sql" => // ad-hoc SQL probe: Test/runMain graft.Scratch sql <sfDir> "<stmt>;;<stmt>"
+        // (or @/path/to/file.sql to dodge shell quoting)
+        val text = if (args(2).startsWith("@"))
+          new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(args(2).drop(1))))
+        else args(2)
+        text.split(";;").foreach { stmt =>
+          println(s"-- $stmt")
+          spark.sql(stmt).show(20, truncate = false)
+        }
       case "sweep" =>
         // plan-shape audit: flag cartesians, count exchanges, check scans
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
