@@ -32,6 +32,10 @@ object TextQueries {
     "q_curate" -> ((s, d) => TextAnalysis.curate(s, d)),
     // Vocabulary build: min-frequency cut + contiguous top-K token ids.
     "q_vocab" -> ((s, d) => TextAnalysis.vocab(s, d)),
+    // Tokenizer-coverage audit: per-doc OOV rate against the vocab.
+    "q_oov_rate" -> ((s, d) => TextAnalysis.oovRate(s, d)),
+    // C4-style line-level boilerplate removal (edits inside documents).
+    "q_line_dedup" -> ((s, d) => Dedup.lineDedup(s, d)),
     "q_train_split" -> ((s, d) => graft.operators.DataPrep.trainSplit(s, d)),
     "q_time_split" -> ((s, d) => graft.operators.DataPrep.timeSplit(s, d)),
     "q_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
@@ -252,6 +256,43 @@ object TextQueries {
         |SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER) - 1 AS token_id,
         |  token, n
         |FROM counts""".stripMargin,
+
+    // vocab rebuilt as a CTE; OOV accounting via LEFT JOIN; the rate is
+    // integer ppm (// division) so no float rounding can split engines
+    "q_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |  FROM documents
+        |), vocab AS (
+        |  SELECT token FROM toks GROUP BY token HAVING count(*) >= 5
+        |  ORDER BY count(*) DESC, token LIMIT 500
+        |), j AS (
+        |  SELECT t.doc_id, v.token IS NOT NULL AS iv
+        |  FROM toks t LEFT JOIN vocab v USING (token))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+        |  (1000000 * CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT))
+        |    // CAST(count(*) AS BIGINT) AS oov_ppm
+        |FROM j GROUP BY doc_id""".stripMargin,
+
+    // fixed-width 10-token lines; corpus-frequent (>2 occurrences)
+    // lines removed; documents rebuilt in line order
+    "q_line_dedup" ->
+      """WITH base AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |seg AS (SELECT doc_id, CAST(i AS INTEGER) AS line_idx,
+        |    array_to_string(toks[i*10+1 : i*10+10], ' ') AS line
+        |  FROM base, LATERAL unnest(range((len(toks)+9)//10)) r(i)),
+        |c AS (SELECT line, count(*) AS n_occ FROM seg GROUP BY line)
+        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN c.n_occ <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  coalesce(string_agg(CASE WHEN c.n_occ <= 2 THEN s.line END, ' '
+        |    ORDER BY s.line_idx), '') AS clean_text
+        |FROM seg s JOIN c USING (line)
+        |GROUP BY s.doc_id""".stripMargin,
 
     // Same metric definitions as q_quality_score / q_lang_id /
     // q_dedup_exact, composed: the oracle recomputes all three gates.

@@ -723,4 +723,54 @@ object Dedup {
       .agg(count(lit(1)).as("n_customers"),
         min(col("nm")).as("first_name"), max(col("nm")).as("last_name"))
   }
+
+  /** Line-level boilerplate removal (the C4/RefinedWeb curation step):
+    * segment every document into fixed-width token "lines", count each
+    * line's exact occurrences across the WHOLE corpus, and rebuild each
+    * document from only the lines that are not corpus-frequent (nav
+    * bars, cookie banners, license footers — anything repeated more
+    * than `maxOcc` times). Unlike document-level dedup this edits
+    * inside documents, so the output is the cleaned text plus the
+    * kept/total accounting a curation run reports.
+    *
+    * Scale shape: the corpus-wide count shuffles md5(line) — a 16-byte
+    * key — not the line text; the join back to segments is on the same
+    * hash, and reassembly is one (doc_id) aggregation whose
+    * collect_list holds only the document's own surviving lines
+    * (bounded by document length, the same bound the raw text row
+    * already carries). Nothing all-pairs, no driver-side state; the
+    * whole operator is two hash shuffles on a 100 TB corpus.
+    */
+  def lineDedup(spark: SparkSession, sfDir: String,
+      lineTokens: Int = 10, maxOcc: Int = 2): DataFrame = {
+    val segs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      // line starts every `lineTokens` while < n (chunkStride's idiom:
+      // sequence-with-step avoids an integer-division ceil)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("n") - 1, lit(lineTokens))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / lineTokens).cast("int").as("line_idx"),
+        array_join(slice(col("toks"), col("start") + 1, lit(lineTokens)), " ")
+          .as("line"))
+      .withColumn("lh", md5(col("line")))
+    val counts = segs.groupBy(col("lh"))
+      .agg(count(lit(1)).as("n_occ"))
+    segs.join(counts, "lh")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("n_occ") <= maxOcc, 1L).otherwise(0L)).as("n_kept"),
+        // order-preserving reassembly: sort the surviving (idx, line)
+        // structs, then join the texts — collect_list drops the nulls
+        // the `when` leaves for boilerplate lines
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("n_occ") <= maxOcc,
+                struct(col("line_idx"), col("line"))))),
+            x => x.getField("line")),
+          " ").as("clean_text"))
+  }
 }

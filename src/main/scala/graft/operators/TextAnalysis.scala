@@ -428,6 +428,28 @@ object TextAnalysis {
       .select(col("token_id"), col("token"), col("n"))
   }
 
+  /** Out-of-vocabulary rate per document against the [[vocab]] build —
+    * the tokenizer-coverage audit run before committing to a vocab: a
+    * corpus slice whose documents are mostly OOV is either junk or a
+    * domain the tokenizer underserves. The vocab is bounded (top-K), so
+    * it BROADCASTS to the token stream; the per-document rollup is one
+    * hash aggregation on doc_id. The rate is reported as exact integer
+    * parts-per-million via integer division — no float division whose
+    * half-way rounding could split engines.
+    */
+  def oovRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = broadcast(vocab(spark, sfDir).select(col("token"))
+      .withColumn("in_vocab", lit(1)))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
+      .join(v, Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("(1000000 * n_oov) div n_tokens").as("oov_ppm"))
+  }
+
   /** The corpus-curation terminal: exact dedup ∧ quality gate ∧
     * language verification composed into one pass, reported per
     * (source, lang) stratum — raw count, post-dedup canonical count,
