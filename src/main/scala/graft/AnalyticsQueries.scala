@@ -52,6 +52,7 @@ object AnalyticsQueries {
     "q_count_distinct" -> ((s, d) => Analytics.distinctCounts(s, d)),
     "q_percentile" -> ((s, d) => Analytics.quantiles(s, d)),
     "q_winsorize" -> ((s, d) => Analytics.winsorize(s, d)),
+    "q_skyline" -> ((s, d) => Analytics.skyline(s, d)),
     "q_scalar_funcs" -> ((s, d) => Analytics.scalarFuncs(s, d)),
     "q_grouping_sets" -> ((s, d) => Analytics.groupingSetsAgg(s, d)),
     "q_stats_moments" -> ((s, d) => Analytics.statsMoments(s, d)),
@@ -765,6 +766,20 @@ object AnalyticsQueries {
         |      CAST(c.hi AS DECIMAL(18,2))), CAST(c.lo AS DECIMAL(18,2))))
         |    * 100 AS BIGINT) AS clipped_cents
         |FROM r JOIN c USING (event_type) GROUP BY 1""".stripMargin,
+
+    // same frontier formulation (per-price max size, running-max scan);
+    // prices compared only, never computed with, so doubles are safe
+    "q_skyline" ->
+      """WITH pp AS (SELECT p_retailprice, max(p_size) AS msz
+        |  FROM part GROUP BY p_retailprice),
+        |f AS (SELECT p_retailprice, msz,
+        |    max(msz) OVER (ORDER BY p_retailprice
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM pp)
+        |SELECT p.p_partkey, p.p_brand, p.p_retailprice, p.p_size
+        |FROM part p JOIN f ON p.p_retailprice = f.p_retailprice
+        |  AND p.p_size = f.msz
+        |WHERE f.prev_max IS NULL OR f.msz > f.prev_max""".stripMargin,
 
     "q_events_window" ->
       """SELECT strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d') AS day,

@@ -1080,6 +1080,37 @@ object Analytics {
         (sum(clipped) * 100).cast("long").as("clipped_cents"))
   }
 
+  /** 2-D skyline (Pareto frontier) of the part catalog: the parts no
+    * other part dominates on (cheaper-or-equal price, larger-or-equal
+    * size, at least one strict). The naive formulation is an all-pairs
+    * NOT EXISTS; this one is O(n log n) and distributed: aggregate to
+    * per-price max size (hash shuffle), run the frontier scan as a
+    * running-max window over the PRICE-DISTINCT aggregate — cardinality
+    * bounded by |distinct prices|, not rows — and broadcast-join the
+    * tiny frontier back to pick the winning parts. A price survives iff
+    * its max size strictly beats every strictly-cheaper price's max;
+    * equal-price equal-size parts are mutually non-dominating, so all
+    * of them surface. For an unbounded price domain the single-
+    * partition window swaps for the two-pass partition-prefix running
+    * max that `DataPrep.globalIndex` already implements.
+    */
+  def skyline(spark: SparkSession, sfDir: String): DataFrame = {
+    val pp = Tables.part(spark, sfDir)
+      .groupBy(col("p_retailprice")).agg(max(col("p_size")).as("msz"))
+    val frontier = pp
+      .withColumn("prev_max", max(col("msz")).over(
+        Window.orderBy(col("p_retailprice"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("prev_max").isNull || col("msz") > col("prev_max"))
+      .select(col("p_retailprice"), col("msz"))
+    Tables.part(spark, sfDir)
+      .join(broadcast(frontier),
+        Seq("p_retailprice"))
+      .filter(col("p_size") === col("msz"))
+      .select(col("p_partkey"), col("p_brand"),
+        col("p_retailprice"), col("p_size"))
+  }
+
   /** Fixed-width histogram of order values — integer-exact bucketing
     * (floor of a double division is deterministic across engines).
     */
