@@ -145,6 +145,10 @@ object TwseQueries {
     "q_csv_roundtrip" -> ((s, _) =>
       TwsePipeline.csvRoundtrip(s, s"${sys.props("java.io.tmpdir")}/graft_sink_csv")),
 
+    // B2 at the reader: PERMISSIVE CSV with per-row corrupt-record
+    // quarantine of ragged/untypeable lines.
+    "q_csv_malformed" -> ((s, _) => graft.operators.Formats.csvMalformed(s)),
+
     // E1/A3 against a real JDBC store (embedded Derby standing in for
     // the reference's Postgres): DDL + append + full readback.
     "q_jdbc_roundtrip" -> ((s, _) => graft.sources.JdbcStore.roundtrip(s)),
@@ -287,6 +291,20 @@ object TwseQueries {
     "q_sink_roundtrip" -> goldenRowSql,
     "q_sink_partitioned" -> goldenRowSql,
     "q_csv_roundtrip" -> goldenRowSql,
+    // the fixture file's five lines under PERMISSIVE semantics: typed
+    // fields survive where parseable, ragged/untypeable rows carry the
+    // raw line in the quarantine column
+    "q_csv_malformed" ->
+      """SELECT * FROM (VALUES
+        |  ('20220819', CAST(52999169995 AS BIGINT), 'dealer', false, ''),
+        |  ('20220819', CAST(NULL AS BIGINT), 'foreign', true,
+        |     '20220819,notanumber,foreign'),
+        |  ('20220819', CAST(60297278126 AS BIGINT), CAST(NULL AS VARCHAR),
+        |     true, '20220819,60297278126'),
+        |  ('20220820', CAST(123 AS BIGINT), 'trust', false, ''),
+        |  ('badlineonly', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        |     true, 'badlineonly')
+        |) t(dt, amount, unit, quarantined, raw_line)""".stripMargin,
     "q_jdbc_roundtrip" -> goldenRowSql,
 
     "q_explode_rows" ->

@@ -28,6 +28,46 @@ object Formats {
         min(col("o_orderdate")).cast("date").as("first_day"),
         max(col("o_orderdate")).cast("date").as("last_day"))
 
+  /** PERMISSIVE-mode CSV ingestion of a deliberately ragged file — the
+    * reader-level form of the reference's parse-quarantine (B2, drift
+    * payload → alert path, Final_app.py:53): rows that fail the
+    * declared schema (wrong arity, untypeable field) land with the raw
+    * line preserved in `_corrupt_record` instead of killing the job or
+    * silently vanishing (FAILFAST / DROPMALFORMED would). The query
+    * surfaces every row with its quarantine flag and raw line so the
+    * alert path has the evidence — the per-file fixture is fixed bytes,
+    * so the oracle states the expected rows as VALUES.
+    */
+  def csvMalformed(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_csv_malformed")
+    val f = dir.resolve("rows.csv")
+    if (!java.nio.file.Files.exists(f)) {
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(f,
+        """dt,amount,unit
+          |20220819,52999169995,dealer
+          |20220819,notanumber,foreign
+          |20220819,60297278126
+          |20220820,123,trust
+          |badlineonly
+          |""".stripMargin)
+    }
+    val schema = StructType(Seq(
+      StructField("dt", StringType), StructField("amount", LongType),
+      StructField("unit", StringType),
+      StructField("_corrupt_record", StringType)))
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir.toString)
+      .select(col("dt"), col("amount"), col("unit"),
+        col("_corrupt_record").isNotNull.as("quarantined"),
+        coalesce(col("_corrupt_record"), lit("")).as("raw_line"))
+  }
+
   /** ORC round-trip: columnar like parquet (predicate pushdown, column
     * pruning, splittable) — the interchange format when a consumer is
     * ORC-native. Write orders, read back, summarize.
