@@ -39,6 +39,8 @@ object MediaStreamQueries {
       graft.streaming.TwsStreaming.firstTouches(s, d)),
     "q_stream_dedup" -> ((s, d) =>
       graft.streaming.DocsStreaming.dedupHashes(s, d)),
+    "q_stream_dedup_minhash" -> ((s, d) =>
+      graft.streaming.DocsStreaming.streamDedupMinhash(s, d)),
     "q_stream_interval_join" -> ((s, d) =>
       EventsStreaming.viewPurchaseJoin(s, d)),
     "q_stream_left_join" -> ((s, d) =>
@@ -255,6 +257,18 @@ object MediaStreamQueries {
     // batch DISTINCT.
     "q_stream_dedup" ->
       "SELECT DISTINCT md5(text) AS content_hash FROM documents",
+
+    // Sequential first-wins near-dup ingest ≡ the global batch LSH
+    // rule: dropped iff a smaller doc_id shares a band (arrival order
+    // is doc_id order by construction of the staged range shards).
+    "q_stream_dedup_minhash" ->
+      s"""${TextQueries.bandsCte},
+         |dropped AS (SELECT DISTINCT b1.doc_id
+         |  FROM bands b1 JOIN bands b2
+         |    ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
+         |      AND b2.doc_id < b1.doc_id)
+         |SELECT d.doc_id, d.source, d.lang FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
 
     // The duplicate file re-sends every 10th event; within-watermark
     // dedup must restore exactly the original duplicate-free table.

@@ -98,7 +98,7 @@ object TextQueries {
       |    ELSE [norm] END AS s
       |  FROM base)""".stripMargin
 
-  private val bandsCte =
+  private[graft] val bandsCte =
     s"""WITH $baseCte, $shinglesCte,
        |sig AS (SELECT doc_id,
        |  list_transform(range(16),

@@ -73,6 +73,103 @@ object DocsStreaming {
     dir.toString
   }
 
+  /** Stage documents as `shards` CONTIGUOUS doc_id-range files with
+    * ascending mod times, so `maxFilesPerTrigger=1` replays ingest in
+    * arrival order — the precondition that makes the sequential
+    * first-wins dedup below equal its global batch oracle.
+    */
+  private def stagedRangeShardedDocs(spark: SparkSession, sfDir: String,
+      shards: Int): String = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_stream_docs_rng${shards}_$safe")
+    if (!java.nio.file.Files.exists(dir.resolve("_DONE"))) {
+      java.nio.file.Files.createDirectories(dir)
+      val docs = spark.read.schema(docSchema).parquet(s"$sfDir/documents.parquet")
+      val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+      (0 until shards).foreach { i =>
+        val lo = maxId * i / shards
+        val hi = if (i == shards - 1) Long.MaxValue else maxId * (i + 1) / shards
+        val p = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        val tmpb = dir.resolve(s"_build_$i")
+        p.coalesce(1).write.mode("overwrite").parquet(tmpb.toString)
+        val f = dir.resolve(f"shard_$i%02d.parquet")
+        java.nio.file.Files.move(graft.FsUtil.singleParquetPart(tmpb), f)
+        java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1600000000000L + i * 60000L))
+      }
+      java.nio.file.Files.createFile(dir.resolve("_DONE"))
+    }
+    dir.toString
+  }
+
+  /** Streaming ingest-time NEAR-dup removal — the online form of the
+    * minhash LSH pipeline, and the shape a production corpus ingest
+    * actually runs: each arriving micro-batch computes its documents'
+    * band keys, probes the standing band index for collisions with
+    * anything already ingested, resolves within-batch collisions to the
+    * smallest doc_id, appends the batch's bands to the index, and lands
+    * only the survivors. First-wins across the whole ingest history —
+    * a document is dropped iff some earlier-ingested document shares a
+    * band — which, with arrival order = doc_id order, is exactly the
+    * batch rule "∃ smaller doc_id sharing a band", so the global LSH
+    * oracle checks the sequential path.
+    *
+    * Scale shape: the index holds (band_id, band_key, doc_id) — a few
+    * dozen bytes per document, not the text; the probe is a semi join
+    * on the band key, the within-batch resolution a window over the
+    * batch's own bands; per-ingest cost is O(batch + matching index
+    * buckets), never a rescan of the corpus. This is the streaming twin
+    * of `Dedup.dedupIncremental`'s managed-table batch path.
+    */
+  def streamDedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+      EventsStreaming.withStreamPartitions(spark, 8) {
+    import org.apache.spark.sql.expressions.Window
+    val name = s"graft_stream_docs_mh_${nameCounter.incrementAndGet()}"
+    val srcDir = stagedRangeShardedDocs(spark, sfDir, shards = 3)
+    val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_mh_${java.util.UUID.randomUUID().toString.take(8)}_$name")
+    val indexDir = base.resolve("index").toString
+    val outDir = base.resolve("survivors").toString
+    val q = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", base.resolve("checkpoint").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bands = batch.select(col("doc_id"),
+            posexplode(graft.functions.HashExpressions
+              .minhash_band_keys(col("text")))
+              .as(Seq("band_id", "band_key")))
+          .cache() // probed, window-scanned, AND appended below
+        try {
+          val idxHit =
+            if (java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir)))
+              bands.join(spark.read.parquet(indexDir),
+                  Seq("band_id", "band_key"), "left_semi")
+                .select(col("doc_id"))
+            else bands.select(col("doc_id")).limit(0)
+          val batchHit = bands
+            .withColumn("mn", min(col("doc_id")).over(
+              Window.partitionBy(col("band_id"), col("band_key"))))
+            .filter(col("doc_id") > col("mn"))
+            .select(col("doc_id"))
+          val dropped = idxHit.union(batchHit).distinct()
+          batch.join(dropped, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("source"), col("lang"))
+            .write.mode("append").parquet(outDir)
+          // ALL bands enter the index (survivor or not): the first-wins
+          // rule compares against everything previously INGESTED
+          bands.write.mode("append").parquet(indexDir)
+        } finally bands.unpersist()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming heavy-hitter tokens — the online form of the batch
     * space-saving pipeline (`TextAnalysis.heavyHitters`): an unbounded
     * token stream can never hold a full token group-by in the state
