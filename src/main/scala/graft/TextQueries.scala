@@ -36,6 +36,8 @@ object TextQueries {
     "q_oov_rate" -> ((s, d) => TextAnalysis.oovRate(s, d)),
     // C4-style line-level boilerplate removal (edits inside documents).
     "q_line_dedup" -> ((s, d) => Dedup.lineDedup(s, d)),
+    // Native catalyst Generator (UDTF) via LATERAL VIEW in SQL text.
+    "q_udtf_lines" -> ((s, d) => TextAnalysis.udtfLines(s, d)),
     "q_train_split" -> ((s, d) => graft.operators.DataPrep.trainSplit(s, d)),
     "q_time_split" -> ((s, d) => graft.operators.DataPrep.timeSplit(s, d)),
     "q_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
@@ -275,6 +277,15 @@ object TextQueries {
         |  (1000000 * CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT))
         |    // CAST(count(*) AS BIGINT) AS oov_ppm
         |FROM j GROUP BY doc_id""".stripMargin,
+
+    // the generator's rows restated as the segment CTE
+    "q_udtf_lines" ->
+      """WITH base AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS INTEGER) AS line_idx,
+        |  array_to_string(toks[i*10+1 : i*10+10], ' ') AS line
+        |FROM base, LATERAL unnest(range((len(toks)+9)//10)) r(i)""".stripMargin,
 
     // fixed-width 10-token lines; corpus-frequent (>2 occurrences)
     // lines removed; documents rebuilt in line order

@@ -154,6 +154,24 @@ object TextAnalysis {
         |FROM documents""".stripMargin)
   }
 
+  /** Native UDTF through the SQL front door: [[graft.functions.LinesGenerator]]
+    * (a catalyst `Generator`) registered in the function registry and
+    * invoked via LATERAL VIEW — the table-function sibling of
+    * [[sqlFunctionRegistry]]'s scalar registration. The planner places
+    * it in the same `Generate` node as `explode`, so row generation
+    * streams per-document instead of materializing a line array first.
+    */
+  def udtfLines(spark: SparkSession, sfDir: String): DataFrame = {
+    org.apache.spark.sql.GraftPlanBridge.registerSqlFunction(
+      spark, "graft_lines",
+      { case Seq(t, w) => graft.functions.LinesGenerator(t, w) })
+    Tables.documents(spark, sfDir).createOrReplaceTempView("documents")
+    spark.sql(
+      """SELECT doc_id, t.line_idx, t.line
+        |FROM documents
+        |LATERAL VIEW graft_lines(text, 10) t AS line_idx, line""".stripMargin)
+  }
+
   /** Regex row-generation (UDTF-shaped): every digit-run in every
     * document becomes a row — `regexp_extract_all` + `posexplode`, the
     * generator pattern for mining structured fragments out of text. Runs

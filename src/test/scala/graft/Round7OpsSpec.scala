@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Dedup, TextAnalysis}
+
+/** Pins for the round-7 operators — the properties the DuckDB oracle
+  * can't express: dominance semantics, reassembly invariants, generator
+  * parity with the HOF formulation, and plan shapes.
+  */
+class Round7OpsSpec extends SparkTestBase {
+
+  test("skyline rows are mutually non-dominating and complete") {
+    val parts = graft.sources.Tables.part(spark, sf())
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    def dominates(a: (Long, Double, Int), b: (Long, Double, Int)): Boolean =
+      a._2 <= b._2 && a._3 >= b._3 && (a._2 < b._2 || a._3 > b._3)
+    val expected = parts.filter(p => !parts.exists(q => dominates(q, p)))
+      .map(_._1).toSet
+    val got = Analytics.skyline(spark, sf())
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"skyline mismatch: missing=${expected -- got} extra=${got -- expected}")
+  }
+
+  test("lineDedup reassembles untouched docs verbatim and only drops corpus-frequent lines") {
+    val docs = graft.sources.Tables.documents(spark, sf())
+      .select(col("doc_id"),
+        lower(trim(col("text"))).as("norm")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = Dedup.lineDedup(spark, sf()).collect()
+    assert(out.length == docs.size, "every document must surface")
+    out.foreach { r =>
+      val (id, nLines, nKept, clean) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      assert(nKept <= nLines)
+      if (nKept == nLines)
+        assert(clean == docs(id),
+          s"doc $id had no boilerplate but was not reassembled verbatim")
+      else // cleaned text is a subsequence of the original line structure
+        assert(clean.isEmpty || docs(id).contains(clean.split(" ").head))
+    }
+    // the corpus-frequent lines actually get dropped somewhere
+    assert(out.exists(r => r.getLong(2) < r.getLong(1)),
+      "fixture contains repeated lines; at least one doc must shrink")
+  }
+
+  test("LinesGenerator output equals the HOF segmentation and plans as Generate") {
+    val df = TextAnalysis.udtfLines(spark, sf())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), s"expected a Generate node:\n$plan")
+    val hof = graft.sources.Tables.documents(spark, sf())
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          """transform(sequence(0, size(toks) - 1, 10),
+            |  s -> array_join(slice(toks, s + 1, 10), ' '))""".stripMargin))
+          .as(Seq("line_idx", "line")))
+    assert(canon(df) == canon(hof))
+  }
+
+  test("oovRate: n_oov <= n_tokens, ppm bounds, and vocab tokens are never OOV") {
+    val rows = TextAnalysis.oovRate(spark, sf()).collect()
+    rows.foreach { r =>
+      val (n, oov, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(oov <= n && ppm >= 0 && ppm <= 1000000)
+      assert(ppm == 1000000L * oov / n)
+    }
+  }
+
+  test("streaming minhash dedup equals the batch first-wins LSH rule") {
+    val bands = Dedup.minhashBands(spark, sf())
+    val a = bands.as("a"); val b = bands.as("b")
+    val dropped = a.join(b,
+        col("a.band_id") === col("b.band_id")
+          && col("a.band_key") === col("b.band_key")
+          && col("b.doc_id") < col("a.doc_id"))
+      .select(col("a.doc_id")).distinct()
+    val expected = graft.sources.Tables.documents(spark, sf())
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("lang"))
+    val got = graft.streaming.DocsStreaming.streamDedupMinhash(spark, sf())
+    assert(canon(got) == canon(expected))
+  }
+
+  test("csvMalformed quarantines exactly the ragged rows, idempotently") {
+    val out1 = canon(graft.operators.Formats.csvMalformed(spark))
+    val out2 = canon(graft.operators.Formats.csvMalformed(spark))
+    assert(out1 == out2, "re-reads must not re-stage or duplicate")
+    val rows = graft.operators.Formats.csvMalformed(spark).collect()
+    assert(rows.length == 5)
+    assert(rows.count(_.getBoolean(3)) == 3)
+    rows.filter(_.getBoolean(3)).foreach(r =>
+      assert(r.getString(4).nonEmpty, "quarantined rows carry the raw line"))
+    rows.filterNot(_.getBoolean(3)).foreach(r =>
+      assert(r.getString(4).isEmpty))
+  }
+
+  test("SQL-defined scalar UDF inlines into the plan (no UDF call node)") {
+    val df = SparkEntry.queries("q_sql_udf")(spark, sf())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("batchevalpython")
+      && !plan.contains("ScalaUDF"),
+      s"SQL UDF must inline, not stay a black-box call:\n$plan")
+    assert(canon(df).nonEmpty)
+  }
+}
