@@ -38,6 +38,8 @@ object TextQueries {
     "q_line_dedup" -> ((s, d) => Dedup.lineDedup(s, d)),
     // Native catalyst Generator (UDTF) via LATERAL VIEW in SQL text.
     "q_udtf_lines" -> ((s, d) => TextAnalysis.udtfLines(s, d)),
+    // Zipf slope of the token frequency distribution (fixed-point LSQ).
+    "q_zipf_fit" -> ((s, d) => TextAnalysis.zipfFit(s, d)),
     "q_train_split" -> ((s, d) => graft.operators.DataPrep.trainSplit(s, d)),
     "q_time_split" -> ((s, d) => graft.operators.DataPrep.timeSplit(s, d)),
     "q_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
@@ -277,6 +279,34 @@ object TextQueries {
         |  (1000000 * CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT))
         |    // CAST(count(*) AS BIGINT) AS oov_ppm
         |FROM j GROUP BY doc_id""".stripMargin,
+
+    // identical fixed-point regression; HUGEINT carries the cross
+    // terms where Spark uses DECIMAL(38,0); numerator sign-flipped so
+    // the integral division runs on positives in both engines
+    "q_zipf_fit" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |    AS token
+        |  FROM documents
+        |), c AS (
+        |  SELECT token, count(*) AS n FROM toks GROUP BY token
+        |  ORDER BY n DESC, token LIMIT 100
+        |), r AS (
+        |  SELECT row_number() OVER (ORDER BY n DESC, token) AS rnk, n FROM c
+        |), p AS (
+        |  SELECT CAST(round(ln(rnk) * 1000000) AS BIGINT) AS x,
+        |         CAST(round(ln(n) * 1000000) AS BIGINT) AS y
+        |  FROM r
+        |), s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x*x) AS HUGEINT) AS sxx,
+        |    CAST(sum(x*y) AS HUGEINT) AS sxy
+        |  FROM p)
+        |SELECT k AS n_points,
+        |  CAST((1000000 * (sx * sy - k * sxy)) // (k * sxx - sx * sx)
+        |    AS BIGINT) AS slope_neg_ppm
+        |FROM s""".stripMargin,
 
     // the generator's rows restated as the segment CTE
     "q_udtf_lines" ->

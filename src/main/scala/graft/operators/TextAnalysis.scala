@@ -468,6 +468,45 @@ object TextAnalysis {
         expr("(1000000 * n_oov) div n_tokens").as("oov_ppm"))
   }
 
+  /** Zipf power-law fit of the token frequency distribution — the
+    * corpus-health diagnostic (natural text slopes near −1; generated
+    * or templated text flattens or steepens it): least-squares slope of
+    * ln(freq) on ln(rank) over the top-K tokens. Frequencies are a
+    * distributed hash aggregate + TakeOrdered top-K; the regression
+    * runs over K bounded rows, so ranking cost is vocab-bounded, not
+    * corpus-bounded. House float discipline: ln() is a per-row scalar
+    * on exact integer inputs, snapped to 1e-6 fixed point BEFORE the
+    * sums, which are integer; the final slope is integer division of
+    * DECIMAL(38,0) cross-terms (numerator sign-flipped so both engines'
+    * integral division agree on positives) — reported as the NEGATED
+    * slope in ppm.
+    */
+  def zipfFit(spark: SparkSession, sfDir: String, topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(wsTokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(topK)
+    val pts = counts
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))))
+      .select(
+        round(log(col("rnk").cast("double")) * 1e6).cast("long").as("x"),
+        round(log(col("n").cast("double")) * 1e6).cast("long").as("y"))
+    pts.agg(
+        count(lit(1)).as("k"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("k").as("n_points"),
+        expr(
+          """(1000000 * (CAST(sx AS DECIMAL(38,0)) * sy
+            |            - k * CAST(sxy AS DECIMAL(38,0))))
+            |  div (k * CAST(sxx AS DECIMAL(38,0))
+            |       - CAST(sx AS DECIMAL(38,0)) * sx)""".stripMargin)
+          .as("slope_neg_ppm"))
+  }
+
   /** The corpus-curation terminal: exact dedup ∧ quality gate ∧
     * language verification composed into one pass, reported per
     * (source, lang) stratum — raw count, post-dedup canonical count,
