@@ -53,6 +53,7 @@ object AnalyticsQueries {
     "q_percentile" -> ((s, d) => Analytics.quantiles(s, d)),
     "q_winsorize" -> ((s, d) => Analytics.winsorize(s, d)),
     "q_skyline" -> ((s, d) => Analytics.skyline(s, d)),
+    "q_transpose" -> ((s, d) => Analytics.transposeMetrics(s, d)),
     "q_scalar_funcs" -> ((s, d) => Analytics.scalarFuncs(s, d)),
     "q_grouping_sets" -> ((s, d) => Analytics.groupingSetsAgg(s, d)),
     "q_stats_moments" -> ((s, d) => Analytics.statsMoments(s, d)),
@@ -766,6 +767,29 @@ object AnalyticsQueries {
         |      CAST(c.hi AS DECIMAL(18,2))), CAST(c.lo AS DECIMAL(18,2))))
         |    * 100 AS BIGINT) AS clipped_cents
         |FROM r JOIN c USING (event_type) GROUP BY 1""".stripMargin,
+
+    // transpose restated as conditional-aggregation pivot: one row per
+    // metric, one column per event type
+    "q_transpose" ->
+      """WITH a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT)
+        |      AS total_cents
+        |  FROM events GROUP BY 1)
+        |SELECT 'n_events' AS key,
+        |  max(CASE WHEN event_type = 'click' THEN n_events END) AS click,
+        |  max(CASE WHEN event_type = 'error' THEN n_events END) AS error,
+        |  max(CASE WHEN event_type = 'purchase' THEN n_events END) AS purchase,
+        |  max(CASE WHEN event_type = 'signup' THEN n_events END) AS signup,
+        |  max(CASE WHEN event_type = 'view' THEN n_events END) AS view
+        |FROM a
+        |UNION ALL
+        |SELECT 'total_cents',
+        |  max(CASE WHEN event_type = 'click' THEN total_cents END),
+        |  max(CASE WHEN event_type = 'error' THEN total_cents END),
+        |  max(CASE WHEN event_type = 'purchase' THEN total_cents END),
+        |  max(CASE WHEN event_type = 'signup' THEN total_cents END),
+        |  max(CASE WHEN event_type = 'view' THEN total_cents END)
+        |FROM a""".stripMargin,
 
     // same frontier formulation (per-price max size, running-max scan);
     // prices compared only, never computed with, so doubles are safe

@@ -1080,6 +1080,22 @@ object Analytics {
         (sum(clipped) * 100).cast("long").as("clipped_cents"))
   }
 
+  /** Spark 4 `Dataset.transpose`: flip a small per-type metrics
+    * aggregate so metrics become rows and event types become columns —
+    * the report-layout step BI surfaces want without a client-side
+    * pivot. Transpose is driver-bounded by design (the new column set
+    * is the index column's VALUES), so it belongs strictly AFTER an
+    * aggregation that bounds cardinality — here 5 event types × 2
+    * metrics; the heavy lifting stays in the distributed aggregate.
+    */
+  def transposeMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val wide = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(dec("value")) * 100).cast("long").as("total_cents"))
+    wide.transpose(col("event_type"))
+  }
+
   /** 2-D skyline (Pareto frontier) of the part catalog: the parts no
     * other part dominates on (cheaper-or-equal price, larger-or-equal
     * size, at least one strict). The naive formulation is an all-pairs
