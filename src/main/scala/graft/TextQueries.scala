@@ -72,6 +72,7 @@ object TextQueries {
     "q_triangles" -> ((s, d) => graft.operators.Graph.triangles(s, d)),
     "q_reach_bfs" -> ((s, d) => graft.operators.Graph.reachBfs(s, d)),
     "q_kcore" -> ((s, d) => graft.operators.Graph.kcore(s, d)),
+    "q_label_prop" -> ((s, d) => graft.operators.Graph.labelProp(s, d)),
     "q_bm25_top" -> ((s, d) => TextAnalysis.bm25Top(s, d)),
     "q_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "q_char_entropy" -> ((s, d) => TextAnalysis.charEntropy(s, d)),
@@ -523,6 +524,33 @@ object TextQueries {
            |  r3.rank_f AS pagerank_f,
            |  CAST(round(CAST(r3.rank_f AS DOUBLE) / 1e12, 9) AS DOUBLE) AS pagerank
            |FROM r3 LEFT JOIN deg ON r3.doc_id = deg.src""".stripMargin
+    },
+
+    // Three synchronous LPA rounds unrolled — per-neighbor label votes,
+    // argmax by (count desc, label asc), no-vote nodes keep their label
+    "q_label_prop" -> {
+      val iter = (i: Int) =>
+        s"""v$i AS (SELECT e.dst, l.lbl, count(*) AS c
+           |  FROM edges e JOIN l${i - 1} l ON e.src = l.doc_id
+           |  GROUP BY 1, 2),
+           |b$i AS (SELECT dst, lbl FROM (
+           |    SELECT dst, lbl, row_number() OVER (PARTITION BY dst
+           |      ORDER BY c DESC, lbl) AS rn FROM v$i)
+           |  WHERE rn = 1),
+           |l$i AS (SELECT l.doc_id, coalesce(b.lbl, l.lbl) AS lbl
+           |  FROM l${i - 1} l LEFT JOIN b$i b ON l.doc_id = b.dst)""".stripMargin
+      bandsCte +
+        s""",
+           |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b ON a.band_id = b.band_id
+           |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+           |  UNION ALL SELECT doc_b, doc_a FROM prs),
+           |l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)}
+           |SELECT doc_id, lbl AS label FROM l3""".stripMargin
     },
 
     // Three k=2 peeling rounds unrolled — each round keeps edges whose

@@ -208,4 +208,39 @@ object Graph {
       |  FROM reach GROUP BY src, node)
       |SELECT hop, CAST(count(*) AS BIGINT) AS n_pairs
       |FROM best GROUP BY hop""".stripMargin
+
+  /** Synchronous label propagation (3 rounds) over the candidate graph
+    * — the lightweight community detector between plain connected
+    * components (which merge everything touching) and the heavier
+    * modularity methods: each round, every node adopts the most common
+    * label among its neighbors, ties to the SMALLEST label, no-neighbor
+    * nodes keeping their current label. The deterministic tie-break and
+    * a fixed round count make the whole loop ONE declarative plan
+    * (pagerank's design) that both engines replay exactly — no
+    * random-order asynchrony, which is what makes textbook LPA
+    * irreproducible. Per round: one shuffle of (dst, lbl) long pairs +
+    * one hash aggregate + one per-node window — edges only, never text.
+    */
+  def labelProp(spark: SparkSession, sfDir: String, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Dedup.minhashPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).truncateLineage()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val init = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("doc_id").as("lbl"))
+    val last = (1 to iters).foldLeft(init) { (lab, _) =>
+      val votes = edges
+        .join(lab.select(col("doc_id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+      val best = votes
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("dst")).orderBy(col("c").desc, col("lbl"))))
+        .filter(col("rn") === 1)
+        .select(col("dst"), col("lbl").as("new_lbl"))
+      lab.join(best, lab("doc_id") === best("dst"), "left")
+        .select(lab("doc_id"), coalesce(col("new_lbl"), lab("lbl")).as("lbl"))
+    }
+    last.select(col("doc_id"), col("lbl").as("label"))
+  }
 }
