@@ -54,6 +54,7 @@ object AnalyticsQueries {
     "q_winsorize" -> ((s, d) => Analytics.winsorize(s, d)),
     "q_skyline" -> ((s, d) => Analytics.skyline(s, d)),
     "q_transpose" -> ((s, d) => Analytics.transposeMetrics(s, d)),
+    "q_cogroup" -> ((s, d) => Analytics.cogroupReconcile(s, d)),
     "q_scalar_funcs" -> ((s, d) => Analytics.scalarFuncs(s, d)),
     "q_grouping_sets" -> ((s, d) => Analytics.groupingSetsAgg(s, d)),
     "q_stats_moments" -> ((s, d) => Analytics.statsMoments(s, d)),
@@ -767,6 +768,18 @@ object AnalyticsQueries {
         |      CAST(c.hi AS DECIMAL(18,2))), CAST(c.lo AS DECIMAL(18,2))))
         |    * 100 AS BIGINT) AS clipped_cents
         |FROM r JOIN c USING (event_type) GROUP BY 1""".stripMargin,
+
+    // cogroup restated relationally: header join items, grouped
+    "q_cogroup" ->
+      """SELECT o.o_orderkey,
+        |  CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    AS total_cents,
+        |  CAST(coalesce(sum(
+        |    CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)),
+        |    0) AS BIGINT) AS gross_cents,
+        |  CAST(count(l.l_orderkey) AS BIGINT) AS n_items
+        |FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1, 2""".stripMargin,
 
     // transpose restated as conditional-aggregation pivot: one row per
     // metric, one column per event type

@@ -1080,6 +1080,41 @@ object Analytics {
         (sum(clipped) * 100).cast("long").as("clipped_cents"))
   }
 
+  /** Typed `KeyValueGroupedDataset.cogroup` — the Dataset API for
+    * per-key logic over TWO co-partitioned streams without building the
+    * join product: orders and their lineitems arrive as per-key
+    * iterators after ONE hash shuffle per side, and the lambda emits
+    * one reconciliation row per order (header total vs items gross,
+    * item count). The logic here is deliberately relational-equivalent
+    * so the LEFT JOIN + GROUP BY oracle checks it; cogroup's real
+    * purchase is per-key code that ISN'T — sequence alignment, ordered
+    * merges, per-key state machines — which rides this exact shuffle
+    * shape. Amounts stay exact integer cents end-to-end.
+    */
+  def cogroupReconcile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        (dec("o_totalprice") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents"))
+      .as[(Long, Long)]
+    orders.groupByKey(_._1).cogroup(items.groupByKey(_._1)) {
+      (key, os, is) =>
+        val o = os.toList
+        if (o.isEmpty) Iterator.empty // item without header: not this row's job
+        else {
+          var n = 0L
+          var gross = 0L
+          is.foreach { i => n += 1; gross += i._2 }
+          Iterator((key, o.head._2, gross, n))
+        }
+    }.toDF("o_orderkey", "total_cents", "gross_cents", "n_items")
+  }
+
   /** Spark 4 `Dataset.transpose`: flip a small per-type metrics
     * aggregate so metrics become rows and event types become columns —
     * the report-layout step BI surfaces want without a client-side
