@@ -40,6 +40,21 @@ object TextQueries {
     "q_udtf_lines" -> ((s, d) => TextAnalysis.udtfLines(s, d)),
     // Zipf slope of the token frequency distribution (fixed-point LSQ).
     "q_zipf_fit" -> ((s, d) => TextAnalysis.zipfFit(s, d)),
+    // Spark 4 listagg WITHIN GROUP — ordered string aggregation; the
+    // ORDER BY inside the aggregate makes the result deterministic
+    // (unordered listagg would hash-mismatch by partition order). The
+    // agg runs over the DISTINCT (source, lang) relation, so the
+    // concatenated value is bounded by |langs|, not corpus size.
+    "q_listagg" -> ((s, d) => {
+      graft.sources.Tables.documents(s, d)
+        .createOrReplaceTempView("documents")
+      s.sql(
+        """SELECT source,
+          |  listagg(lang, ',') WITHIN GROUP (ORDER BY lang) AS langs,
+          |  CAST(count(*) AS BIGINT) AS n_langs
+          |FROM (SELECT DISTINCT source, lang FROM documents)
+          |GROUP BY source""".stripMargin)
+    }),
     "q_train_split" -> ((s, d) => graft.operators.DataPrep.trainSplit(s, d)),
     "q_time_split" -> ((s, d) => graft.operators.DataPrep.timeSplit(s, d)),
     "q_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
@@ -280,6 +295,14 @@ object TextQueries {
         |  (1000000 * CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT))
         |    // CAST(count(*) AS BIGINT) AS oov_ppm
         |FROM j GROUP BY doc_id""".stripMargin,
+
+    // DuckDB's ordered string_agg is listagg WITHIN GROUP
+    "q_listagg" ->
+      """SELECT source,
+        |  string_agg(lang, ',' ORDER BY lang) AS langs,
+        |  CAST(count(*) AS BIGINT) AS n_langs
+        |FROM (SELECT DISTINCT source, lang FROM documents)
+        |GROUP BY source""".stripMargin,
 
     // identical fixed-point regression; HUGEINT carries the cross
     // terms where Spark uses DECIMAL(38,0); numerator sign-flipped so

@@ -238,8 +238,12 @@ object Graph {
           Window.partitionBy(col("dst")).orderBy(col("c").desc, col("lbl"))))
         .filter(col("rn") === 1)
         .select(col("dst"), col("lbl").as("new_lbl"))
+      // each round references `lab` twice (vote source + carry-through):
+      // an uncut fold re-derives round i-1's subtree 2^i times — same
+      // blowup the kcore peel hit; truncation keeps the plan linear
       lab.join(best, lab("doc_id") === best("dst"), "left")
         .select(lab("doc_id"), coalesce(col("new_lbl"), lab("lbl")).as("lbl"))
+        .truncateLineage()
     }
     last.select(col("doc_id"), col("lbl").as("label"))
   }
