@@ -55,6 +55,7 @@ object AnalyticsQueries {
     "q_skyline" -> ((s, d) => Analytics.skyline(s, d)),
     "q_transpose" -> ((s, d) => Analytics.transposeMetrics(s, d)),
     "q_cogroup" -> ((s, d) => Analytics.cogroupReconcile(s, d)),
+    "q_bitmap_distinct" -> ((s, d) => Analytics.bitmapDistinctDaily(s, d)),
     "q_scalar_funcs" -> ((s, d) => Analytics.scalarFuncs(s, d)),
     "q_grouping_sets" -> ((s, d) => Analytics.groupingSetsAgg(s, d)),
     "q_stats_moments" -> ((s, d) => Analytics.statsMoments(s, d)),
@@ -768,6 +769,14 @@ object AnalyticsQueries {
         |      CAST(c.hi AS DECIMAL(18,2))), CAST(c.lo AS DECIMAL(18,2))))
         |    * 100 AS BIGINT) AS clipped_cents
         |FROM r JOIN c USING (event_type) GROUP BY 1""".stripMargin,
+
+    // both columns are the same exact distinct count
+    "q_bitmap_distinct" ->
+      """SELECT strftime(CAST(date_trunc('day', ts) AS TIMESTAMP),
+        |    '%Y-%m-%d') AS day,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_bitmap,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact
+        |FROM events GROUP BY 1""".stripMargin,
 
     // cogroup restated relationally: header join items, grouped
     "q_cogroup" ->

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** EXACT distinct counting over a bounded integer id domain through the
+  * PUBLIC `Aggregator` + `functions.udaf` tier — the extension path a
+  * LIBRARY USER takes (no catalyst internals, unlike the in-house
+  * `TypedImperativeAggregate`s SpaceSavingAgg / QuantileSketchAgg /
+  * MinHashUnionAgg): state is a fixed-size bitmap, `reduce` sets a bit,
+  * `merge` ORs word-wise, `finish` popcounts — fully mergeable, so
+  * map-side partial aggregation works and the shuffle carries one
+  * bitmap per group per map task instead of the id stream. This is the
+  * dense block of the roaring-bitmap design; at an unbounded or sparse
+  * domain you page the bitmap into keyed blocks (or fall back to the
+  * audited HLL/KMV sketches, which bound state regardless of domain).
+  *
+  * capacityBits fixes the state size (capacity/8 bytes); out-of-domain
+  * ids fail loudly rather than alias.
+  */
+class BitmapDistinctAgg(capacityBits: Int)
+  extends Aggregator[Long, Array[Long], Long] {
+
+  private val words = (capacityBits + 63) >>> 6
+
+  override def zero: Array[Long] = new Array[Long](words)
+
+  override def reduce(b: Array[Long], id: Long): Array[Long] = {
+    require(id >= 0 && id < capacityBits,
+      s"id $id outside bitmap domain [0, $capacityBits)")
+    b((id >>> 6).toInt) |= 1L << (id & 63)
+    b
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < words) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def finish(b: Array[Long]): Long = {
+    var n = 0L
+    var i = 0
+    while (i < words) { n += java.lang.Long.bitCount(b(i)); i += 1 }
+    n
+  }
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
+object BitmapDistinct {
+  /** Column form, ready for `df.agg(...)`; 2^20-bit default domain. */
+  def bitmapDistinct(c: Column, capacityBits: Int = 1 << 20): Column =
+    udaf(new BitmapDistinctAgg(capacityBits)).apply(c)
+}

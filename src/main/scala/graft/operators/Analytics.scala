@@ -1080,6 +1080,22 @@ object Analytics {
         (sum(clipped) * 100).cast("long").as("clipped_cents"))
   }
 
+  /** Daily exact distinct users via the PUBLIC `Aggregator`/`udaf`
+    * extension tier ([[graft.functions.BitmapDistinctAgg]]) — alongside
+    * the exact COUNT(DISTINCT) so the oracle checks the bitmap path
+    * bit-for-bit. The bitmap partial-aggregates map-side: each map task
+    * ships one fixed-size bitmap per day, not its id stream — the
+    * count-distinct shape that survives fan-in at 100 TB for bounded
+    * id domains (unbounded domains use the audited HLL/KMV sketches).
+    */
+  def bitmapDistinctDaily(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).cast("string").as("day"))
+      .agg(
+        graft.functions.BitmapDistinct.bitmapDistinct(col("user_id"))
+          .as("n_users_bitmap"),
+        countDistinct(col("user_id")).as("n_users_exact"))
+
   /** Typed `KeyValueGroupedDataset.cogroup` — the Dataset API for
     * per-key logic over TWO co-partitioned streams without building the
     * join product: orders and their lineitems arrive as per-key

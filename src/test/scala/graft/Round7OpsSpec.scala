@@ -97,6 +97,22 @@ class Round7OpsSpec extends SparkTestBase {
       assert(r.getString(4).isEmpty))
   }
 
+  test("bitmap distinct merges partials exactly and fails loudly out of domain") {
+    import spark.implicits._
+    // 40 partitions of a skewed id stream force real partial merges
+    val ids = (0L until 5000L).flatMap(i => Seq(i % 97, i % 89)).toDF("id")
+      .repartition(40)
+    val n = ids.agg(
+      graft.functions.BitmapDistinct.bitmapDistinct(col("id")).as("n"))
+      .head.getLong(0)
+    assert(n == 97)
+    val err = intercept[Exception] {
+      Seq(1L << 30).toDF("id").agg(
+        graft.functions.BitmapDistinct.bitmapDistinct(col("id"))).head
+    }
+    assert(err.getMessage != null)
+  }
+
   test("SQL-defined scalar UDF inlines into the plan (no UDF call node)") {
     val df = SparkEntry.queries("q_sql_udf")(spark, sf())
     val plan = df.queryExecution.executedPlan.toString
