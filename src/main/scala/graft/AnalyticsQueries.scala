@@ -188,6 +188,39 @@ object AnalyticsQueries {
         Map("start" -> "1996-01-01", "status" -> "F"))
     }),
 
+    // IDENTIFIER() binding — q_sql_params covers VALUES; this covers
+    // the other injection channel, dynamic TABLE/COLUMN references: the
+    // marker binds as an identifier, not a string literal, so a hostile
+    // "name" cannot smuggle SQL while templated reports still pick
+    // their table and group-by column at run time.
+    "q_sql_identifier" -> ((s, d) => {
+      graft.sources.Tables.part(s, d).createOrReplaceTempView("part")
+      s.sql(
+        """SELECT IDENTIFIER(:grp) AS grouped,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(max(p_size) AS INT) AS max_size
+          |FROM IDENTIFIER(:tbl) GROUP BY IDENTIFIER(:grp)""".stripMargin,
+        Map("grp" -> "p_brand", "tbl" -> "part"))
+    }),
+
+    // Spark 4 SQL SCRIPTING (BEGIN … END): multi-statement batches with
+    // declared session variables and scalar-subquery assignment — the
+    // stored-procedure shape migrating warehouses carry. The script's
+    // final statement is the result; the variable is resolved server-
+    // side, so the threshold never round-trips through the client.
+    // Integer arithmetic only (a float avg threshold would be summation-
+    // order-dependent at the boundary).
+    "q_sql_script" -> ((s, d) => {
+      graft.sources.Tables.part(s, d).createOrReplaceTempView("part")
+      s.sql(
+        """BEGIN
+          |  DECLARE cutoff INT;
+          |  SET cutoff = (SELECT max(p_size) FROM part) - 5;
+          |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_large
+          |  FROM part WHERE p_size >= cutoff GROUP BY p_brand;
+          |END""".stripMargin)
+    }),
+
     // Spark 4 SQL-DEFINED scalar functions (`CREATE FUNCTION … RETURN
     // expr`): users extend the engine in SQL itself — no Scala, no UDF
     // registration API. The function body is INLINED into the calling
@@ -1267,6 +1300,19 @@ object AnalyticsQueries {
         |FROM orders
         |WHERE o_orderdate >= '1996-01-01' AND o_orderstatus = 'F'
         |GROUP BY o_orderpriority""".stripMargin,
+
+    // identifiers inlined by hand
+    "q_sql_identifier" ->
+      """SELECT p_brand AS grouped, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(max(p_size) AS INTEGER) AS max_size
+        |FROM part GROUP BY p_brand""".stripMargin,
+
+    // the script's variable restated as an inline scalar subquery
+    "q_sql_script" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_large
+        |FROM part
+        |WHERE p_size >= (SELECT max(p_size) FROM part) - 5
+        |GROUP BY p_brand""".stripMargin,
 
     // the SQL-UDF bodies inlined by hand (no function definitions)
     "q_sql_udf" ->
