@@ -56,6 +56,8 @@ object AnalyticsQueries {
     "q_transpose" -> ((s, d) => Analytics.transposeMetrics(s, d)),
     "q_cogroup" -> ((s, d) => Analytics.cogroupReconcile(s, d)),
     "q_bitmap_distinct" -> ((s, d) => Analytics.bitmapDistinctDaily(s, d)),
+    "q_hll_intersect" -> ((s, d) => Analytics.hllIntersect(s, d)),
+    "q_anomaly_mad" -> ((s, d) => Analytics.anomalyMad(s, d)),
     "q_scalar_funcs" -> ((s, d) => Analytics.scalarFuncs(s, d)),
     "q_grouping_sets" -> ((s, d) => Analytics.groupingSetsAgg(s, d)),
     "q_stats_moments" -> ((s, d) => Analytics.statsMoments(s, d)),
@@ -802,6 +804,53 @@ object AnalyticsQueries {
         |      CAST(c.hi AS DECIMAL(18,2))), CAST(c.lo AS DECIMAL(18,2))))
         |    * 100 AS BIGINT) AS clipped_cents
         |FROM r JOIN c USING (event_type) GROUP BY 1""".stripMargin,
+
+    // inclusion–exclusion pinned exactly; the sketch estimate stays out
+    // of the contract behind the tolerance verdict
+    "q_hll_intersect" ->
+      """WITH s AS (SELECT
+        |  count(DISTINCT CASE WHEN event_type = 'click'
+        |    THEN user_id END) AS n_click,
+        |  count(DISTINCT CASE WHEN event_type = 'purchase'
+        |    THEN user_id END) AS n_buy,
+        |  count(DISTINCT CASE WHEN event_type IN ('click', 'purchase')
+        |    THEN user_id END) AS n_union
+        |  FROM events)
+        |SELECT CAST(n_click AS BIGINT) AS n_click,
+        |  CAST(n_buy AS BIGINT) AS n_buy,
+        |  CAST(n_click + n_buy - n_union AS BIGINT) AS n_both_exact,
+        |  TRUE AS within_tol
+        |FROM s""".stripMargin,
+
+    // identical discrete-median replay: rank (n+1)//2 under the same
+    // deterministic (value, day) total order, integer-cents fences
+    "q_anomaly_mad" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d')
+        |      AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY cents, day) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM daily),
+        |med AS (SELECT event_type, cents AS med_cents FROM r
+        |  WHERE rn = (n + 1) // 2),
+        |dev AS (SELECT d.event_type, d.day,
+        |    abs(d.cents - m.med_cents) AS dev, m.med_cents
+        |  FROM daily d JOIN med m USING (event_type)),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY dev, day) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM dev),
+        |mad AS (SELECT event_type, dev AS mad_cents FROM r2
+        |  WHERE rn = (n + 1) // 2)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(min(d.med_cents) AS BIGINT) AS med_cents,
+        |  CAST(min(m.mad_cents) AS BIGINT) AS mad_cents,
+        |  CAST(sum(CASE WHEN d.dev > m.mad_cents * 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_anomalies
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY 1""".stripMargin,
 
     // both columns are the same exact distinct count
     "q_bitmap_distinct" ->

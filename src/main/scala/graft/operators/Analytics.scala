@@ -1080,6 +1080,80 @@ object Analytics {
         (sum(clipped) * 100).cast("long").as("clipped_cents"))
   }
 
+  /** Sketch SET ALGEBRA: distinct-user overlap of two behavior segments
+    * by inclusion–exclusion over HLL sketches — |A∩B| ≈ |A|+|B|−|A∪B|
+    * with the union taken by merging the two sketches, never
+    * re-scanning raw ids. This is the segment-overlap question
+    * (clickers who also purchase) answered from stored per-segment
+    * sketches at 100 TB; exact counts ride the same single pass via
+    * conditional countDistinct so the oracle pins them, and the
+    * estimate stays OUT of the contract (engine sketch state) behind an
+    * integer tolerance verdict — the house audit discipline.
+    */
+  def hllIntersect(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .agg(
+        countDistinct(when(col("event_type") === "click", col("user_id")))
+          .as("n_click"),
+        countDistinct(when(col("event_type") === "purchase", col("user_id")))
+          .as("n_buy"),
+        countDistinct(when(col("event_type").isin("click", "purchase"),
+          col("user_id"))).as("n_union"),
+        hll_sketch_agg(
+          when(col("event_type") === "click", col("user_id"))).as("sk_a"),
+        hll_sketch_agg(
+          when(col("event_type") === "purchase", col("user_id"))).as("sk_b"))
+      .select(col("n_click"), col("n_buy"),
+        (col("n_click") + col("n_buy") - col("n_union")).as("n_both_exact"),
+        (hll_sketch_estimate(col("sk_a"))
+          + hll_sketch_estimate(col("sk_b"))
+          - hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+          .as("est"))
+      .select(col("n_click"), col("n_buy"), col("n_both_exact"),
+        (abs(col("est") - col("n_both_exact"))
+          <= col("n_both_exact") * lit(0.2) + lit(5)).as("within_tol"))
+
+  /** Robust anomaly detection on the daily flow: median + MAD (median
+    * absolute deviation) instead of mean + stddev — the detector that
+    * still works when the anomalies themselves pollute the baseline
+    * (one 100× day drags a mean-based z-score's threshold, but moves
+    * the median not at all). Both medians are exact DISCRETE picks
+    * (rank (n+1) div 2 under a deterministic total order, winsorize's
+    * rule), deviations and the 3×MAD fence are exact integer cents —
+    * both engines select the identical data elements, so the flag set
+    * is bit-stable. Per-type total orders bound the windows by
+    * |days|, not corpus size; the raw scan aggregates once.
+    */
+  def anomalyMad(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        to_date(col("ts")).cast("string").as("day"))
+      .agg((sum(dec("value")) * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents"), col("day"))
+    val ranked = daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val med = ranked.filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("cents").as("med_cents"))
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("cents") - col("med_cents")))
+    val wd = Window.partitionBy(col("event_type"))
+      .orderBy(col("dev"), col("day"))
+    val mad = dev
+      .withColumn("rn", row_number().over(wd))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("dev").as("mad_cents"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        first(col("med_cents")).as("med_cents"),
+        first(col("mad_cents")).as("mad_cents"),
+        sum(when(col("dev") > col("mad_cents") * 3, 1L).otherwise(0L))
+          .as("n_anomalies"))
+  }
+
   /** Daily exact distinct users via the PUBLIC `Aggregator`/`udaf`
     * extension tier ([[graft.functions.BitmapDistinctAgg]]) — alongside
     * the exact COUNT(DISTINCT) so the oracle checks the bitmap path
