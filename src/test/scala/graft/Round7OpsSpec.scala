@@ -113,6 +113,32 @@ class Round7OpsSpec extends SparkTestBase {
     assert(err.getMessage != null)
   }
 
+  test("ANALYZE TABLE statistics reach the optimizer's cost model") {
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      graft.sources.Tables.nation(spark, sf())
+        .write.mode("overwrite").saveAsTable("graft_cbo_nation")
+      spark.sql("ANALYZE TABLE graft_cbo_nation COMPUTE STATISTICS " +
+        "FOR COLUMNS n_nationkey")
+      val plan = spark.table("graft_cbo_nation")
+        .queryExecution.optimizedPlan
+      val stats = plan.stats
+      assert(stats.rowCount.contains(BigInt(25)),
+        s"ANALYZE row count must reach the cost model: $stats")
+      val colStats = stats.attributeStats.toSeq
+        .find(_._1.name == "n_nationkey").map(_._2)
+      assert(colStats.exists(_.distinctCount.contains(BigInt(25))),
+        s"column-level NDV must reach the cost model: $colStats")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_cbo_nation")
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+    }
+  }
+
   test("SQL-defined scalar UDF inlines into the plan (no UDF call node)") {
     val df = SparkEntry.queries("q_sql_udf")(spark, sf())
     val plan = df.queryExecution.executedPlan.toString
