@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions.udaf
   *
   * capacityBits fixes the state size (capacity/8 bytes); out-of-domain
   * ids fail loudly rather than alias.
+  *
+  * Cost note (measured): the public tier round-trips the buffer through
+  * its Encoder on EVERY update — an Array[Long] buffer pays O(words)
+  * ser/de per input row, so capacity directly multiplies per-row cost
+  * (1 M bits benched 18 s over the sf0.1 events table; 64 K bits ~1 s).
+  * That is the tier's trade: zero catalyst internals, but object-state
+  * hot loops belong in a `TypedImperativeAggregate` (SpaceSavingAgg's
+  * shape), which keeps the buffer as a live JVM object between rows.
   */
 class BitmapDistinctAgg(capacityBits: Int)
   extends Aggregator[Long, Array[Long], Long] {
@@ -52,7 +60,9 @@ class BitmapDistinctAgg(capacityBits: Int)
 }
 
 object BitmapDistinct {
-  /** Column form, ready for `df.agg(...)`; 2^20-bit default domain. */
-  def bitmapDistinct(c: Column, capacityBits: Int = 1 << 20): Column =
+  /** Column form, ready for `df.agg(...)`; 2^16-bit default domain
+    * (covers the sf1 user space with headroom — see the cost note).
+    */
+  def bitmapDistinct(c: Column, capacityBits: Int = 1 << 16): Column =
     udaf(new BitmapDistinctAgg(capacityBits)).apply(c)
 }
