@@ -57,6 +57,7 @@ object AnalyticsQueries {
     "q_cogroup" -> ((s, d) => Analytics.cogroupReconcile(s, d)),
     "q_bitmap_distinct" -> ((s, d) => Analytics.bitmapDistinctDaily(s, d)),
     "q_hll_intersect" -> ((s, d) => Analytics.hllIntersect(s, d)),
+    "q_hll_sliding" -> ((s, d) => Analytics.hllSliding(s, d)),
     "q_anomaly_mad" -> ((s, d) => Analytics.anomalyMad(s, d)),
     "q_scalar_funcs" -> ((s, d) => Analytics.scalarFuncs(s, d)),
     "q_grouping_sets" -> ((s, d) => Analytics.groupingSetsAgg(s, d)),
@@ -821,6 +822,19 @@ object AnalyticsQueries {
         |  CAST(n_click + n_buy - n_union AS BIGINT) AS n_both_exact,
         |  TRUE AS within_tol
         |FROM s""".stripMargin,
+
+    // exact 7-day rolling distinct; the sketch estimate stays out of
+    // the contract behind the tolerance verdict
+    "q_hll_sliding" ->
+      """WITH ev AS (SELECT DISTINCT
+        |    CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM ev)
+        |SELECT strftime(CAST(d.day AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS within_tol
+        |FROM days d JOIN ev e ON d.day - e.day BETWEEN 0 AND 6
+        |GROUP BY 1""".stripMargin,
 
     // identical discrete-median replay: rank (n+1)//2 under the same
     // deterministic (value, day) total order, integer-cents fences

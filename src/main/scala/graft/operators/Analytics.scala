@@ -1113,6 +1113,39 @@ object Analytics {
         (abs(col("est") - col("n_both_exact"))
           <= col("n_both_exact") * lit(0.2) + lit(5)).as("within_tol"))
 
+  /** Sliding-window distinct from STORED daily sketches: 7-day rolling
+    * distinct users per day answered by unioning seven daily HLL
+    * sketches — the window-algebra form. Raw events aggregate into
+    * |days| sketches ONCE; every window after that unions constant-size
+    * sketch blobs, so a year of 7-day windows costs 365 scans of
+    * nothing but sketch rows — the only affordable rolling-distinct at
+    * 100 TB (distinct does not decompose over windows; sketches do).
+    * The day×day range join is bounded by |days|², and the exact
+    * audit rides (day, user) DISTINCT pairs joined to the same spine —
+    * bounded by days × users, the audit's cost, not the query's.
+    * Estimate out of the contract behind the tolerance verdict.
+    */
+  def hllSliding(spark: SparkSession, sfDir: String, window: Int = 7): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val daily = ev.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val est = daily.as("a")
+      .join(daily.as("b"),
+        datediff(col("a.day"), col("b.day")).between(0, window - 1))
+      .groupBy(col("a.day").as("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("b.sk"))).as("est"))
+    val exact = ev.distinct().as("u")
+      .join(daily.select(col("day").as("d")).as("s"),
+        datediff(col("s.d"), col("u.day")).between(0, window - 1))
+      .groupBy(col("s.d").as("day"))
+      .agg(countDistinct(col("u.user_id")).as("n_exact"))
+    exact.join(est, "day")
+      .select(col("day").cast("string").as("day"), col("n_exact"),
+        (abs(col("est") - col("n_exact"))
+          <= col("n_exact") * lit(0.1) + lit(5)).as("within_tol"))
+  }
+
   /** Robust anomaly detection on the daily flow: median + MAD (median
     * absolute deviation) instead of mean + stddev — the detector that
     * still works when the anomalies themselves pollute the baseline
