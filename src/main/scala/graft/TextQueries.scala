@@ -66,6 +66,8 @@ object TextQueries {
     "q_mixture_sample" -> ((s, d) => graft.operators.DataPrep.mixtureSample(s, d)),
     "q_pack_sequences" -> ((s, d) => graft.operators.DataPrep.packSequences(s, d)),
     "q_chunk_stride" -> ((s, d) => graft.operators.DataPrep.chunkStride(s, d)),
+    // Deterministic Poisson(1) bootstrap replicate assembly.
+    "q_bootstrap" -> ((s, d) => graft.operators.DataPrep.bootstrapPoisson(s, d)),
     "q_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_near" -> ((s, d) => Dedup.near(s, d)),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashBands(s, d)),
@@ -295,6 +297,27 @@ object TextQueries {
         |  (1000000 * CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT))
         |    // CAST(count(*) AS BIGINT) AS oov_ppm
         |FROM j GROUP BY doc_id""".stripMargin,
+
+    // identical md5-uniform -> Poisson(1) inverse-CDF in integer ppm
+    "q_bootstrap" ->
+      """WITH r AS (SELECT doc_id, unnest(range(1, 4)) AS rep
+        |  FROM documents),
+        |u AS (SELECT rep,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+        |    || CAST(rep AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000000
+        |    AS u_ppm
+        |  FROM r),
+        |k AS (SELECT rep,
+        |  CASE WHEN u_ppm < 367879 THEN 0 WHEN u_ppm < 735759 THEN 1
+        |       WHEN u_ppm < 919699 THEN 2 WHEN u_ppm < 981012 THEN 3
+        |       ELSE 4 END AS k
+        |  FROM u)
+        |SELECT CAST(rep AS INTEGER) AS rep,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(k) AS BIGINT) AS n_drawn,
+        |  CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi
+        |FROM k GROUP BY 1""".stripMargin,
 
     // DuckDB's ordered string_agg is listagg WITHIN GROUP
     "q_listagg" ->

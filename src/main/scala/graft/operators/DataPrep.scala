@@ -358,4 +358,35 @@ object DataPrep {
       .select(col("source"), col("n_docs"), col("n_kept"),
         (col("n_docs") - col("n_kept")).as("n_dropped"), col("kept_chars"))
   }
+
+  /** Deterministic Poisson(1) bootstrap replicates — the resampling
+    * primitive behind bagged quality models and uncertainty bands over
+    * corpus statistics. An RNG-based bootstrap is irreproducible across
+    * engines, worker counts, and retries; here each (doc, replicate)
+    * draw is the Poisson(1) inverse-CDF applied to an md5-derived
+    * uniform, with the CDF steps as INTEGER ppm literals (P(X≤k) for
+    * k=0..3 ≈ .367879/.735759/.919699/.981012) — so every engine deals
+    * every document the identical replicate multiplicity. Narrow
+    * per-row draws + one aggregate; replicates scale the scan by R,
+    * never shuffle the corpus.
+    */
+  def bootstrapPoisson(spark: SparkSession, sfDir: String, reps: Int = 3): DataFrame = {
+    val cdf = Seq(367879L, 735759L, 919699L, 981012L)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(sequence(lit(1), lit(reps))).as("rep"))
+      .withColumn("u_ppm",
+        conv(substring(md5(concat(col("doc_id"), lit("|"), col("rep"))), 1, 8),
+          16, 10).cast("bigint") % 1000000L)
+      .withColumn("k",
+        when(col("u_ppm") < cdf(0), 0L)
+          .when(col("u_ppm") < cdf(1), 1L)
+          .when(col("u_ppm") < cdf(2), 2L)
+          .when(col("u_ppm") < cdf(3), 3L)
+          .otherwise(4L))
+      .groupBy(col("rep").cast("int").as("rep"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("k")).as("n_drawn"),
+        sum(when(col("k") === 0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("k") >= 2, 1L).otherwise(0L)).as("n_multi"))
+  }
 }
