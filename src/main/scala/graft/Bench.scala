@@ -3,7 +3,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to the documented driver shape (local[32]) — a driver run
+    // that doesn't set the env var must measure the same parallelism the
+    // committed numbers use, or every parallel query reads 2-4x slow
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // dev iteration aids: restrict to a comma-list of query names, and/or
     // change the number of timed passes (min is reported per query)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

@@ -9,7 +9,7 @@ object Verify {
     // optional extra args: restrict the dump to these query names (dev
     // iteration aid; the driver always calls with exactly two args)
     val only = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") // driver shape: local[32]
     val spark = SparkSession.builder()
       // local[cpus, 3]: 3 task attempts = the reference's retries: 2
       // (one initial + two retries, Final_app.py:18-19) — G3 semantics.
