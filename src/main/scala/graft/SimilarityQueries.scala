@@ -15,6 +15,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk" -> ((s, d) => Similarity.topK(s, d)),
     "q_embed_stats" -> ((s, d) => Similarity.embedStats(s, d)),
+    "q_embed_cov" -> ((s, d) => Similarity.embedCov(s, d)),
     "q_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     // int8 scalar quantization: range + checksum view of the quantized
     // vectors (scalars, because array rendering differs per engine).
@@ -83,6 +84,23 @@ object SimilarityQueries {
         |  CAST(round(CAST(n * s2 - s1 * s1 AS DOUBLE) / n / n / 1e12, 6)
         |    AS DOUBLE) AS variance
         |FROM a""".stripMargin,
+
+    // upper-triangle covariance: same ×1e6 snap; HUGEINT cross-terms
+    // mirror Spark's DECIMAL(38,0), division text identical
+    "q_embed_cov" ->
+      """WITH t AS (SELECT vec_id AS vid, CAST(i - 1 AS INTEGER) AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS xi
+        |  FROM embeddings, range(1, 65) r(i)),
+        |p AS (SELECT a.dim AS dim_i, b.dim AS dim_j, a.xi AS xi, b.xi AS xj
+        |  FROM t a JOIN t b ON a.vid = b.vid AND a.dim <= b.dim),
+        |s AS (SELECT dim_i, dim_j, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xi * xj) AS HUGEINT) AS sxy,
+        |    CAST(sum(xi) AS HUGEINT) AS sx, CAST(sum(xj) AS HUGEINT) AS sy
+        |  FROM p GROUP BY 1, 2)
+        |SELECT dim_i, dim_j,
+        |  CAST(round(CAST(n * sxy - sx * sy AS DOUBLE) / n / n / 1e12, 6)
+        |    AS DOUBLE) + 0.0 AS cov
+        |FROM s""".stripMargin,
 
     // Unrolled 2-iteration Lloyd: every quantity is a positive BIGINT
     // (coordinates snapped ×1e6 then shifted +1e6), so floor division

@@ -381,6 +381,40 @@ object Similarity {
     * aggregation means the shuffle carries dims × partitions partial
     * buffers — never N×64 component rows.
     */
+  /** Full embedding COVARIANCE matrix — the whitening/PCA prep that
+    * [[embedStats]]'s per-dimension variances are the diagonal of. The
+    * d(d+1)/2 upper-triangle pairs are generated PER ROW inside the
+    * plan (nested transform over the array — no self-join, so the
+    * corpus is scanned once and never shuffled on vec_id); partial
+    * aggregation bounds the one shuffle at d² × partitions partial
+    * buffers. Components snap to ×10⁶ BIGINT before every product and
+    * sum (the embedStats discipline), so ΣxᵢΣxⱼ/Σxᵢxⱼ are exact
+    * integers in any summation order; cross-terms combine in
+    * DECIMAL(38,0) (DuckDB: HUGEINT) so corpus growth can't overflow
+    * the n·Σxy fold, and the final scalar division mirrors the oracle
+    * text exactly.
+    */
+  def embedCov(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(embedding) - 1), i ->
+          |  transform(sequence(i, size(embedding) - 1), j ->
+          |    struct(i AS di, j AS dj,
+          |      CAST(round(embedding[i] * 1e6) AS BIGINT) AS xi,
+          |      CAST(round(embedding[j] * 1e6) AS BIGINT) AS xj))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.di").as("dim_i"), col("p.dj").as("dim_j"),
+        col("p.xi").as("xi"), col("p.xj").as("xj"))
+      .groupBy(col("dim_i"), col("dim_j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xi") * col("xj")).as("sxy"),
+        sum(col("xi")).as("sx"), sum(col("xj")).as("sy"))
+      .select(col("dim_i"), col("dim_j"),
+        // + 0.0 canonicalizes IEEE -0.0 (a rounded tiny negative) to 0.0
+        (round((col("n").cast("decimal(38,0)") * col("sxy")
+            - col("sx").cast("decimal(38,0)") * col("sy")).cast("double")
+          / col("n") / col("n") / 1e12, 6) + lit(0.0)).as("cov"))
+
   def embedStats(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tables.embeddings(spark, sfDir)
       .select(posexplode(col("embedding")).as(Seq("dim", "x")))
