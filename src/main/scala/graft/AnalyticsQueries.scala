@@ -58,6 +58,7 @@ object AnalyticsQueries {
     "q_bitmap_distinct" -> ((s, d) => Analytics.bitmapDistinctDaily(s, d)),
     "q_hll_intersect" -> ((s, d) => Analytics.hllIntersect(s, d)),
     "q_hll_sliding" -> ((s, d) => Analytics.hllSliding(s, d)),
+    "q_user_erasure" -> ((s, d) => Analytics.userErasure(s, d)),
     "q_anomaly_mad" -> ((s, d) => Analytics.anomalyMad(s, d)),
     "q_scalar_funcs" -> ((s, d) => Analytics.scalarFuncs(s, d)),
     "q_grouping_sets" -> ((s, d) => Analytics.groupingSetsAgg(s, d)),
@@ -822,6 +823,24 @@ object AnalyticsQueries {
         |  CAST(n_click + n_buy - n_union AS BIGINT) AS n_both_exact,
         |  TRUE AS within_tol
         |FROM s""".stripMargin,
+
+    // the same deletion ledger per table, counted relationally
+    "q_user_erasure" ->
+      """SELECT 'customer' AS table_name,
+        |  CAST(count(*) AS BIGINT) AS n_before,
+        |  CAST(sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_deleted,
+        |  CAST(count(*) - sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_after
+        |FROM customer
+        |UNION ALL
+        |SELECT 'orders',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(count(*) - sum(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0
+        |    END) AS BIGINT)
+        |FROM orders""".stripMargin,
 
     // exact 7-day rolling distinct; the sketch estimate stays out of
     // the contract behind the tolerance verdict

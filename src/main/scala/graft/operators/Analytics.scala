@@ -1113,6 +1113,31 @@ object Analytics {
         (abs(col("est") - col("n_both_exact"))
           <= col("n_both_exact") * lit(0.2) + lit(5)).as("within_tol"))
 
+  /** Right-to-erasure propagation (the GDPR/CCPA deletion pass): a
+    * bounded deletion list fans out across every table keyed by the
+    * subject, and the ledger reports per-table before/deleted/after
+    * counts — the audit artifact a compliance run must emit. The
+    * deletion list BROADCASTS (it is always tiny next to the fact
+    * tables), each table pays one scan with the membership test as a
+    * map-side semi/anti probe, and nothing reshuffles fact data; the
+    * actual rewrite at scale is `q_backfill_partition`'s dynamic
+    * partition overwrite applied to the partitions the ledger names.
+    */
+  def userErasure(spark: SparkSession, sfDir: String): DataFrame = {
+    val del = broadcast(Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("k")))
+    def ledger(name: String, df: DataFrame, key: String): DataFrame =
+      df.join(del, col(key) === col("k"), "left")
+        .agg(count(lit(1)).as("n_before"),
+          sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("n_deleted"))
+        .select(lit(name).as("table_name"), col("n_before"),
+          col("n_deleted"),
+          (col("n_before") - col("n_deleted")).as("n_after"))
+    ledger("customer", Tables.customer(spark, sfDir), "c_custkey")
+      .unionAll(ledger("orders", Tables.orders(spark, sfDir), "o_custkey"))
+  }
+
   /** Sliding-window distinct from STORED daily sketches: 7-day rolling
     * distinct users per day answered by unioning seven daily HLL
     * sketches — the window-algebra form. Raw events aggregate into
