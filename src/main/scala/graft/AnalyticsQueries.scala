@@ -59,6 +59,8 @@ object AnalyticsQueries {
     "q_hll_intersect" -> ((s, d) => Analytics.hllIntersect(s, d)),
     "q_hll_sliding" -> ((s, d) => Analytics.hllSliding(s, d)),
     "q_user_erasure" -> ((s, d) => Analytics.userErasure(s, d)),
+    "q_exact_percentiles" ->
+      ((s, d) => graft.operators.DataPrep.exactPercentiles(s, d)),
     "q_anomaly_mad" -> ((s, d) => Analytics.anomalyMad(s, d)),
     "q_scalar_funcs" -> ((s, d) => Analytics.scalarFuncs(s, d)),
     "q_grouping_sets" -> ((s, d) => Analytics.groupingSetsAgg(s, d)),
@@ -823,6 +825,23 @@ object AnalyticsQueries {
         |  CAST(n_click + n_buy - n_union AS BIGINT) AS n_both_exact,
         |  TRUE AS within_tol
         |FROM s""".stripMargin,
+
+    // the window form of the distributed global rank: identical
+    // nearest-rank-lower element picks under the same total order
+    "q_exact_percentiles" ->
+      """WITH o AS (SELECT
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents, o_orderkey
+        |  FROM orders),
+        |i AS (SELECT cents,
+        |    row_number() OVER (ORDER BY cents, o_orderkey) - 1 AS idx,
+        |    count(*) OVER () AS n
+        |  FROM o)
+        |SELECT 'p50' AS pct, cents FROM i WHERE idx = (n-1)*50//100
+        |UNION ALL
+        |SELECT 'p90', cents FROM i WHERE idx = (n-1)*90//100
+        |UNION ALL
+        |SELECT 'p99', cents FROM i WHERE idx = (n-1)*99//100""".stripMargin,
 
     // the same deletion ledger per table, counted relationally
     "q_user_erasure" ->

@@ -359,6 +359,31 @@ object DataPrep {
         (col("n_docs") - col("n_kept")).as("n_dropped"), col("kept_chars"))
   }
 
+  /** EXACT global percentiles WITHOUT a one-task sort — the third rung
+    * of the quantile ladder: sketches estimate (q_approx_percentile,
+    * q_quantile_sketch, both audited), per-group exact ranks use
+    * bounded-key windows (q_winsorize), and THIS answers "the exact
+    * global p50/p90/p99" on an unbounded table via [[withGlobalIndex]]'s
+    * range-partition + prefix-sum rank: two scans and |parts| longs to
+    * the driver, no empty-key window, no global sort on one executor.
+    * Nearest-rank-lower definition (rank = (n−1)·p div 100 over a
+    * deterministic total order) so both engines pick the identical
+    * data element — exact integer cents, no interpolation floats.
+    */
+  def exactPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long").as("cents"), col("o_orderkey"))
+    val n = o.count()
+    val indexed = withGlobalIndex(
+      o, Seq(col("cents"), col("o_orderkey")), parts = 32)
+    val picks = Seq(50, 90, 99).map(p => (s"p$p", (n - 1) * p / 100))
+    val pickDf = broadcast(spark.createDataFrame(picks)
+      .toDF("pct", "global_idx"))
+    indexed.join(pickDf, "global_idx")
+      .select(col("pct"), col("cents"))
+  }
+
   /** Deterministic Poisson(1) bootstrap replicates — the resampling
     * primitive behind bagged quality models and uncertainty bands over
     * corpus statistics. An RNG-based bootstrap is irreproducible across
