@@ -209,6 +209,21 @@ object AnalyticsQueries {
         Map("grp" -> "p_brand", "tbl" -> "part"))
     }),
 
+    // EXECUTE IMMEDIATE — dynamic SQL composed at run time from a
+    // session VARIABLE, parameters bound positionally through USING
+    // (never spliced): the migration target for warehouse dynamic-SQL
+    // procedures, and the last of the four injection-safe front-door
+    // channels (values :param, identifiers IDENTIFIER(), scripted
+    // variables, and now statement-as-data).
+    "q_sql_exec_immediate" -> ((s, d) => {
+      graft.sources.Tables.part(s, d).createOrReplaceTempView("part")
+      s.sql(
+        """DECLARE OR REPLACE stmt STRING DEFAULT
+          |  'SELECT p_brand, CAST(count(*) AS BIGINT) AS n_big
+          |   FROM part WHERE p_size > ? GROUP BY p_brand'""".stripMargin)
+      s.sql("EXECUTE IMMEDIATE stmt USING 45")
+    }),
+
     // Spark 4 SQL SCRIPTING (BEGIN … END): multi-statement batches with
     // declared session variables and scalar-subquery assignment — the
     // stored-procedure shape migrating warehouses carry. The script's
@@ -1407,6 +1422,11 @@ object AnalyticsQueries {
       """SELECT p_brand AS grouped, CAST(count(*) AS BIGINT) AS n,
         |  CAST(max(p_size) AS INTEGER) AS max_size
         |FROM part GROUP BY p_brand""".stripMargin,
+
+    // the dynamic statement inlined with its bound parameter
+    "q_sql_exec_immediate" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_big
+        |FROM part WHERE p_size > 45 GROUP BY p_brand""".stripMargin,
 
     // the script's variable restated as an inline scalar subquery
     "q_sql_script" ->
