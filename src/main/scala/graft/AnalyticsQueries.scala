@@ -31,6 +31,7 @@ object AnalyticsQueries {
     "q_quantile_sketch" -> ((s, d) => Analytics.quantileSketchAudit(s, d)),
     "q_skew_profile" -> ((s, d) => Analytics.skewProfile(s, d)),
     "q_cdc_apply" -> ((s, d) => graft.operators.Formats.cdcApply(s, d)),
+    "q_time_travel" -> ((s, d) => graft.operators.Formats.timeTravel(s, d)),
     "q_join_incremental" -> ((s, d) => graft.operators.Formats.incrementalJoin(s, d)),
     "q_large_orders" -> ((s, d) => Analytics.largeOrders(s, d)),
     "q_calendar_dim" -> ((s, d) => Analytics.calendarDim(s, d)),
@@ -615,6 +616,24 @@ object AnalyticsQueries {
         |    AS BIGINT) AS sum_total_c
         |FROM orders WHERE o_orderkey % 10 != 0
         |GROUP BY o_orderstatus""".stripMargin,
+
+    // both generations stated closed-form: v1 = the initial load,
+    // v2 = the q_cdc_apply end state
+    "q_time_travel" ->
+      """SELECT 1 AS version, o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_live,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+        |    AS sum_total_c
+        |FROM orders GROUP BY 2
+        |UNION ALL
+        |SELECT 2, o_orderstatus,
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN o_orderkey % 10 = 1
+        |      THEN CAST(o_totalprice AS DECIMAL(12,2)) * 2
+        |      ELSE CAST(o_totalprice AS DECIMAL(12,2)) END) * 100
+        |    AS BIGINT)
+        |FROM orders WHERE o_orderkey % 10 != 0
+        |GROUP BY 2""".stripMargin,
 
     // The delta decomposition must equal the from-scratch join.
     "q_join_incremental" ->

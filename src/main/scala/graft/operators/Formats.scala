@@ -188,6 +188,41 @@ object Formats {
         (sum(col("p")) * 100).cast("long").as("sum_total_c"))
   }
 
+  /** TIME TRAVEL over the generational layout: every maintenance pass
+    * in this engine (CDC merge, schema evolution, compaction) lands a
+    * NEW generation directory gated on `_SUCCESS` and leaves prior
+    * generations untouched — so "the table AS OF version v" is a plain
+    * read of `gen_v`, no transaction log replay needed. This query
+    * reads two generations of the orders table (v1 = initial load,
+    * v2 = after the CDC day: deletes ≡0, price-doubles ≡1 mod 10) in
+    * ONE result, the before/after audit a bad-deploy investigation
+    * runs. Retention pruning = deleting old gen dirs; the storage cost
+    * is per-generation CHANGED partitions once writes go through
+    * dynamic partition overwrite (q_backfill_partition).
+    */
+  def timeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = fmtDir("timetravel", sfDir)
+    val gen1 = s"$dir/gen_1"
+    val gen2 = s"$dir/gen_2"
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dec("o_totalprice").as("p"))
+    if (!new File(s"$gen2/_SUCCESS").exists()) {
+      base.write.mode("overwrite").parquet(gen1)
+      base.filter(col("o_orderkey") % 10 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 10 === 1, (col("p") * 2)
+            .cast("decimal(12,2)")).otherwise(col("p")).as("p"))
+        .write.mode("overwrite").parquet(gen2)
+    }
+    def snap(v: Int, d: String): DataFrame =
+      spark.read.parquet(d)
+        .groupBy(lit(v).as("version"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_live"),
+          (sum(col("p")) * 100).cast("long").as("sum_total_c"))
+    snap(1, gen1).unionAll(snap(2, gen2))
+  }
+
   /** Incremental join-view maintenance — the delta algebra a maintained
     * materialized join lives on: with base relations A, B already joined
     * into the view, an ingest of ΔA and ΔB updates it with
