@@ -62,6 +62,7 @@ object AnalyticsQueries {
     "q_user_erasure" -> ((s, d) => Analytics.userErasure(s, d)),
     "q_exact_percentiles" ->
       ((s, d) => graft.operators.DataPrep.exactPercentiles(s, d)),
+    "q_fk_audit" -> ((s, d) => Analytics.fkAudit(s, d)),
     "q_anomaly_mad" -> ((s, d) => Analytics.anomalyMad(s, d)),
     "q_scalar_funcs" -> ((s, d) => Analytics.scalarFuncs(s, d)),
     "q_grouping_sets" -> ((s, d) => Analytics.groupingSetsAgg(s, d)),
@@ -859,6 +860,26 @@ object AnalyticsQueries {
         |  CAST(n_click + n_buy - n_union AS BIGINT) AS n_both_exact,
         |  TRUE AS within_tol
         |FROM s""".stripMargin,
+
+    // the same three anti-join orphan counts
+    "q_fk_audit" ->
+      """SELECT 'lineitem.l_orderkey->orders' AS fk,
+        |  (SELECT count(*) FROM lineitem) AS n_fact_rows,
+        |  CAST(count(*) AS BIGINT) AS n_orphans
+        |FROM lineitem l WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer',
+        |  (SELECT count(*) FROM orders),
+        |  CAST(count(*) AS BIGINT)
+        |FROM orders o WHERE NOT EXISTS
+        |  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'customer.c_nationkey->nation',
+        |  (SELECT count(*) FROM customer),
+        |  CAST(count(*) AS BIGINT)
+        |FROM customer c WHERE NOT EXISTS
+        |  (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)""".stripMargin,
 
     // the window form of the distributed global rank: identical
     // nearest-rank-lower element picks under the same total order

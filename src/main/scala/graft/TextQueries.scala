@@ -68,6 +68,8 @@ object TextQueries {
     "q_chunk_stride" -> ((s, d) => graft.operators.DataPrep.chunkStride(s, d)),
     // Deterministic Poisson(1) bootstrap replicate assembly.
     "q_bootstrap" -> ((s, d) => graft.operators.DataPrep.bootstrapPoisson(s, d)),
+    // Hash-ordered shuffle + round-robin exactly-balanced shards.
+    "q_data_shuffle" -> ((s, d) => graft.operators.DataPrep.dataShuffle(s, d)),
     "q_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_near" -> ((s, d) => Dedup.near(s, d)),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashBands(s, d)),
@@ -297,6 +299,19 @@ object TextQueries {
         |  (1000000 * CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT))
         |    // CAST(count(*) AS BIGINT) AS oov_ppm
         |FROM j GROUP BY doc_id""".stripMargin,
+
+    // same salted-hash permutation, same round-robin deal
+    "q_data_shuffle" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+        |    md5('shuf|' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |i AS (SELECT n_chars,
+        |    row_number() OVER (ORDER BY h, doc_id) - 1 AS idx
+        |  FROM h)
+        |SELECT CAST(idx % 8 AS INTEGER) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM i GROUP BY 1""".stripMargin,
 
     // identical md5-uniform -> Poisson(1) inverse-CDF in integer ppm
     "q_bootstrap" ->

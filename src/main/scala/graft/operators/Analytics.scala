@@ -1113,6 +1113,33 @@ object Analytics {
         (abs(col("est") - col("n_both_exact"))
           <= col("n_both_exact") * lit(0.2) + lit(5)).as("within_tol"))
 
+  /** Referential-integrity audit across the star schema's FK spokes —
+    * the trust-but-verify pass before joins are allowed to assume
+    * containment (a broadcast inner join silently DROPS orphaned fact
+    * rows; this query is what tells you whether that loss is zero).
+    * Each FK costs one LEFT ANTI probe with the dimension side
+    * broadcast where small; counts land in one long-format report.
+    */
+  def fkAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    def orphans(name: String, fact: DataFrame, factKey: String,
+        dim: DataFrame, dimKey: String): DataFrame = {
+      val n = fact.count()
+      fact.join(dim.select(col(dimKey).as(factKey)), Seq(factKey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("fk"), lit(n).as("n_fact_rows"),
+          col("n_orphans"))
+    }
+    orphans("lineitem.l_orderkey->orders",
+        Tables.lineitem(spark, sfDir).select(col("l_orderkey")),
+        "l_orderkey", Tables.orders(spark, sfDir), "o_orderkey")
+      .unionAll(orphans("orders.o_custkey->customer",
+        Tables.orders(spark, sfDir).select(col("o_custkey")),
+        "o_custkey", Tables.customer(spark, sfDir), "c_custkey"))
+      .unionAll(orphans("customer.c_nationkey->nation",
+        Tables.customer(spark, sfDir).select(col("c_nationkey")),
+        "c_nationkey", Tables.nation(spark, sfDir), "n_nationkey"))
+  }
+
   /** Right-to-erasure propagation (the GDPR/CCPA deletion pass): a
     * bounded deletion list fans out across every table keyed by the
     * subject, and the ledger reports per-table before/deleted/after

@@ -359,6 +359,27 @@ object DataPrep {
         (col("n_docs") - col("n_kept")).as("n_dropped"), col("kept_chars"))
   }
 
+  /** Deterministic training-data shuffle + EXACTLY balanced shard
+    * assignment: order the corpus by a salted content hash (the
+    * reproducible stand-in for a random permutation — same order on
+    * every engine, worker count, and retry) and deal documents
+    * round-robin off the distributed global rank, so shard sizes differ
+    * by at most one — the property data-parallel training wants that
+    * plain `hash mod k` only delivers in expectation. Rank comes from
+    * [[withGlobalIndex]] (range partition + prefix sum), so no one-task
+    * sort; the report is per-shard document and character budgets.
+    */
+  def dataShuffle(spark: SparkSession, sfDir: String, shards: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"),
+        md5(concat(lit("shuf|"), col("doc_id"))).as("h"))
+    withGlobalIndex(docs, Seq(col("h"), col("doc_id")), parts = 32)
+      .select((col("global_idx") % shards).cast("int").as("shard"),
+        col("n_chars"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+  }
+
   /** EXACT global percentiles WITHOUT a one-task sort — the third rung
     * of the quantile ladder: sketches estimate (q_approx_percentile,
     * q_quantile_sketch, both audited), per-group exact ranks use
