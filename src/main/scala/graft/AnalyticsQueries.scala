@@ -89,6 +89,7 @@ object AnalyticsQueries {
       graft.sources.JdbcStore.eventsDailyPartitioned(s, d)),
     // Format breadth + table maintenance (operators/Formats.scala).
     "q_orc_roundtrip" -> ((s, d) => Formats.orcRoundtrip(s, d)),
+    "q_clone_table" -> ((s, d) => Formats.cloneTable(s, d)),
     "q_xml_roundtrip" -> ((s, d) => Formats.xmlRoundtrip(s, d)),
     "q_file_provenance" -> ((s, d) => Formats.fileProvenance(s, d)),
     "q_variant_props" -> ((s, d) => Analytics.variantProps(s, d)),
@@ -1246,6 +1247,8 @@ object AnalyticsQueries {
     // ORC / JSON round-trips are lossless, so the oracle is the same
     // summary computed straight from the parquet table.
     "q_orc_roundtrip" -> ordersSummarySql,
+    // the zero-copy clone must read back the full source table
+    "q_clone_table" -> ordersSummarySql,
     "q_json_roundtrip" -> ordersSummarySql,
     "q_xml_roundtrip" -> ordersSummarySql,
 

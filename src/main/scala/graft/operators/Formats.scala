@@ -188,6 +188,32 @@ object Formats {
         (sum(col("p")) * 100).cast("long").as("sum_total_c"))
   }
 
+  /** ZERO-COPY shallow clone: the clone directory holds a `_MANIFEST`
+    * of the source's data-file paths — no bytes are rewritten — and
+    * reading the clone is a parquet scan over the manifest's paths.
+    * This is the lakehouse `CLONE` primitive (dev/test copies of
+    * petabyte tables in O(|files|) metadata): the clone stays frozen at
+    * the manifest's file set even as the source compacts or appends,
+    * which is also exactly how the generational time-travel reads stay
+    * stable. The oracle checks the clone reads back the full source.
+    */
+  def cloneTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = fmtDir("clonesrc", sfDir)
+    if (!new File(s"$src/_SUCCESS").exists())
+      Tables.orders(spark, sfDir).write.mode("overwrite").parquet(src)
+    val cloneDir = java.nio.file.Paths.get(fmtDir("clonedst", sfDir))
+    val manifest = cloneDir.resolve("_MANIFEST")
+    if (!java.nio.file.Files.exists(manifest)) {
+      java.nio.file.Files.createDirectories(cloneDir)
+      val files = new File(src).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+        .sorted
+      java.nio.file.Files.writeString(manifest, files.mkString("\n"))
+    }
+    val paths = java.nio.file.Files.readString(manifest).split("\n")
+    ordersSummary(spark.read.parquet(paths.toIndexedSeq: _*))
+  }
+
   /** TIME TRAVEL over the generational layout: every maintenance pass
     * in this engine (CDC merge, schema evolution, compaction) lands a
     * NEW generation directory gated on `_SUCCESS` and leaves prior
