@@ -396,12 +396,16 @@ object Similarity {
     */
   def embedCov(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
+      // snap the whole vector ONCE per row; the pair transform then
+      // reads the int array (the first cut re-rounded each component
+      // 2·d(d+1)/2 times per row — measured 2x slower interpreted)
+      .select(expr(
+        "transform(embedding, x -> CAST(round(x * 1e6) AS BIGINT))")
+        .as("xs"))
       .select(explode(expr(
-        """flatten(transform(sequence(0, size(embedding) - 1), i ->
-          |  transform(sequence(i, size(embedding) - 1), j ->
-          |    struct(i AS di, j AS dj,
-          |      CAST(round(embedding[i] * 1e6) AS BIGINT) AS xi,
-          |      CAST(round(embedding[j] * 1e6) AS BIGINT) AS xj))))"""
+        """flatten(transform(sequence(0, size(xs) - 1), i ->
+          |  transform(sequence(i, size(xs) - 1), j ->
+          |    struct(i AS di, j AS dj, xs[i] AS xi, xs[j] AS xj))))"""
           .stripMargin)).as("p"))
       .select(col("p.di").as("dim_i"), col("p.dj").as("dim_j"),
         col("p.xi").as("xi"), col("p.xj").as("xj"))
