@@ -70,6 +70,11 @@ object TextQueries {
     "q_bootstrap" -> ((s, d) => graft.operators.DataPrep.bootstrapPoisson(s, d)),
     // Hash-ordered shuffle + round-robin exactly-balanced shards.
     "q_data_shuffle" -> ((s, d) => graft.operators.DataPrep.dataShuffle(s, d)),
+    // Largest-remainder exact-total budget apportionment.
+    "q_apportion" -> ((s, d) => graft.operators.DataPrep.apportion(s, d)),
+    // Per-source bootstrap min/max uncertainty bands.
+    "q_bootstrap_by_source" ->
+      ((s, d) => graft.operators.DataPrep.bootstrapBySource(s, d)),
     "q_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_near" -> ((s, d) => Dedup.near(s, d)),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashBands(s, d)),
@@ -299,6 +304,50 @@ object TextQueries {
         |  (1000000 * CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT))
         |    // CAST(count(*) AS BIGINT) AS oov_ppm
         |FROM j GROUP BY doc_id""".stripMargin,
+
+    // same draws rolled up per stratum; min/max across replicates
+    "q_bootstrap_by_source" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |    unnest(range(1, 4)) AS rep
+        |  FROM documents),
+        |u AS (SELECT source, rep, n_chars,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+        |    || CAST(rep AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000000
+        |    AS u_ppm
+        |  FROM r),
+        |k AS (SELECT source, rep, n_chars,
+        |  CASE WHEN u_ppm < 367879 THEN 0 WHEN u_ppm < 735759 THEN 1
+        |       WHEN u_ppm < 919699 THEN 2 WHEN u_ppm < 981012 THEN 3
+        |       ELSE 4 END AS k
+        |  FROM u),
+        |per AS (SELECT rep, source, CAST(sum(k * n_chars) AS BIGINT)
+        |    AS chars_rep
+        |  FROM k GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_reps,
+        |  CAST(min(chars_rep) AS BIGINT) AS chars_lo,
+        |  CAST(max(chars_rep) AS BIGINT) AS chars_hi,
+        |  CAST(max(chars_rep) - min(chars_rep) AS BIGINT) AS band
+        |FROM per GROUP BY 1""".stripMargin,
+
+    // identical floor-quota + largest-remainder top-up
+    "q_apportion" ->
+      """WITH w AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS weight
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(weight) AS BIGINT) AS W FROM w),
+        |q AS (SELECT source, weight,
+        |    (10000 * weight) // W AS base_alloc,
+        |    (10000 * weight) % W AS rem
+        |  FROM w CROSS JOIN t),
+        |r AS (SELECT *,
+        |    10000 - sum(base_alloc) OVER () AS deficit,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM q)
+        |SELECT source, weight, CAST(base_alloc AS BIGINT) AS base_alloc,
+        |  CAST(CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+        |    AS extra,
+        |  CAST(base_alloc + CASE WHEN rk <= deficit THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc
+        |FROM r""".stripMargin,
 
     // same salted-hash permutation, same round-robin deal
     "q_data_shuffle" ->

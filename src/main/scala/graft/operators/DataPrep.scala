@@ -359,6 +359,68 @@ object DataPrep {
         (col("n_docs") - col("n_kept")).as("n_dropped"), col("kept_chars"))
   }
 
+  /** Per-source bootstrap uncertainty band — [[bootstrapPoisson]]'s
+    * replicates rolled up per stratum: each replicate re-weights every
+    * document by its Poisson(1) draw, and the min/max of the
+    * replicates' character budgets band the stat's sampling
+    * variability. The deterministic draws make the band itself
+    * reproducible — rerunning the pipeline reproduces not just the
+    * estimate but its error bar. Integer arithmetic end-to-end; one
+    * aggregate at (rep, source) then a |sources|-bounded rollup.
+    */
+  def bootstrapBySource(spark: SparkSession, sfDir: String, reps: Int = 3): DataFrame = {
+    val cdf = Seq(367879L, 735759L, 919699L, 981012L)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        explode(sequence(lit(1), lit(reps))).as("rep"))
+      .withColumn("u_ppm",
+        conv(substring(md5(concat(col("doc_id"), lit("|"), col("rep"))), 1, 8),
+          16, 10).cast("bigint") % 1000000L)
+      .withColumn("k",
+        when(col("u_ppm") < cdf(0), 0L)
+          .when(col("u_ppm") < cdf(1), 1L)
+          .when(col("u_ppm") < cdf(2), 2L)
+          .when(col("u_ppm") < cdf(3), 3L)
+          .otherwise(4L))
+      .groupBy(col("rep"), col("source"))
+      .agg(sum(col("k") * col("n_chars")).as("chars_rep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_reps"),
+        min(col("chars_rep")).as("chars_lo"),
+        max(col("chars_rep")).as("chars_hi"))
+      .withColumn("band", col("chars_hi") - col("chars_lo"))
+  }
+
+  /** Largest-remainder (Hare) apportionment of a fixed budget across
+    * sources — the exact-total allocator behind "split exactly B
+    * training slots proportional to each domain's weight":
+    * floor-quotas first, then the leftover slots go to the largest
+    * fractional remainders (ties to the lexicographically first
+    * source), so Σalloc == B ALWAYS — the invariant proportional
+    * rounding loses and renormalization hacks only approximate. All
+    * arithmetic is exact integers (B·w div/mod W); the window runs over
+    * the |sources|-row aggregate, never the corpus.
+    */
+  def apportion(spark: SparkSession, sfDir: String, budget: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Tables.documents(spark, sfDir)
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("weight"))
+    val tot = broadcast(w.agg(sum(col("weight")).as("W"),
+      count(lit(1)).as("n_src")))
+    val quotas = w.crossJoin(tot)
+      .select(col("source"), col("weight"), col("W"),
+        expr(s"(${budget}L * weight) div W").as("base_alloc"),
+        expr(s"(${budget}L * weight) % W").as("rem"))
+    val deficitW = Window.partitionBy(lit(1))
+    val rankW = Window.orderBy(col("rem").desc, col("source"))
+    quotas
+      .withColumn("deficit", lit(budget) - sum(col("base_alloc")).over(deficitW))
+      .withColumn("rk", row_number().over(rankW))
+      .select(col("source"), col("weight"), col("base_alloc"),
+        when(col("rk") <= col("deficit"), 1L).otherwise(0L).as("extra"))
+      .withColumn("alloc", col("base_alloc") + col("extra"))
+  }
+
   /** Deterministic training-data shuffle + EXACTLY balanced shard
     * assignment: order the corpus by a salted content hash (the
     * reproducible stand-in for a random permutation — same order on
