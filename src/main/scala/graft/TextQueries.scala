@@ -75,6 +75,9 @@ object TextQueries {
     // Per-source bootstrap min/max uncertainty bands.
     "q_bootstrap_by_source" ->
       ((s, d) => graft.operators.DataPrep.bootstrapBySource(s, d)),
+    // Rendezvous-hash ownership with the minimal-movement invariant.
+    "q_rendezvous" ->
+      ((s, d) => graft.operators.DataPrep.rendezvousAssign(s, d)),
     "q_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_near" -> ((s, d) => Dedup.near(s, d)),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashBands(s, d)),
@@ -304,6 +307,29 @@ object TextQueries {
         |  (1000000 * CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT))
         |    // CAST(count(*) AS BIGINT) AS oov_ppm
         |FROM j GROUP BY doc_id""".stripMargin,
+
+    // identical dual argmax; only w0's documents may move
+    "q_rendezvous" ->
+      """WITH s AS (SELECT doc_id, w.worker,
+        |    md5(CAST(doc_id AS VARCHAR) || '|' || w.worker) AS score
+        |  FROM documents,
+        |    (SELECT unnest(['w0','w1','w2','w3','w4']) AS worker) w),
+        |a AS (SELECT doc_id, worker FROM (
+        |    SELECT doc_id, worker, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, worker) AS rk FROM s)
+        |  WHERE rk = 1),
+        |b AS (SELECT doc_id, worker FROM (
+        |    SELECT doc_id, worker, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, worker) AS rk FROM s
+        |    WHERE worker != 'w0')
+        |  WHERE rk = 1)
+        |SELECT b.worker,
+        |  CAST(sum(CASE WHEN a.worker = b.worker THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN a.worker != b.worker THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_moved_in
+        |FROM a JOIN b USING (doc_id)
+        |GROUP BY 1""".stripMargin,
 
     // same draws rolled up per stratum; min/max across replicates
     "q_bootstrap_by_source" ->

@@ -359,6 +359,45 @@ object DataPrep {
         (col("n_docs") - col("n_kept")).as("n_dropped"), col("kept_chars"))
   }
 
+  /** Rendezvous (highest-random-weight) hashing — the ownership
+    * assignment for shard managers / cache rings: every document goes
+    * to the worker whose md5(doc ∥ worker) score is highest, no
+    * coordination, no lookup table. The HRW property is what modular
+    * hashing lacks: removing a worker moves ONLY that worker's
+    * documents (every other argmax is unchanged by deleting a
+    * non-winning candidate). The query computes the assignment before
+    * and after removing worker w0 and reports per-worker
+    * before/after/moved-in counts — the oracle checks the invariant
+    * numerically. Cost: |docs|×|workers| narrow rows, two
+    * per-doc argmax windows, no corpus shuffle beyond the doc key.
+    */
+  def rendezvousAssign(spark: SparkSession, sfDir: String,
+      nWorkers: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val workers = (0 until nWorkers).map(i => s"w$i")
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(array(workers.map(lit(_)): _*)).as("worker"))
+      .withColumn("score",
+        md5(concat(col("doc_id"), lit("|"), col("worker"))))
+    def assign(df: DataFrame): DataFrame =
+      df.withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("score").desc, col("worker"))))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("worker"))
+    val before = assign(scored)
+    val after = assign(scored.filter(col("worker") =!= "w0"))
+    before.select(col("doc_id"), col("worker").as("w_before"))
+      .join(after.select(col("doc_id"), col("worker").as("w_after")), "doc_id")
+      .groupBy(col("w_after").as("worker"))
+      .agg(
+        sum(when(col("w_before") === col("w_after"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("w_before") =!= col("w_after"), 1L).otherwise(0L))
+          .as("n_moved_in"))
+  }
+
   /** Per-source bootstrap uncertainty band — [[bootstrapPoisson]]'s
     * replicates rolled up per stratum: each replicate re-weights every
     * document by its Poisson(1) draw, and the min/max of the
