@@ -139,6 +139,60 @@ class Round7OpsSpec extends SparkTestBase {
     }
   }
 
+  test("apportionment sums exactly to the budget with quotas off by at most one") {
+    val rows = graft.operators.DataPrep.apportion(spark, sf(), budget = 9973L)
+      .collect()
+    val total = rows.map(_.getAs[Long]("alloc")).sum
+    assert(total == 9973L, s"largest-remainder must hit the budget: $total")
+    val w = rows.map(r => (r.getAs[Long]("weight"), r.getAs[Long]("alloc")))
+    val sumW = w.map(_._1).sum
+    w.foreach { case (weight, alloc) =>
+      val exact = 9973.0 * weight / sumW
+      assert(math.abs(alloc - exact) < 1.0,
+        s"each allocation stays within one slot of the exact share: $alloc vs $exact")
+    }
+  }
+
+  test("deterministic shuffle deals shards balanced within one document") {
+    val rows = graft.operators.DataPrep.dataShuffle(spark, sf()).collect()
+    val counts = rows.map(_.getAs[Long]("n_docs"))
+    assert(rows.length == 8 && counts.max - counts.min <= 1,
+      s"round-robin off the global rank must balance exactly: ${counts.toSeq}")
+  }
+
+  test("rendezvous removal moves exactly the removed worker's documents") {
+    val rows = graft.operators.DataPrep.rendezvousAssign(spark, sf()).collect()
+    assert(!rows.exists(_.getString(0) == "w0"), "w0 owns nothing after removal")
+    val movedIn = rows.map(_.getAs[Long]("n_moved_in")).sum
+    val kept = rows.map(_.getAs[Long]("n_kept")).sum
+    val total = graft.sources.Tables.documents(spark, sf()).count()
+    assert(movedIn + kept == total)
+    // every kept document's owner is unchanged — so the documents that
+    // moved are exactly those w0 owned before (the HRW guarantee)
+    assert(movedIn > 0, "fixture must exercise the movement path")
+  }
+
+  test("bootstrap replicate multiplicities are Poisson-shaped and deterministic") {
+    val a = canon(graft.operators.DataPrep.bootstrapPoisson(spark, sf()))
+    val b = canon(graft.operators.DataPrep.bootstrapPoisson(spark, sf()))
+    assert(a == b, "identical draws on every run")
+    val rows = graft.operators.DataPrep.bootstrapPoisson(spark, sf()).collect()
+    rows.foreach { r =>
+      val (n, drawn, zero) =
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_drawn"), r.getAs[Long]("n_zero"))
+      // Poisson(1): E[drawn] = n, P(k=0) = 1/e — allow wide slack on
+      // the 500-doc fixture, but catch a broken inverse-CDF outright
+      assert(math.abs(drawn - n) < n / 2, s"mean multiplicity ~1: $drawn vs $n")
+      assert(zero > n / 5 && zero < n / 2, s"zero fraction ~1/e: $zero of $n")
+    }
+  }
+
+  test("time travel generations stay byte-stable once written") {
+    val d1 = canon(graft.operators.Formats.timeTravel(spark, sf()))
+    val d2 = canon(graft.operators.Formats.timeTravel(spark, sf()))
+    assert(d1 == d2, "re-reads must not rewrite generations")
+  }
+
   test("SQL-defined scalar UDF inlines into the plan (no UDF call node)") {
     val df = SparkEntry.queries("q_sql_udf")(spark, sf())
     val plan = df.queryExecution.executedPlan.toString
