@@ -18,6 +18,16 @@ object FsUtil {
     finally s.close()
   }
 
+  /** Recursive delete; a missing path is a no-op. Depth-first so the
+    * directory entries go before their parent.
+    */
+  def deleteRecursively(root: Path): Unit = if (Files.exists(root)) {
+    val s = Files.walk(root)
+    try s.sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(p => Files.deleteIfExists(p))
+    finally s.close()
+  }
+
   /** The single `part-*.parquet` Spark wrote into a coalesce(1) build
     * dir — the common "write one file, then move it" staging step.
     */

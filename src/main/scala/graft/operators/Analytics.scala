@@ -1247,13 +1247,25 @@ object Analytics {
     * count-distinct shape that survives fan-in at 100 TB for bounded
     * id domains (unbounded domains use the audited HLL/KMV sketches).
     */
-  def bitmapDistinctDaily(spark: SparkSession, sfDir: String): DataFrame =
+  def bitmapDistinctDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    // The bitmap capacity is the id ALLOCATOR's bound, not a fixture
+    // constant: derive it here from max(user_id) (one map-side-combined
+    // column scan — milliseconds next to the group-by) rounded up to a
+    // power of two with 2× headroom, so the operator holds at any sf
+    // instead of silently coupling to the sf1 id range. A production
+    // caller passes its allocator's declared bound directly.
+    val maxId = Tables.events(spark, sfDir)
+      .agg(max(col("user_id"))).head().getLong(0)
+    val capacity = java.lang.Long.highestOneBit(
+      math.max(maxId * 2 + 1, 64L)).toInt * 2
     Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts")).cast("string").as("day"))
       .agg(
-        graft.functions.BitmapDistinct.bitmapDistinct(col("user_id"))
+        graft.functions.BitmapDistinct
+          .bitmapDistinct(col("user_id"), capacity)
           .as("n_users_bitmap"),
         countDistinct(col("user_id")).as("n_users_exact"))
+  }
 
   /** Typed `KeyValueGroupedDataset.cogroup` — the Dataset API for
     * per-key logic over TWO co-partitioned streams without building the

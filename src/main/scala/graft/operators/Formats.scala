@@ -45,7 +45,11 @@ object Formats {
     val f = dir.resolve("rows.csv")
     if (!java.nio.file.Files.exists(f)) {
       java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.writeString(f,
+      // stage + atomic move (the _DONE-sentinel staging idiom): a
+      // concurrent bench/verify process either sees the complete file
+      // or none — never a half-written rows.csv
+      val tmp = java.nio.file.Files.createTempFile(dir, ".rows", ".tmp")
+      java.nio.file.Files.writeString(tmp,
         """dt,amount,unit
           |20220819,52999169995,dealer
           |20220819,notanumber,foreign
@@ -53,6 +57,14 @@ object Formats {
           |20220820,123,trust
           |badlineonly
           |""".stripMargin)
+      try
+        java.nio.file.Files.move(tmp, f,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // a concurrent process won the race and f exists: keep theirs
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp)
+      }
     }
     val schema = StructType(Seq(
       StructField("dt", StringType), StructField("amount", LongType),

@@ -410,8 +410,13 @@ object Similarity {
       .select(col("p.di").as("dim_i"), col("p.dj").as("dim_j"),
         col("p.xi").as("xi"), col("p.xj").as("xj"))
       .groupBy(col("dim_i"), col("dim_j"))
+      // one factor is cast to DECIMAL(38,0) so the MULTIPLY itself (and
+      // therefore the sum) runs in decimal: xᵢxⱼ is ~10¹², so a BIGINT
+      // Σxᵢxⱼ overflows near 10⁷ rows per dim pair while the DuckDB
+      // oracle sums into HUGEINT — the decimal accumulator keeps both
+      // engines exact to ~10³⁸/10¹² rows
       .agg(count(lit(1)).as("n"),
-        sum(col("xi") * col("xj")).as("sxy"),
+        sum(col("xi").cast("decimal(38,0)") * col("xj")).as("sxy"),
         sum(col("xi")).as("sx"), sum(col("xj")).as("sy"))
       .select(col("dim_i"), col("dim_j"),
         // + 0.0 canonicalizes IEEE -0.0 (a rounded tiny negative) to 0.0
@@ -424,12 +429,16 @@ object Similarity {
       .select(posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("dim"),
         round(col("x").cast("double") * 1e6).cast("bigint").as("xi"))
+    // same decimal discipline as embedCov: xᵢ² ~10¹² would overflow a
+    // BIGINT accumulator near 10⁷ rows, and s1² overflows far earlier —
+    // every product runs in DECIMAL(38,0) like DuckDB's HUGEINT
     t.groupBy(col("dim"))
       .agg(count(lit(1)).as("n"), sum(col("xi")).as("s1"),
-        sum(col("xi") * col("xi")).as("s2"))
+        sum(col("xi").cast("decimal(38,0)") * col("xi")).as("s2"))
       .select(col("dim"), col("n"),
         round(col("s1").cast("double") / 1e6 / col("n"), 6).as("mean"),
-        round((col("n") * col("s2") - col("s1") * col("s1")).cast("double")
+        round((col("n") * col("s2")
+            - col("s1").cast("decimal(38,0)") * col("s1")).cast("double")
           / col("n") / col("n") / 1e12, 6).as("variance"))
   }
 }

@@ -128,26 +128,45 @@ object DocsStreaming {
     import org.apache.spark.sql.expressions.Window
     val name = s"graft_stream_docs_mh_${nameCounter.incrementAndGet()}"
     val srcDir = stagedRangeShardedDocs(spark, sfDir, shards = 3)
+    // Deterministic run dir, wiped at start: repeated bench/verify passes
+    // reuse (not leak) the same path, and a stale half-run can't pollute
+    // this one's index or survivors.
     val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_stream_mh_${java.util.UUID.randomUUID().toString.take(8)}_$name")
-    val indexDir = base.resolve("index").toString
-    val outDir = base.resolve("survivors").toString
+      s"graft_stream_mh_$name")
+    graft.FsUtil.deleteRecursively(base)
+    val indexDir = base.resolve("index")
+    val outDir = base.resolve("survivors")
+    // Per-batch subdirs written with OVERWRITE make each foreachBatch
+    // delivery idempotent: a task-retried batch rewrites its own subdir
+    // instead of appending a second copy of its survivors/bands (the
+    // session runs with 3 task attempts, so partial-write retries are a
+    // real schedule). Readback unions the subdirs via recursive lookup.
+    def batchSub(dir: java.nio.file.Path, id: Long) =
+      dir.resolve(s"b$id").toString
+    def readAll(dir: java.nio.file.Path): DataFrame =
+      spark.read.option("recursiveFileLookup", "true").parquet(dir.toString)
     val q = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
       .writeStream
       .option("checkpointLocation", base.resolve("checkpoint").toString)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val bands = batch.select(col("doc_id"),
             posexplode(graft.functions.HashExpressions
               .minhash_band_keys(col("text")))
               .as(Seq("band_id", "band_key")))
           .cache() // probed, window-scanned, AND appended below
         try {
+          // Probe only PRIOR batches' bands: a retry of batch N must not
+          // see N's own half-written bands, or its survivors change.
+          val priorIdx = (0L until batchId)
+            .map(batchSub(indexDir, _))
+            .filter(p => java.nio.file.Files.exists(
+              java.nio.file.Paths.get(p)))
           val idxHit =
-            if (java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir)))
-              bands.join(spark.read.parquet(indexDir),
+            if (priorIdx.nonEmpty)
+              bands.join(spark.read.parquet(priorIdx: _*),
                   Seq("band_id", "band_key"), "left_semi")
                 .select(col("doc_id"))
             else bands.select(col("doc_id")).limit(0)
@@ -159,15 +178,15 @@ object DocsStreaming {
           val dropped = idxHit.union(batchHit).distinct()
           batch.join(dropped, Seq("doc_id"), "left_anti")
             .select(col("doc_id"), col("source"), col("lang"))
-            .write.mode("append").parquet(outDir)
+            .write.mode("overwrite").parquet(batchSub(outDir, batchId))
           // ALL bands enter the index (survivor or not): the first-wins
           // rule compares against everything previously INGESTED
-          bands.write.mode("append").parquet(indexDir)
+          bands.write.mode("overwrite").parquet(batchSub(indexDir, batchId))
         } finally bands.unpersist()
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    readAll(outDir)
   }
 
   /** Streaming heavy-hitter tokens — the online form of the batch

@@ -103,14 +103,22 @@ class Round7OpsSpec extends SparkTestBase {
     val ids = (0L until 5000L).flatMap(i => Seq(i % 97, i % 89)).toDF("id")
       .repartition(40)
     val n = ids.agg(
-      graft.functions.BitmapDistinct.bitmapDistinct(col("id")).as("n"))
+      graft.functions.BitmapDistinct.bitmapDistinct(col("id"), 1 << 16)
+        .as("n"))
       .head.getLong(0)
     assert(n == 97)
     val err = intercept[Exception] {
       Seq(1L << 30).toDF("id").agg(
-        graft.functions.BitmapDistinct.bitmapDistinct(col("id"))).head
+        graft.functions.BitmapDistinct.bitmapDistinct(col("id"), 1 << 16))
+        .head
     }
-    assert(err.getMessage != null)
+    // pin the DOMAIN failure specifically: any other exception class
+    // (e.g. an analysis error) must not satisfy this test
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("outside bitmap domain")),
+      s"expected the out-of-domain requirement failure, got: $err")
   }
 
   test("ANALYZE TABLE statistics reach the optimizer's cost model") {
