@@ -659,14 +659,22 @@ object Analytics {
     * which is exactly why a key profile is cheap where a row profile
     * is not. All-integer outputs (ceil-index percentile positions,
     * integer ratio) — nothing for engines to disagree on.
+    *
+    * The rank itself comes from [[DataPrep.withGlobalIndex]]'s
+    * range-partition + prefix-sum (the q_exact_percentiles shape), NOT
+    * `row_number()` over an empty-key window: "bounded by key
+    * cardinality" stops being a defense when the join key is a fact id
+    * with 10⁷–10⁸ distinct values, and the distributed rank costs the
+    * same two scans here.
     */
   def skewProfile(spark: SparkSession, sfDir: String): DataFrame = {
     val g = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_suppkey")).agg(count(lit(1)).as("c"))
     val n = broadcast(g.agg(count(lit(1)).as("n_keys"),
       sum(col("c")).as("total_rows"), max(col("c")).as("max_g")))
-    val ranked = g.withColumn("rn",
-      row_number().over(Window.orderBy(col("c"), col("l_suppkey"))))
+    val ranked = graft.operators.DataPrep
+      .withGlobalIndex(g, Seq(col("c"), col("l_suppkey")), parts = 32)
+      .withColumn("rn", col("global_idx") + 1)
     ranked.crossJoin(n)
       .agg(
         max(col("n_keys")).as("n_keys"),
@@ -1328,17 +1336,46 @@ object Analytics {
     * tiny frontier back to pick the winning parts. A price survives iff
     * its max size strictly beats every strictly-cheaper price's max;
     * equal-price equal-size parts are mutually non-dominating, so all
-    * of them surface. For an unbounded price domain the single-
-    * partition window swaps for the two-pass partition-prefix running
-    * max that `DataPrep.globalIndex` already implements.
+    * of them surface.
+    *
+    * The frontier scan is the TWO-PASS partition-prefix running max,
+    * never a partition-less window: prices hash into B contiguous
+    * value bands (integer cents arithmetic off broadcast bounds — no
+    * float edge can move a band boundary), pass 1 takes each band's
+    * max in a hash aggregate, the band-level prefix max is a
+    * triangular join over the B-row band table (B² = constant), and
+    * pass 2 runs the within-band running max as a window PARTITIONED
+    * by band. prev_max = greatest(within-band prefix, previous bands'
+    * max) — identical to the sequential scan, but every stage is
+    * either bounded by the constant B or spread across B partitions.
     */
   def skyline(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = 64
     val pp = Tables.part(spark, sfDir)
       .groupBy(col("p_retailprice")).agg(max(col("p_size")).as("msz"))
-    val frontier = pp
-      .withColumn("prev_max", max(col("msz")).over(
-        Window.orderBy(col("p_retailprice"))
-          .rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("cents",
+        (col("p_retailprice").cast("decimal(12,2)") * 100).cast("long"))
+    val bounds = broadcast(pp.agg(
+      min(col("cents")).as("lo"), max(col("cents")).as("hi")))
+    val banded = pp.crossJoin(bounds)
+      .withColumn("band",
+        expr(s"(cents - lo) * $bands div (hi - lo + 1)"))
+      .select(col("p_retailprice"), col("msz"), col("cents"), col("band"))
+    val bandMax = banded.groupBy(col("band")).agg(max(col("msz")).as("bmax"))
+    // prefix max over STRICTLY EARLIER bands: B² pairs, B constant
+    val prevBand = bandMax.as("cur")
+      .join(bandMax.as("prev"), col("prev.band") < col("cur.band"), "left")
+      .groupBy(col("cur.band").as("band"))
+      .agg(max(col("prev.bmax")).as("prev_band_max"))
+    val inBandW = Window.partitionBy(col("band"))
+      .orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = banded
+      .withColumn("prev_in_band", max(col("msz")).over(inBandW))
+      .join(prevBand, Seq("band"), "left")
+      // greatest() skips NULLs: first row of first band has neither
+      .withColumn("prev_max",
+        greatest(col("prev_in_band"), col("prev_band_max")))
       .filter(col("prev_max").isNull || col("msz") > col("prev_max"))
       .select(col("p_retailprice"), col("msz"))
     Tables.part(spark, sfDir)
