@@ -207,8 +207,12 @@ object Analytics {
     * its runtime size allows).
     */
   def q14Promo(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-      .filter(col("l_shipdate") >= lit("1996-01-01")
+    // single-month query → the month-partitioned layout reads exactly
+    // ONE partition directory (PartitionFilters on l_ship_month); the
+    // row-level date band stays for boundary exactness
+    val li = graft.sources.PartitionedTables.lineitemByShipMonth(spark, sfDir)
+      .filter(col("l_ship_month") === "1996-01"
+        && col("l_shipdate") >= lit("1996-01-01")
         && col("l_shipdate") < lit("1996-02-01"))
       .select(col("l_partkey"),
         (dec("l_extendedprice") * (lit(1) - dec("l_discount"))).as("rev"))
@@ -269,8 +273,10 @@ object Analytics {
     * only shuffle; lineitem ships just (l_orderkey, l_shipdate).
     */
   def q4OrderPriority(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = Tables.orders(spark, sfDir)
-      .filter(col("o_orderdate") >= lit("1996-01-01")
+    // quarter band → 3 of ~80 month partitions read (PartitionFilters)
+    val o = graft.sources.PartitionedTables.ordersByMonth(spark, sfDir)
+      .filter(col("o_month") >= "1996-01" && col("o_month") < "1996-04"
+        && col("o_orderdate") >= lit("1996-01-01")
         && col("o_orderdate") < lit("1996-04-01"))
       .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
     val li = Tables.lineitem(spark, sfDir)
@@ -289,8 +295,12 @@ object Analytics {
     * anything beyond scan+pushdown+partial-agg in the plan is a bug.
     */
   def q6Forecast(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
-      .filter(col("l_shipdate") >= lit("1996-01-01")
+    // the scan-benchmark query reads the month-partitioned layout: the
+    // year band prunes to 12 of ~84 partition dirs before any footer
+    graft.sources.PartitionedTables.lineitemByShipMonth(spark, sfDir)
+      .filter(col("l_ship_month") >= "1996-01"
+        && col("l_ship_month") < "1997-01"
+        && col("l_shipdate") >= lit("1996-01-01")
         && col("l_shipdate") < lit("1997-01-01")
         // raw-double band FIRST so it reaches the parquet scan
         // (PushedFilters can't hold the decimal-cast form); the exact
@@ -719,17 +729,26 @@ object Analytics {
     * dimension broadcasts; revenue stays EXACT decimal through the sort
     * (ties impossible to mis-order across engines) and casts to double
     * only in the final projection. Top-k is TakeOrderedAndProject.
+    *
+    * Both fact sides read the MONTH-PARTITIONED layout
+    * ([[graft.sources.PartitionedTables]]): the coarse month band
+    * prunes whole partition directories at the file listing while the
+    * exact date predicate keeps boundary rows right — at 100 TB the
+    * orders side reads ~42/80 months and lineitem ~2/84 instead of
+    * every file.
     */
   def q3Shipping(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
     val cutoff = "1998-06-30"
     val cust = broadcast(Tables.customer(spark, sfDir)
       .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey")))
-    val ord = Tables.orders(spark, sfDir)
-      .filter(col("o_orderdate") < lit(cutoff))
+    val ord = graft.sources.PartitionedTables.ordersByMonth(spark, sfDir)
+      .filter(col("o_month") <= "1998-06"
+        && col("o_orderdate") < lit(cutoff))
       .select(col("o_orderkey"), col("o_custkey"),
         col("o_orderdate"), col("o_orderpriority"))
-    val li = Tables.lineitem(spark, sfDir)
-      .filter(col("l_shipdate") > lit(cutoff))
+    val li = graft.sources.PartitionedTables.lineitemByShipMonth(spark, sfDir)
+      .filter(col("l_ship_month") >= "1998-06"
+        && col("l_shipdate") > lit(cutoff))
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
@@ -2122,8 +2141,13 @@ object Analytics {
     * one orderkey shuffle, AQE-coalesced; 6-row result.
     */
   def q12ShipPriority(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-      .filter(col("l_shipdate") >= lit("1996-01-01")
+    // the single-sided year band prunes the month-partitioned layout at
+    // the directory listing; the cross-side lateness predicate stays a
+    // join residual as before
+    val li = graft.sources.PartitionedTables.lineitemByShipMonth(spark, sfDir)
+      .filter(col("l_ship_month") >= "1996-01"
+        && col("l_ship_month") < "1997-01"
+        && col("l_shipdate") >= lit("1996-01-01")
         && col("l_shipdate") < lit("1997-01-01"))
       .select(col("l_orderkey"), col("l_shipdate"), col("l_returnflag"))
     val o = Tables.orders(spark, sfDir)

@@ -28,6 +28,39 @@ class Round8OpsSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_keys") > 0 && r.getAs[Long]("max_g") > 0)
   }
 
+  test("date-band TPC-H queries prune the partitioned fact layout") {
+    // every routed query's fact scan must carry a real PartitionFilters
+    // entry — pruning at the directory listing, before any footer I/O
+    val routed = Seq(
+      "q3" -> Analytics.q3Shipping(spark, sf()),
+      "q4" -> Analytics.q4OrderPriority(spark, sf()),
+      "q6" -> Analytics.q6Forecast(spark, sf()),
+      "q12" -> Analytics.q12ShipPriority(spark, sf()),
+      "q14" -> Analytics.q14Promo(spark, sf()))
+    for ((name, df) <- routed) {
+      val plan = df.queryExecution.executedPlan.toString
+      val pf = "PartitionFilters: \\[[^\\]]*\\]".r
+        .findAllIn(plan).toList
+      assert(pf.exists(f => f.contains("_month") || f.contains("e_day")),
+        s"$name must prune on the partition column:\n$plan")
+    }
+  }
+
+  test("day-partitioned events prune to the predicated days") {
+    import graft.sources.PartitionedTables
+    val pruned = PartitionedTables.eventsByDay(spark, sf())
+      .filter(col("e_day") === "2024-01-02")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+        "PartitionFilters: \\[[^\\]]*e_day[^\\]]*\\]".r
+          .findFirstIn(plan).isDefined,
+      s"events day predicate must reach PartitionFilters:\n$plan")
+    // value check: the pruned read equals the row-filtered full read
+    val full = graft.sources.Tables.events(spark, sf())
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-02")
+    assert(pruned.count() === full.count())
+  }
+
   test("skyline plans no partition-less window and stays a frontier") {
     val df = Analytics.skyline(spark, sf())
     assert(emptyKeyWindows(df).isEmpty,
