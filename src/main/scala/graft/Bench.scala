@@ -12,7 +12,11 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // streaming state-store mode: rocksdb (suite default) | heap | session
+    // — SPARK_GRAFT_STREAM_STATE=heap is the provider-comparison run
+    val streamState = sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE", "rocksdb")
     val spark = SparkSession.builder()
+      .config("graft.streaming.stateProvider", streamState)
       .master(s"local[$cpus,3]") // G3: retries=2 → 3 task attempts
       .config("spark.task.maxFailures", "3")
       .config("spark.sql.shuffle.partitions", cpus)

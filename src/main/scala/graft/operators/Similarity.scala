@@ -90,7 +90,10 @@ object Similarity {
     * so the candidate set shrinks ~16× at any scale. Bucket bits are a
     * per-row map — the exchange-free half of ANN.
     */
-  def lshBuckets(spark: SparkSession, sfDir: String, numPlanes: Int = 4): DataFrame = {
+  def lshBuckets(spark: SparkSession, sfDir: String, numPlanes: Int = 4): DataFrame =
+    lshBucketsFrom(Tables.embeddings(spark, sfDir), numPlanes)
+
+  private[graft] def lshBucketsFrom(emb: DataFrame, numPlanes: Int): DataFrame = {
     val planes = planeWeights(numPlanes, 64)
     val bucketBits = (0 until numPlanes).map { p =>
       val dot = aggregate(
@@ -98,17 +101,21 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
       when(dot > 0, lit("1")).otherwise(lit("0"))
     }
-    Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("label"), col("embedding"),
-        concat(bucketBits: _*).as("bucket"))
+    emb.select(col("vec_id"), col("label"), col("embedding"),
+      concat(bucketBits: _*).as("bucket"))
   }
 
   /** LSH-pruned top-k: exact cosine, but only inside the query's bucket.
     * The bucket equi-join replaces the full scan — the scale path when
     * brute force stops fitting the latency budget.
     */
-  def topKLsh(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
-    val b = lshBuckets(spark, sfDir)
+  def topKLsh(spark: SparkSession, sfDir: String, k: Int = 10,
+      numPlanes: Int = 4): DataFrame =
+    topKLshFrom(Tables.embeddings(spark, sfDir), k, numPlanes)
+
+  private[graft] def topKLshFrom(emb: DataFrame, k: Int,
+      numPlanes: Int): DataFrame = {
+    val b = lshBucketsFrom(emb, numPlanes)
     val qb = broadcast(b.filter(col("vec_id") === 0)
       .select(col("bucket").as("q_bucket"), col("embedding").as("q_embedding")))
     b.join(qb, col("bucket") === col("q_bucket"))

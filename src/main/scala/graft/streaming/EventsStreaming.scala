@@ -281,12 +281,41 @@ object EventsStreaming {
     * checkpoint IO dominated the streaming queries' bench time). The
     * conf is restored after the query has fully executed — batch queries
     * plan at their own execution time, so they never see the override.
+    *
+    * Suite-wide state-store default: RocksDB. Heap
+    * (HDFSBackedStateStoreProvider) keeps every store's full contents as
+    * JVM objects and dies first at scale — per-user state over 10⁸ keys
+    * is exactly the shape that OOMs an executor; RocksDB keeps state
+    * off-heap with changelog checkpointing and is the provider a 100 TB
+    * deployment would run. The graft-level `graft.streaming.stateProvider`
+    * session conf selects the mode: `rocksdb` (the default), `heap`
+    * (comparison runs), or `session` (leave whatever provider the session
+    * pinned — the provider-invariance spec's escape hatch).
     */
+  private[streaming] val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private[streaming] val HeapProvider =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+
   private[streaming] def withStreamPartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
+    val pKey = "spark.sql.streaming.stateStore.providerClass"
     val old = spark.conf.get(key)
+    val oldProvider = spark.conf.get(pKey) // effective value (default = heap)
     spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, old)
+    val desired = spark.conf.getOption("graft.streaming.stateProvider")
+        .getOrElse("rocksdb") match {
+      case "rocksdb" => Some(RocksDbProvider)
+      case "heap"    => Some(HeapProvider)
+      case "session" => None
+      case other => throw new IllegalArgumentException(
+        s"graft.streaming.stateProvider must be rocksdb|heap|session, got '$other'")
+    }
+    desired.foreach(spark.conf.set(pKey, _))
+    try body finally {
+      spark.conf.set(key, old)
+      if (desired.nonEmpty) spark.conf.set(pKey, oldProvider)
+    }
   }
 
   /** Streaming daily window aggregation — identical result contract to

@@ -15,11 +15,16 @@ import org.apache.spark.sql.functions._
   * they do at sf0.1 — 10× the entities, identical per-entity shape.
   * Replica 0 is the identity. Content perturbation where identity
   * copies would distort an operator's semantics:
-  *   - `documents.text` gets a per-replica Caesar rotation (a bijective
+  *   - `documents.text` gets a per-replica affine cipher over the
+  *     letters (i → a·i+b mod 26, a coprime to 26 — a bijective
   *     character map: intra-replica near-dup structure is EXACTLY
   *     preserved, while cross-replica shingle overlap — which would
-  *     manufacture 10-wide near-dup clusters out of thin air — drops to
-  *     zero). Lengths unchanged, so n_chars stays truthful.
+  *     manufacture factor-wide near-dup clusters out of thin air —
+  *     drops to zero). 12 multipliers × 26 shifts = 312 distinct maps,
+  *     so factors up to 312 stay collision-free; replicas 0..25 use
+  *     a=1 (pure rotation), keeping sf1 outputs bit-identical to the
+  *     original Caesar scheme. Lengths unchanged, so n_chars stays
+  *     truthful.
   *   - `embeddings.embedding` gets a small deterministic per-replica
   *     offset (cluster structure kept, exact cross-replica duplicate
   *     vectors avoided).
@@ -109,23 +114,33 @@ object ScaleUp {
     writeFile(replicated(read("supplier"), "s_suppkey" -> suppS), "supplier")
     writeFile(replicated(read("part"), "p_partkey" -> partS), "part")
     writeDir(replicated(read("orders"),
-      "o_orderkey" -> orderS, "o_custkey" -> custS), "orders", 4)
+      "o_orderkey" -> orderS, "o_custkey" -> custS), "orders",
+      math.max(4, 4 * factor / 10))
     writeDir(replicated(read("lineitem"),
       "l_orderkey" -> orderS, "l_partkey" -> partS, "l_suppkey" -> suppS),
-      "lineitem", 8)
+      "lineitem", math.max(8, 8 * factor / 10))
     writeFile(replicated(read("events"),
       "event_id" -> eventS, "user_id" -> userS), "events")
 
-    // documents: per-replica Caesar rotation (bijective char map)
+    // documents: per-replica affine cipher (bijective char map).
+    // Replica r → (a, b) = (coprime[(r/26) % 12], r % 26); i ↦ a·i+b
+    // mod 26. a=1 for r<26 reproduces the original Caesar rotation
+    // exactly, so existing sf1 markers stay valid.
+    require(factor <= 312, s"affine cipher supports ≤312 replicas, got $factor")
     val docs = read("documents")
     val lower = "abcdefghijklmnopqrstuvwxyz"
-    def rot(s: String, r: Int) = s.drop(r % 26) + s.take(r % 26)
+    val coprimes = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    def affine(s: String, r: Int): String = {
+      val a = coprimes((r / 26) % coprimes.length)
+      val b = r % 26
+      (0 until 26).map(i => s((a * i + b) % 26)).mkString
+    }
     val docReps = (0 until factor).map { r =>
       val text =
         if (r == 0) col("text")
         else translate(col("text"),
           lower + lower.toUpperCase,
-          rot(lower, r) + rot(lower.toUpperCase, r))
+          affine(lower, r) + affine(lower.toUpperCase, r))
       docs.select((col("doc_id") + lit(r * docS)).as("doc_id"),
         text.as("text"), col("lang"), col("source"), col("n_chars"))
     }

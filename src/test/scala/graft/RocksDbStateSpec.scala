@@ -22,28 +22,24 @@ import graft.streaming.EventsStreaming
 class RocksDbStateSpec extends SparkTestBase {
 
   test("session-window results are provider-invariant and RocksDB engages") {
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val defaultRows = canon(EventsStreaming.sessionWindowStream(spark, sf()))
-    assert(defaultRows.nonEmpty)
+    // RocksDB is now the SUITE-WIDE default (withStreamPartitions); the
+    // heap baseline must be pinned explicitly through the graft mode key.
+    val modeKey = "graft.streaming.stateProvider"
+    spark.conf.set(modeKey, "heap")
+    val heapRows =
+      try canon(EventsStreaming.sessionWindowStream(spark, sf()))
+      finally spark.conf.unset(modeKey)
+    assert(heapRows.nonEmpty)
 
-    val prior = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val rocksRows = canon(EventsStreaming.sessionWindowStream(spark, sf()))
-      assert(rocksRows == defaultRows,
-        "RocksDB state store changed query RESULTS — providers must only change state placement")
+    // default mode — nothing set: the wrapper must choose RocksDB
+    val rocksRows = canon(EventsStreaming.sessionWindowStream(spark, sf()))
+    assert(rocksRows == heapRows,
+      "RocksDB state store changed query RESULTS — providers must only change state placement")
 
-      val progresses = EventsStreaming.lastProgressFor("graft_stream_swnative_")
-      val metrics = progresses.flatMap(_.stateOperators)
-        .flatMap(_.customMetrics.keySet().toArray.map(_.toString))
-      assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
-        s"no rocksdb metrics in state-operator progress — provider never engaged (saw: ${metrics.distinct.take(5).mkString(",")})")
-    } finally {
-      prior match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None => spark.conf.unset(providerKey)
-      }
-    }
+    val progresses = EventsStreaming.lastProgressFor("graft_stream_swnative_")
+    val metrics = progresses.flatMap(_.stateOperators)
+      .flatMap(_.customMetrics.keySet().toArray.map(_.toString))
+    assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+      s"no rocksdb metrics in state-operator progress — the default-mode run did not engage RocksDB (saw: ${metrics.distinct.take(5).mkString(",")})")
   }
 }

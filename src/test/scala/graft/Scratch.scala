@@ -79,6 +79,59 @@ object Scratch {
             println(f"$name%-24s ERROR ${e.getMessage.take(80)}")
           }
         }
+      case "annsweep" =>
+        // ANN recall-cost curve: run the REAL operators (topKIvfFrom /
+        // topKLsh) over a sample of query vectors and measure recall@k
+        // against brute-force ground truth, plus the fraction of the
+        // corpus each setting actually scanned. Design evidence for the
+        // "ANN survives 100 TB" claim — emits the PLANS.md table.
+        import org.apache.spark.sql.functions._
+        val emb = sources.Tables.embeddings(spark, d).cache()
+        val n = emb.count()
+        val k = 10
+        val queryIds = emb.select("vec_id").orderBy("vec_id")
+          .limit(40).collect().map(_.getLong(0)).filter(_ % 2 == 0).take(20)
+        // label/bucket sizes for the fraction-scanned denominator
+        val labelSizes = emb.groupBy("label").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        def swapTo0(qid: Long) = emb.withColumn("vec_id",
+          when(col("vec_id") === qid, lit(0L))
+            .when(col("vec_id") === 0L, lit(qid))
+            .otherwise(col("vec_id")))
+        def gt(qid: Long): Set[Long] =
+          operators.Similarity.topKFrom(swapTo0(qid), k)
+            .collect().map(_.getLong(0)).toSet
+        val gts = queryIds.map(q => q -> gt(q)).toMap
+        println(s"corpus n=$n, ${queryIds.length} queries, k=$k")
+        println("| index | setting | mean recall@10 | mean frac scanned |")
+        println("|---|---|---|---|")
+        for (nprobe <- Seq(1, 2, 3, 5, 10)) {
+          val (recalls, fracs) = queryIds.map { qid =>
+            val rows = operators.Similarity
+              .topKIvfFrom(swapTo0(qid), k, nprobe).collect()
+            val ids = rows.map(_.getLong(0)).toSet
+            val probed = rows.map(_.getInt(1)).distinct
+            val scanned = probed.map(labelSizes(_)).sum.toDouble / n
+            (gts(qid).count(ids).toDouble / k, scanned)
+          }.unzip
+          println(f"| IVF | nprobe=$nprobe | ${recalls.sum / recalls.length}%.3f " +
+            f"| ${fracs.sum / fracs.length}%.4f |")
+        }
+        for (planes <- Seq(2, 3, 4, 5, 6)) {
+          val bSizes = operators.Similarity.lshBucketsFrom(emb, planes)
+            .groupBy("bucket").count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val (recalls, fracs) = queryIds.map { qid =>
+            val rows = operators.Similarity
+              .topKLshFrom(swapTo0(qid), k, planes).collect()
+            val ids = rows.map(_.getLong(0)).toSet
+            val bucket = if (rows.nonEmpty) rows.head.getString(1) else ""
+            val scanned = bSizes.getOrElse(bucket, 0L).toDouble / n
+            (gts(qid).count(ids).toDouble / k, scanned)
+          }.unzip
+          println(f"| LSH | planes=$planes | ${recalls.sum / recalls.length}%.3f " +
+            f"| ${fracs.sum / fracs.length}%.4f |")
+        }
       case q =>
         time(q) { SparkEntry.queries(q)(spark, d).count() }
     }
