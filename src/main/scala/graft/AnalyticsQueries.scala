@@ -1146,7 +1146,7 @@ object AnalyticsQueries {
         |      - pow(CAST(sum(cents) AS DOUBLE) / 100.0 / count(*), 2)) AS std
         |  FROM daily GROUP BY 1)
         |SELECT d.event_type, d.day, CAST(d.total AS DOUBLE) AS total,
-        |  CAST(round((CAST(d.total AS DOUBLE) - s.mean) / s.std, 6) AS DOUBLE) AS zscore,
+        |  CAST(round((CAST(d.total AS DOUBLE) - s.mean) / s.std, 6) + 0 AS DOUBLE) AS zscore,
         |  abs((CAST(d.total AS DOUBLE) - s.mean) / s.std) > 2.0 AS is_anomaly
         |FROM daily d JOIN stats s USING (event_type)""".stripMargin,
 

@@ -80,7 +80,7 @@ object SimilarityQueries {
         |a AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
         |    sum(xi) AS s1, sum(xi * xi) AS s2 FROM t GROUP BY 1)
         |SELECT dim, n,
-        |  CAST(round(CAST(s1 AS DOUBLE) / 1e6 / n, 6) AS DOUBLE) AS mean,
+        |  CAST(round(CAST(s1 AS DOUBLE) / 1e6 / n, 6) + 0 AS DOUBLE) AS mean,
         |  CAST(round(CAST(n * s2 - s1 * s1 AS DOUBLE) / n / n / 1e12, 6)
         |    AS DOUBLE) AS variance
         |FROM a""".stripMargin,
@@ -99,7 +99,7 @@ object SimilarityQueries {
         |  FROM p GROUP BY 1, 2)
         |SELECT dim_i, dim_j,
         |  CAST(round(CAST(n * sxy - sx * sy AS DOUBLE) / n / n / 1e12, 6)
-        |    AS DOUBLE) + 0.0 AS cov
+        |    + 0 AS DOUBLE) + 0.0 AS cov
         |FROM s""".stripMargin,
 
     // Unrolled 2-iteration Lloyd: every quantity is a positive BIGINT
@@ -163,7 +163,7 @@ object SimilarityQueries {
         |r AS (SELECT query_id, vec_id AS neighbor_id,
         |  row_number() OVER (PARTITION BY query_id
         |    ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rank,
-        |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DOUBLE) AS score
+        |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) + 0 AS DOUBLE) AS score
         |  FROM d)
         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, score
         |FROM r WHERE rank <= 3""".stripMargin,
@@ -176,7 +176,7 @@ object SimilarityQueries {
         |  sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS nb
         |  FROM embeddings e, q, range(1, 65) r(i) GROUP BY e.vec_id)
         |SELECT vec_id,
-        |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DOUBLE) AS score
+        |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) + 0 AS DOUBLE) AS score
         |FROM d ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 20""".stripMargin,
 
     "q_sim_lsh_buckets" ->
@@ -197,7 +197,7 @@ object SimilarityQueries {
          |  sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS nb
          |  FROM cand c, q, range(1, 65) r(i) GROUP BY 1, 2)
          |SELECT vec_id, bucket,
-         |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DOUBLE) AS score
+         |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) + 0 AS DOUBLE) AS score
          |FROM d ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_sim_topk_ivf" ->
@@ -219,7 +219,7 @@ object SimilarityQueries {
         |  FROM embeddings e JOIN probe USING (label), qe, range(1, 65) r(i)
         |  GROUP BY 1, 2)
         |SELECT vec_id, label,
-        |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DOUBLE) AS score
+        |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) + 0 AS DOUBLE) AS score
         |FROM d ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 10""".stripMargin,
 
     // multi-probe (nprobe=2): identical shape, probe CTE keeps the TWO
@@ -243,7 +243,7 @@ object SimilarityQueries {
         |  FROM embeddings e JOIN probe USING (label), qe, range(1, 65) r(i)
         |  GROUP BY 1, 2)
         |SELECT vec_id, label,
-        |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DOUBLE) AS score
+        |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) + 0 AS DOUBLE) AS score
         |FROM d ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_sim_centroid" ->
@@ -258,7 +258,7 @@ object SimilarityQueries {
         |  FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
         |  GROUP BY ex.vec_id, ex.label)
         |SELECT vec_id, label,
-        |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DOUBLE) AS score
+        |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) + 0 AS DOUBLE) AS score
         |FROM j""".stripMargin,
 
     "q_dedup_embedding_lsh" ->
@@ -274,7 +274,7 @@ object SimilarityQueries {
          |  JOIN embeddings eb ON c.vb = eb.vec_id, range(1, 65) r(i)
          |  GROUP BY 1, 2, 3)
          |SELECT bucket, va AS vec_a, vb AS vec_b,
-         |  CAST(round($qscore, 6) AS DOUBLE) AS score
+         |  CAST(round($qscore, 6) + 0 AS DOUBLE) AS score
          |FROM d""".stripMargin,
 
     // Transitive closure over the thresholded LSH candidate graph —
@@ -318,7 +318,7 @@ object SimilarityQueries {
          |    AND a.vec_id < b.vec_id, range(1, 65) r(i)
          |  GROUP BY 1, 2, 3)
          |SELECT label, va AS vec_a, vb AS vec_b,
-         |  CAST(round($qscore, 6) AS DOUBLE) AS score
+         |  CAST(round($qscore, 6) + 0 AS DOUBLE) AS score
          |FROM (SELECT *, row_number() OVER (PARTITION BY label
          |    ORDER BY $qscore DESC, va, vb) AS rn FROM p)
          |WHERE rn = 1""".stripMargin

@@ -874,7 +874,7 @@ object TextQueries {
          |    + 1.0 / (CAST(y_all - y_s AS DOUBLE) + 1.0) AS var
          |  FROM ys JOIN ya USING (token) JOIN ns USING (source), tot)
          |SELECT source, token, y_s, CAST(rn AS INTEGER) AS rn,
-         |  CAST(round(z, 6) AS DOUBLE) AS zscore
+         |  CAST(round(z, 6) + 0 AS DOUBLE) AS zscore
          |FROM (SELECT *, lo / sqrt(var) AS z,
          |  row_number() OVER (PARTITION BY source ORDER BY lo / sqrt(var) DESC, token) AS rn
          |  FROM d)
@@ -945,7 +945,7 @@ object TextQueries {
          |  FROM bg JOIN model USING (prev, cur) GROUP BY 1)
          |SELECT d.doc_id,
          |  CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-         |  CAST(round(CAST(sum_f AS DOUBLE) / (n_bigrams * 1e6), 6) AS DOUBLE) AS lm_score
+         |  CAST(round(CAST(sum_f AS DOUBLE) / (n_bigrams * 1e6), 6) + 0 AS DOUBLE) AS lm_score
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
 
     // The bloom prefilter is exact end-to-end (false positives are
