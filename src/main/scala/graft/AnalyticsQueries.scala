@@ -69,6 +69,8 @@ object AnalyticsQueries {
     "q_stats_moments" -> ((s, d) => Analytics.statsMoments(s, d)),
     "q_histogram" -> ((s, d) => Analytics.histogram(s, d)),
     "q_events_window" -> ((s, d) => Analytics.eventsDaily(s, d)),
+    "q_events_window_band" -> ((s, d) => Analytics.eventsDailyBand(s, d)),
+    "q_attribution_first_band" -> ((s, d) => Analytics.firstTouchAttributionBand(s, d)),
     "q_sliding_window" -> ((s, d) => Analytics.eventsSliding(s, d)),
     "q_events_sessionize" -> ((s, d) => Analytics.eventsSessionized(s, d)),
     "q_events_json" -> ((s, d) => Analytics.eventsPropsDistribution(s, d)),
@@ -807,8 +809,8 @@ object AnalyticsQueries {
       """SELECT l_returnflag,
         |round(stddev_samp(l_quantity), 6) AS sd_qty,
         |round(var_samp(l_quantity), 6) AS var_qty,
-        |round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
-        |round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+        |round(corr(l_quantity, l_extendedprice), 6) + 0 AS corr_qp,
+        |round(covar_samp(l_quantity, l_extendedprice), 4) + 0 AS covar_qp,
         |min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
@@ -1022,6 +1024,35 @@ object AnalyticsQueries {
         |event_type, count(*) AS n,
         |CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // The reporting-band form: WHERE carries the exact ts band the
+    // engine enforces row-level (its e_day band is a directory prune
+    // with no row semantics of its own).
+    "q_events_window_band" ->
+      """SELECT strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |event_type, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Banded purchases only; the views band is implied by the join's
+    // 24 h lookback bound, so the oracle needs no view-side predicate.
+    "q_attribution_first_band" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'),
+        |j AS (SELECT p.purchase_id, v.view_id,
+        |    epoch_us(p.purchase_ts) - epoch_us(v.view_ts) AS touch_to_buy_us,
+        |    row_number() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY v.view_ts, v.view_id) AS rn
+        |  FROM p JOIN v ON p.user_id = v.user_id
+        |    AND v.view_ts <= p.purchase_ts
+        |    AND v.view_ts >= p.purchase_ts - INTERVAL 24 HOURS)
+        |SELECT purchase_id, view_id AS first_view_id, touch_to_buy_us
+        |FROM j WHERE rn = 1""".stripMargin,
 
     // Each event expands into its 4 covering 6h-aligned day windows —
     // the same row-per-window expansion Spark's sliding window performs.

@@ -1435,6 +1435,28 @@ object Analytics {
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** The date-banded production form of [[eventsDaily]] — a dashboard
+    * never re-aggregates all of history; it asks for a week. The band
+    * rides the day-partitioned layout ([[graft.sources
+    * .PartitionedTables.eventsByDay]]): the coarse `e_day` predicate
+    * prunes partition DIRECTORIES at the file listing (at 100 TB,
+    * 7/30ths of the corpus is even listed, the rest never touches a
+    * footer), while the exact `ts` row predicate keeps boundary
+    * semantics — the layout contract. Under the size gate the same
+    * code runs as a flat scan with a row filter.
+    */
+  def eventsDailyBand(spark: SparkSession, sfDir: String,
+      fromDay: String = "2024-01-08", toDay: String = "2024-01-15"): DataFrame =
+    graft.sources.PartitionedTables.eventsByDay(spark, sfDir)
+      .filter(col("e_day") >= fromDay && col("e_day") < toDay)
+      .filter(col("ts") >= lit(fromDay).cast("timestamp")
+        && col("ts") < lit(toDay).cast("timestamp"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec("value")).cast("double").as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("total_value"))
+
   /** SLIDING windows — each event lands in 24h/6h = 4 overlapping
     * windows (tumbling is the slide == width special case, covered by
     * `eventsDaily`). Spark expands the row per covering window before
@@ -1723,16 +1745,21 @@ object Analytics {
   /** RFM customer segmentation — the standard lifecycle-marketing
     * rollup: per-user Recency (days since last event), Frequency (event
     * count), Monetary (purchase cents), each cut into integer quartiles
-    * and concatenated into a segment code ('444' = best). Quartiles are
-    * `ntile` over the per-USER relation — cardinality = users, not
-    * events — so the only event-scale work is the first aggregate; the
-    * three window passes share one single-partition... no: ntile needs a
-    * global order, so each runs over an un-partitioned window on the
-    * (small) per-user table — acceptable ONLY because that table is
-    * user-cardinality; never ntile the raw fact.
+    * and concatenated into a segment code ('444' = best). Each quartile
+    * is NTILE semantics — but a bare `ntile(4) OVER (ORDER BY …)` is an
+    * empty-key window: every user row lands on ONE task. Instead each
+    * quartile is derived ARITHMETICALLY from a distributed global rank
+    * ([[graft.operators.DataPrep.withGlobalIndex]]: range-partition +
+    * local sort + broadcast prefix-sum — the `q_curriculum` pattern):
+    * rank i of N maps to bucket ⌊i/(q+1)⌋+1 for the first N mod 4
+    * oversized buckets, else r+⌊(i−r(q+1))/q⌋+1 — bit-identical to the
+    * window form the oracle states, with ties broken by user_id so
+    * every engine deals the same quartiles. The three rank passes chain
+    * (no joins); recency orders by NEGATED last_us so every sort is
+    * ascending (withGlobalIndex keys its offset lookup on per-partition
+    * MIN). All three sorts are user-cardinality, never event-scale.
     */
   def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val perUser = Tables.events(spark, sfDir)
       .groupBy(col("user_id"))
       .agg(max(unix_micros(col("ts"))).as("last_us"),
@@ -1740,16 +1767,26 @@ object Analytics {
         sum(when(col("event_type") === "purchase",
           (dec("value") * 100).cast("long")).otherwise(lit(0L)))
           .as("monetary_c"))
-    // ties broken by user_id so every engine deals the same quartiles
-    def q(c: String, asc: Boolean) = ntile(4).over(
-      if (asc) Window.orderBy(col(c).asc, col("user_id").asc)
-      else Window.orderBy(col(c).desc, col("user_id").asc))
-    perUser.select(col("user_id"), col("frequency"), col("monetary_c"),
-        q("last_us", asc = false).as("r_q"),
-        q("frequency", asc = true).as("f_q"),
-        q("monetary_c", asc = true).as("m_q"))
-      .select(col("user_id"), col("frequency"), col("monetary_c"),
-        concat(col("r_q"), col("f_q"), col("m_q")).as("segment"))
+      .withColumn("neg_last_us", -col("last_us"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = perUser.count()
+    val q = n / 4L
+    val r = n % 4L
+    // exact NTILE(4) from a 0-based global rank; integer `div`, never
+    // float division — a bucket boundary must not hinge on rounding
+    def bucket(idx: org.apache.spark.sql.Column) =
+      when(idx < lit(r * (q + 1)), expr(s"global_idx div ${q + 1}"))
+        .otherwise(lit(r) + expr(s"(global_idx - ${r * (q + 1)}) div $q"))
+        .cast("int") + 1
+    def rankPass(df: DataFrame, key: String, out: String) =
+      DataPrep.withGlobalIndex(df, Seq(col(key), col("user_id")), parts = 32)
+        .withColumn(out, bucket(col("global_idx"))).drop("global_idx")
+    val staged = rankPass(rankPass(rankPass(
+      perUser, "neg_last_us", "r_q"), "frequency", "f_q"),
+      "monetary_c", "m_q")
+    staged.select(col("user_id"), col("frequency"), col("monetary_c"),
+      concat(col("r_q").cast("string"), col("f_q").cast("string"),
+        col("m_q").cast("string")).as("segment"))
   }
 
   /** Event-type transition matrix — first-order Markov journey model:
@@ -1820,6 +1857,45 @@ object Analytics {
       .select(col("user_id"), col("event_id").as("view_id"),
         col("ts").as("view_ts"))
     val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val w = Window.partitionBy(col("purchase_id"))
+      .orderBy(col("view_ts"), col("view_id"))
+    purchases.join(views,
+        col("user_id") === col("p_user")
+          && col("view_ts") <= col("purchase_ts")
+          && col("view_ts") >= col("purchase_ts") - expr("interval 24 hours"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("purchase_id"), col("view_id").as("first_view_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+          .as("touch_to_buy_us"))
+  }
+
+  /** Date-banded first-touch attribution — the production lookback
+    * shape: attribute the purchases of ONE reporting band, not all of
+    * history. Both scans ride the day-partitioned layout: purchases
+    * prune to the band's day directories, views prune to the band
+    * WIDENED by the 24 h lookback (one extra day on the left — the
+    * days a band purchase can possibly touch). The exact `ts`
+    * predicates and the interval join keep boundary semantics; the
+    * `e_day` bands only decide which directories are listed. At 100 TB
+    * this is the difference between joining a week against eight days
+    * and joining a week against a year.
+    */
+  def firstTouchAttributionBand(spark: SparkSession, sfDir: String,
+      fromDay: String = "2024-01-08", toDay: String = "2024-01-15"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.sources.PartitionedTables.eventsByDay(spark, sfDir)
+    val lookbackFrom = java.time.LocalDate.parse(fromDay).minusDays(1).toString
+    val views = ev.filter(col("event_type") === "view")
+      .filter(col("e_day") >= lookbackFrom && col("e_day") < toDay)
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .filter(col("e_day") >= fromDay && col("e_day") < toDay)
+      .filter(col("ts") >= lit(fromDay).cast("timestamp")
+        && col("ts") < lit(toDay).cast("timestamp"))
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("purchase_ts"))
     val w = Window.partitionBy(col("purchase_id"))

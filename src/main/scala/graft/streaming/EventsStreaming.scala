@@ -302,7 +302,8 @@ object EventsStreaming {
     val pKey = "spark.sql.streaming.stateStore.providerClass"
     val old = spark.conf.get(key)
     val oldProvider = spark.conf.get(pKey) // effective value (default = heap)
-    spark.conf.set(key, n.toString)
+    // validate BEFORE the first conf.set: an invalid mode must throw
+    // without leaking the shuffle-partition override into the session
     val desired = spark.conf.getOption("graft.streaming.stateProvider")
         .getOrElse("rocksdb") match {
       case "rocksdb" => Some(RocksDbProvider)
@@ -311,6 +312,7 @@ object EventsStreaming {
       case other => throw new IllegalArgumentException(
         s"graft.streaming.stateProvider must be rocksdb|heap|session, got '$other'")
     }
+    spark.conf.set(key, n.toString)
     desired.foreach(spark.conf.set(pKey, _))
     try body finally {
       spark.conf.set(key, old)

@@ -57,6 +57,12 @@ object SeedGen {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem").foreach { t =>
       val s = java.nio.file.Paths.get(src, s"$t.parquet")
+      // Files.copy of a DIRECTORY creates an empty dir and both engines
+      // would read the same empty table — the gate would pass vacuously.
+      // Dir-based layouts (ScaleUp's writeDir output) are not supported
+      // as a seed source; fail loudly instead of silently dropping rows.
+      require(java.nio.file.Files.isRegularFile(s),
+        s"seed source $s must be a single parquet file (dir layouts unsupported)")
       val d = java.nio.file.Paths.get(out, s"$t.parquet")
       java.nio.file.Files.copy(s, d,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)

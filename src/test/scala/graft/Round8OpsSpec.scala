@@ -28,37 +28,90 @@ class Round8OpsSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_keys") > 0 && r.getAs[Long]("max_g") > 0)
   }
 
+  /** Force size-gated routing to the STAGED layout regardless of the
+    * tiny test tables — the plan-shape pins are about the shape the
+    * layout produces once a table clears `graft.layout.minBytes`.
+    */
+  private def withStagedRouting[A](body: => A): A = {
+    val key = graft.sources.PartitionedTables.MinBytesKey
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "0")
+    try body finally {
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("date-band TPC-H queries prune the partitioned fact layout") {
     // every routed query's fact scan must carry a real PartitionFilters
     // entry — pruning at the directory listing, before any footer I/O
-    val routed = Seq(
-      "q3" -> Analytics.q3Shipping(spark, sf()),
-      "q4" -> Analytics.q4OrderPriority(spark, sf()),
-      "q6" -> Analytics.q6Forecast(spark, sf()),
-      "q12" -> Analytics.q12ShipPriority(spark, sf()),
-      "q14" -> Analytics.q14Promo(spark, sf()))
-    for ((name, df) <- routed) {
-      val plan = df.queryExecution.executedPlan.toString
-      val pf = "PartitionFilters: \\[[^\\]]*\\]".r
-        .findAllIn(plan).toList
-      assert(pf.exists(f => f.contains("_month") || f.contains("e_day")),
-        s"$name must prune on the partition column:\n$plan")
+    withStagedRouting {
+      val routed = Seq(
+        "q3" -> Analytics.q3Shipping(spark, sf()),
+        "q4" -> Analytics.q4OrderPriority(spark, sf()),
+        "q6" -> Analytics.q6Forecast(spark, sf()),
+        "q12" -> Analytics.q12ShipPriority(spark, sf()),
+        "q14" -> Analytics.q14Promo(spark, sf()))
+      for ((name, df) <- routed) {
+        val plan = df.queryExecution.executedPlan.toString
+        val pf = "PartitionFilters: \\[[^\\]]*\\]".r
+          .findAllIn(plan).toList
+        assert(pf.exists(f => f.contains("_month") || f.contains("e_day")),
+          s"$name must prune on the partition column:\n$plan")
+      }
     }
   }
 
   test("day-partitioned events prune to the predicated days") {
     import graft.sources.PartitionedTables
-    val pruned = PartitionedTables.eventsByDay(spark, sf())
+    withStagedRouting {
+      val pruned = PartitionedTables.eventsByDay(spark, sf())
+        .filter(col("e_day") === "2024-01-02")
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") &&
+          "PartitionFilters: \\[[^\\]]*e_day[^\\]]*\\]".r
+            .findFirstIn(plan).isDefined,
+        s"events day predicate must reach PartitionFilters:\n$plan")
+      // value check: the pruned read equals the row-filtered full read
+      val full = graft.sources.Tables.events(spark, sf())
+        .filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-02")
+      assert(pruned.count() === full.count())
+    }
+  }
+
+  test("banded event queries prune the day-partitioned layout") {
+    withStagedRouting {
+      val routed = Seq(
+        "events_window_band" -> Analytics.eventsDailyBand(spark, sf()),
+        "attribution_first_band" ->
+          Analytics.firstTouchAttributionBand(spark, sf()))
+      for ((name, df) <- routed) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert("PartitionFilters: \\[[^\\]]*e_day[^\\]]*\\]".r
+            .findFirstIn(plan).isDefined,
+          s"$name must prune on e_day:\n$plan")
+      }
+    }
+  }
+
+  test("under-gate tables route flat with the derived partition column") {
+    import graft.sources.PartitionedTables
+    // default gate (64 MB) — the sf0.001 tables are far below it, so the
+    // accessor must return the FLAT table + derived column: same schema,
+    // same rows, no partitioned-scan fixed costs at the small end
+    val flatRouted = PartitionedTables.eventsByDay(spark, sf())
       .filter(col("e_day") === "2024-01-02")
-    val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [") &&
-        "PartitionFilters: \\[[^\\]]*e_day[^\\]]*\\]".r
-          .findFirstIn(plan).isDefined,
-      s"events day predicate must reach PartitionFilters:\n$plan")
-    // value check: the pruned read equals the row-filtered full read
+    val plan = flatRouted.queryExecution.executedPlan.toString
+    assert(!plan.contains("graft_pt_events_d"),
+      s"tiny table must scan the flat source, not the staged layout:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*e_day[^\\]]*\\]".r
+        .findFirstIn(plan).isEmpty,
+      s"flat route must filter e_day per-row, not via partitions:\n$plan")
     val full = graft.sources.Tables.events(spark, sf())
       .filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-02")
-    assert(pruned.count() === full.count())
+    assert(flatRouted.count() === full.count())
   }
 
   test("skyline plans no partition-less window and stays a frontier") {
