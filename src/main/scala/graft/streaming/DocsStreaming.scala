@@ -122,48 +122,101 @@ object DocsStreaming {
     * batch's own bands; per-ingest cost is O(batch + matching index
     * buckets), never a rescan of the corpus. This is the streaming twin
     * of `Dedup.dedupIncremental`'s managed-table batch path.
+    *
+    * The index is GENERATIONALLY COMPACTED: without it, batch N probes
+    * N per-batch subdirs and probe cost grows linearly with stream age
+    * — a month-old ingest would list thousands of directories per
+    * trigger. Every K batches (`graft.streaming.bandIndexCompactEvery`,
+    * default 2) the compacting batch folds the previous generation plus
+    * the closed per-batch subdirs into one `gen<N>` dir before probing,
+    * so every probe reads at most one generation + K−1 subdirs no
+    * matter how many batches have run. Crash-safety is `_SUCCESS`-gated
+    * (the q_stream_cdc_apply pattern): a half-written generation lacks
+    * the marker and is invisible, the retry rebuilds it from the still-
+    * present inputs; folded subdirs are deleted only AFTER the marker
+    * exists, and a retry that finds a closed generation skips the fold
+    * entirely. All index I/O goes through the Hadoop `FileSystem` API —
+    * on a real cluster this index lives on HDFS/S3A, not a local disk.
     */
-  def streamDedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+  def streamDedupMinhash(spark: SparkSession, sfDir: String,
+      shards: Int = 3): DataFrame =
       EventsStreaming.withStreamPartitions(spark, 8) {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.hadoop.fs.Path
     val name = s"graft_stream_docs_mh_${nameCounter.incrementAndGet()}"
-    val srcDir = stagedRangeShardedDocs(spark, sfDir, shards = 3)
+    val srcDir = stagedRangeShardedDocs(spark, sfDir, shards)
+    val compactEvery = spark.conf
+      .getOption("graft.streaming.bandIndexCompactEvery")
+      .map(_.toInt).getOrElse(2)
+    require(compactEvery >= 1,
+      s"graft.streaming.bandIndexCompactEvery must be >= 1, got $compactEvery")
     // Deterministic run dir, wiped at start: repeated bench/verify passes
     // reuse (not leak) the same path, and a stale half-run can't pollute
     // this one's index or survivors.
-    val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_stream_mh_$name")
-    graft.FsUtil.deleteRecursively(base)
-    val indexDir = base.resolve("index")
-    val outDir = base.resolve("survivors")
+    val base = new Path(
+      s"${sys.props("java.io.tmpdir")}/graft_stream_mh_$name")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(base, true)
+    val indexDir = new Path(base, "index")
+    val outDir = new Path(base, "survivors")
     // Per-batch subdirs written with OVERWRITE make each foreachBatch
     // delivery idempotent: a task-retried batch rewrites its own subdir
     // instead of appending a second copy of its survivors/bands (the
     // session runs with 3 task attempts, so partial-write retries are a
     // real schedule). Readback unions the subdirs via recursive lookup.
-    def batchSub(dir: java.nio.file.Path, id: Long) =
-      dir.resolve(s"b$id").toString
-    def readAll(dir: java.nio.file.Path): DataFrame =
+    def batchSub(dir: Path, id: Long) = new Path(dir, s"b$id")
+    def genPath(id: Long) = new Path(indexDir, s"gen$id")
+    def closed(p: Path) = fs.exists(new Path(p, "_SUCCESS"))
+    // newest closed generation with id ≤ cap; gen<g> holds batches 0..g-1
+    def latestGen(cap: Long): Option[Long] =
+      if (!fs.exists(indexDir)) None
+      else fs.listStatus(indexDir).toSeq.map(_.getPath.getName)
+        .collect { case s if s.startsWith("gen") => s.drop(3).toLong }
+        .filter(g => g <= cap && closed(genPath(g))).sorted.lastOption
+    def readAll(dir: Path): DataFrame =
       spark.read.option("recursiveFileLookup", "true").parquet(dir.toString)
     val q = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
       .writeStream
-      .option("checkpointLocation", base.resolve("checkpoint").toString)
+      .option("checkpointLocation", new Path(base, "checkpoint").toString)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // 1. compaction turn: fold history-so-far into gen<batchId>
+        // BEFORE probing. Deterministic given the closed prior batches,
+        // so the OVERWRITE write is retry-idempotent; skipped outright
+        // when a closed gen<batchId> already exists (post-deletion retry).
+        if (batchId > 0 && batchId % compactEvery == 0
+            && !closed(genPath(batchId))) {
+          val g = latestGen(batchId - 1)
+          val from = g.getOrElse(0L)
+          val inputs = (g.map(genPath(_).toString).toSeq ++
+            (from until batchId).map(batchSub(indexDir, _).toString))
+            .filter(p => fs.exists(new Path(p)))
+          if (inputs.nonEmpty) {
+            spark.read.parquet(inputs: _*)
+              .write.mode("overwrite").parquet(genPath(batchId).toString)
+            // folded subdirs (and the superseded generation) go away
+            // only now that gen<batchId> carries its _SUCCESS marker
+            (from until batchId).foreach(i =>
+              fs.delete(batchSub(indexDir, i), true))
+            g.foreach(old => fs.delete(genPath(old), true))
+          }
+        }
         val bands = batch.select(col("doc_id"),
             posexplode(graft.functions.HashExpressions
               .minhash_band_keys(col("text")))
               .as(Seq("band_id", "band_key")))
           .cache() // probed, window-scanned, AND appended below
         try {
-          // Probe only PRIOR batches' bands: a retry of batch N must not
-          // see N's own half-written bands, or its survivors change.
-          val priorIdx = (0L until batchId)
-            .map(batchSub(indexDir, _))
-            .filter(p => java.nio.file.Files.exists(
-              java.nio.file.Paths.get(p)))
+          // Probe only PRIOR batches' bands — one generation + the
+          // subdirs after it. A retry of batch N must not see N's own
+          // half-written bands, or its survivors change.
+          val g = latestGen(batchId)
+          val priorIdx = (g.map(genPath(_).toString).toSeq ++
+            (g.getOrElse(0L) until batchId)
+              .map(batchSub(indexDir, _).toString))
+            .filter(p => fs.exists(new Path(p)))
           val idxHit =
             if (priorIdx.nonEmpty)
               bands.join(spark.read.parquet(priorIdx: _*),
@@ -178,10 +231,11 @@ object DocsStreaming {
           val dropped = idxHit.union(batchHit).distinct()
           batch.join(dropped, Seq("doc_id"), "left_anti")
             .select(col("doc_id"), col("source"), col("lang"))
-            .write.mode("overwrite").parquet(batchSub(outDir, batchId))
+            .write.mode("overwrite").parquet(batchSub(outDir, batchId).toString)
           // ALL bands enter the index (survivor or not): the first-wins
           // rule compares against everything previously INGESTED
-          bands.write.mode("overwrite").parquet(batchSub(indexDir, batchId))
+          bands.write.mode("overwrite")
+            .parquet(batchSub(indexDir, batchId).toString)
         } finally bands.unpersist()
       }
       .start()
