@@ -105,13 +105,36 @@ object Scratch {
         println(s"corpus n=$n, ${queryIds.length} queries, k=$k")
         println("| index | setting | mean recall@10 | mean frac scanned |")
         println("|---|---|---|---|")
+        // the probe SET (not the labels that happen to appear in the
+        // top-k rows) is what the scan pays for — recompute it exactly
+        // as topKIvfFrom selects it
+        def probeSet(qid: Long, nprobe: Int): Seq[Int] = {
+          val e = swapTo0(qid)
+          val ex = e.select(col("label"),
+              posexplode(col("embedding")).as(Seq("pos", "vf")))
+            .select(col("label"), col("pos"), col("vf").cast("double").as("v"))
+          val cent = ex.groupBy(col("label"), col("pos"))
+            .agg((sum(col("v")) / count(lit(1))).as("c"))
+          val qv = e.filter(col("vec_id") === 0)
+            .select(posexplode(col("embedding")).as(Seq("pos", "qf")))
+            .select(col("pos"), col("qf").cast("double").as("qv"))
+          cent.join(broadcast(qv), "pos")
+            .groupBy(col("label"))
+            .agg(sum(col("c") * col("qv")).as("dot"),
+              sum(col("c") * col("c")).as("na"),
+              sum(col("qv") * col("qv")).as("nb"))
+            .select(col("label"),
+              (col("dot") / (sqrt(col("na")) * sqrt(col("nb")))).as("csim"))
+            .orderBy(col("csim").desc, col("label")).limit(nprobe)
+            .collect().map(_.getInt(0)).toSeq
+        }
         for (nprobe <- Seq(1, 2, 3, 5, 10)) {
           val (recalls, fracs) = queryIds.map { qid =>
             val rows = operators.Similarity
               .topKIvfFrom(swapTo0(qid), k, nprobe).collect()
             val ids = rows.map(_.getLong(0)).toSet
-            val probed = rows.map(_.getInt(1)).distinct
-            val scanned = probed.map(labelSizes(_)).sum.toDouble / n
+            val scanned = probeSet(qid, nprobe)
+              .map(labelSizes(_)).sum.toDouble / n
             (gts(qid).count(ids).toDouble / k, scanned)
           }.unzip
           println(f"| IVF | nprobe=$nprobe | ${recalls.sum / recalls.length}%.3f " +
