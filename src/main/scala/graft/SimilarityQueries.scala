@@ -29,7 +29,8 @@ object SimilarityQueries {
     "q_dedup_embedding" -> ((s, d) => Similarity.nearestPairPerLabel(s, d)),
     "q_dedup_embedding_lsh" -> ((s, d) => Similarity.nearDupLsh(s, d)),
     "q_dedup_embedding_cc" -> ((s, d) => Similarity.semanticDedup(s, d)),
-    "q_kmeans" -> ((s, d) => Similarity.kmeans(s, d))
+    "q_kmeans" -> ((s, d) => Similarity.kmeans(s, d)),
+    "q_sim_topk_ivf_kmeans" -> ((s, d) => Similarity.topKIvfKmeans(s, d))
   )
 
   /** Shared oracle CTEs, parameterized on the hyperplane-count
@@ -70,6 +71,36 @@ object SimilarityQueries {
   private val qscore =
     "CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"
 
+  /** Mirrors Similarity.kmeansAssignments (k=8, iters=2): exact
+    * fixed-point Lloyd rounds unrolled as CTEs — `af` is the final
+    * (vec_id, cid, d2) assignment, `c2` the final centroids.
+    */
+  private val kmeansCtes =
+    """ex AS (SELECT vec_id, i-1 AS dim,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE)*1000000) AS BIGINT)
+      |      + 1000000 AS vi
+      |  FROM embeddings, range(1, 65) r(i)),
+      |c0 AS (SELECT vec_id AS cid, dim, vi AS ci FROM ex WHERE vec_id < 8),
+      |d1 AS (SELECT ex.vec_id, c.cid, sum((ex.vi-c.ci)*(ex.vi-c.ci)) AS d2
+      |  FROM ex JOIN c0 c ON ex.dim = c.dim GROUP BY ex.vec_id, c.cid),
+      |a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |  FROM d1) WHERE rn = 1),
+      |c1 AS (SELECT a.cid, ex.dim, sum(ex.vi) // count(*) AS ci
+      |  FROM a1 a JOIN ex ON a.vec_id = ex.vec_id GROUP BY a.cid, ex.dim),
+      |d2_ AS (SELECT ex.vec_id, c.cid, sum((ex.vi-c.ci)*(ex.vi-c.ci)) AS d2
+      |  FROM ex JOIN c1 c ON ex.dim = c.dim GROUP BY ex.vec_id, c.cid),
+      |a2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |  FROM d2_) WHERE rn = 1),
+      |c2 AS (SELECT a.cid, ex.dim, sum(ex.vi) // count(*) AS ci
+      |  FROM a2 a JOIN ex ON a.vec_id = ex.vec_id GROUP BY a.cid, ex.dim),
+      |df AS (SELECT ex.vec_id, c.cid, sum((ex.vi-c.ci)*(ex.vi-c.ci)) AS d2
+      |  FROM ex JOIN c2 c ON ex.dim = c.dim GROUP BY ex.vec_id, c.cid),
+      |af AS (SELECT vec_id, cid, d2 FROM (SELECT vec_id, cid, d2,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |  FROM df) WHERE rn = 1)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // components snapped to ×1e6 BIGINT before the sums — exact integer
     // Σx/Σx², so mean/variance are scalar divisions both engines agree on
@@ -106,33 +137,32 @@ object SimilarityQueries {
     // (coordinates snapped ×1e6 then shifted +1e6), so floor division
     // and argmin ties agree with Spark exactly.
     "q_kmeans" ->
-      """WITH ex AS (SELECT vec_id, i-1 AS dim,
-        |    CAST(round(CAST(embedding[i] AS DOUBLE)*1000000) AS BIGINT)
-        |      + 1000000 AS vi
-        |  FROM embeddings, range(1, 65) r(i)),
-        |c0 AS (SELECT vec_id AS cid, dim, vi AS ci FROM ex WHERE vec_id < 8),
-        |d1 AS (SELECT ex.vec_id, c.cid, sum((ex.vi-c.ci)*(ex.vi-c.ci)) AS d2
-        |  FROM ex JOIN c0 c ON ex.dim = c.dim GROUP BY ex.vec_id, c.cid),
-        |a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        |  FROM d1) WHERE rn = 1),
-        |c1 AS (SELECT a.cid, ex.dim, sum(ex.vi) // count(*) AS ci
-        |  FROM a1 a JOIN ex ON a.vec_id = ex.vec_id GROUP BY a.cid, ex.dim),
-        |d2_ AS (SELECT ex.vec_id, c.cid, sum((ex.vi-c.ci)*(ex.vi-c.ci)) AS d2
-        |  FROM ex JOIN c1 c ON ex.dim = c.dim GROUP BY ex.vec_id, c.cid),
-        |a2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        |  FROM d2_) WHERE rn = 1),
-        |c2 AS (SELECT a.cid, ex.dim, sum(ex.vi) // count(*) AS ci
-        |  FROM a2 a JOIN ex ON a.vec_id = ex.vec_id GROUP BY a.cid, ex.dim),
-        |df AS (SELECT ex.vec_id, c.cid, sum((ex.vi-c.ci)*(ex.vi-c.ci)) AS d2
-        |  FROM ex JOIN c2 c ON ex.dim = c.dim GROUP BY ex.vec_id, c.cid),
-        |af AS (SELECT vec_id, cid, d2 FROM (SELECT vec_id, cid, d2,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        |  FROM df) WHERE rn = 1)
+      s"""WITH $kmeansCtes
         |SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
         |  CAST(sum(d2) AS BIGINT) AS inertia
         |FROM af GROUP BY cid""".stripMargin,
+
+    // IVF with the LEARNED coarse key: probe the 2 nearest final
+    // centroids by the same exact integer d2, exact quantized cosine
+    // inside the probed clusters only; top-k selected on the RAW
+    // score (round only in the projection, so a rounding tie can
+    // never decide membership differently per engine).
+    "q_sim_topk_ivf_kmeans" ->
+      s"""WITH $kmeansCtes,
+        |qd AS (SELECT c.cid, sum((ex.vi-c.ci)*(ex.vi-c.ci)) AS qd2
+        |  FROM ex JOIN c2 c ON ex.dim = c.dim
+        |  WHERE ex.vec_id = 0 GROUP BY c.cid),
+        |probe AS (SELECT cid FROM qd ORDER BY qd2, cid LIMIT 2),
+        |cand AS (SELECT af.vec_id, af.cid FROM af JOIN probe USING (cid)),
+        |s AS (SELECT c.vec_id, c.cid,
+        |  ${qsum("e.embedding[i]", "q.embedding[i]")} AS dot,
+        |  ${qsum("e.embedding[i]", "e.embedding[i]")} AS na,
+        |  ${qsum("q.embedding[i]", "q.embedding[i]")} AS nb
+        |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+        |    JOIN embeddings q ON q.vec_id = 0, range(1, 65) r(i)
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, cid, CAST(round($qscore, 6) + 0 AS DOUBLE) AS score
+        |FROM s ORDER BY $qscore DESC, vec_id LIMIT 10""".stripMargin,
     "q_embed_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

@@ -342,7 +342,19 @@ object Similarity {
     * shuffle for the distance aggregate and one for the assignment
     * window — embeddings never materialize as all-pairs.
     */
-  def kmeans(spark: SparkSession, sfDir: String, k: Int = 8, iters: Int = 2): DataFrame = {
+  def kmeans(spark: SparkSession, sfDir: String, k: Int = 8, iters: Int = 2): DataFrame =
+    kmeansAssignments(spark, sfDir, k, iters)._1
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("inertia"))
+      .select(col("cid").as("cluster_id"), col("n_vecs"), col("inertia"))
+
+  /** The [[kmeans]] model surfaces: (final assignment `(vec_id, cid,
+    * d2)`, final centroids `(cid, dim, ci)`, fixed-point corpus
+    * `(vec_id, dim, vi)`) — shared by the cluster rollup above and the
+    * learned-coarse-key IVF below.
+    */
+  private[graft] def kmeansAssignments(spark: SparkSession, sfDir: String,
+      k: Int, iters: Int): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val ex = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
@@ -369,10 +381,44 @@ object Similarity {
       cent = assign(cent).join(ex, "vec_id")
         .groupBy(col("cid"), col("dim"))
         .agg(expr("sum(vi) div count(*)").as("ci"))
-    assign(cent)
+    (assign(cent), cent, ex)
+  }
+
+  /** IVF with a LEARNED coarse key — the conclusion the round-9 ANN
+    * recall-cost curve measured (PLANS.md): label-IVF prunes at ~1.3×
+    * recall-per-byte because a metadata label is not a geometric
+    * partition, so the production coarse quantizer must be k-means.
+    * The inverted lists are [[kmeansAssignments]]'s final clusters
+    * (exact integer Lloyd rounds — every engine derives identical
+    * lists); the query probes its `nprobe` nearest centroids by the
+    * same exact integer d² metric, and the exact quantized-integer
+    * cosine runs ONLY inside the probed clusters. Scale shape: the
+    * centroid table is k×dim broadcast rows, the probe set a broadcast
+    * of `nprobe` cluster ids, and the scan cost is the probed lists'
+    * fraction of the corpus — store the corpus partitioned by `cid`
+    * and the pruning is physical, exactly like the date-band layouts.
+    */
+  def topKIvfKmeans(spark: SparkSession, sfDir: String, k: Int = 10,
+      nprobe: Int = 2, kClusters: Int = 8, iters: Int = 2): DataFrame = {
+    val (af, cent, ex) = kmeansAssignments(spark, sfDir, kClusters, iters)
+    // query = vec 0's fixed-point coords against the FINAL centroids
+    val probe = ex.filter(col("vec_id") === 0)
+      .join(broadcast(cent), "dim")
       .groupBy(col("cid"))
-      .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("inertia"))
-      .select(col("cid").as("cluster_id"), col("n_vecs"), col("inertia"))
+      .agg(sum((col("vi") - col("ci")) * (col("vi") - col("ci"))).as("qd2"))
+      .orderBy(col("qd2"), col("cid")).limit(nprobe)
+      .select(col("cid"))
+    val emb = Tables.embeddings(spark, sfDir)
+    emb
+      .join(af.join(broadcast(probe), "cid")
+        .select(col("vec_id"), col("cid")), "vec_id")
+      .crossJoin(queryVecFrom(emb))
+      .withColumn("raw_score", graft.functions.VectorExpressions
+        .quantized_cosine(col("embedding"), col("q_embedding")))
+      .orderBy(col("raw_score").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("cid"),
+        round(col("raw_score"), 6).as("score"))
   }
 
   /** Per-dimension embedding statistics — the whitening/normalization
