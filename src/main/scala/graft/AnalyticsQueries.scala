@@ -81,6 +81,7 @@ object AnalyticsQueries {
     "q_attribution_first" -> ((s, d) => Analytics.firstTouchAttribution(s, d)),
     "q_attribution_linear" -> ((s, d) => Analytics.linearAttribution(s, d)),
     "q_anomaly_zscore" -> ((s, d) => Analytics.anomalyZscore(s, d)),
+    "q_ab_test" -> ((s, d) => Analytics.abTest(s, d)),
     "q_asof_join" -> ((s, d) => AsOf.purchaseToLastView(s, d)),
     // The same as-of semantics through the custom Catalyst operator
     // (AsofJoin LogicalPlan + strategy + exec) — oracle shared below.
@@ -1180,6 +1181,36 @@ object AnalyticsQueries {
         |  CAST(round((CAST(d.total AS DOUBLE) - s.mean) / s.std, 6) + 0 AS DOUBLE) AS zscore,
         |  abs((CAST(d.total AS DOUBLE) - s.mean) / s.std) > 2.0 AS is_anomaly
         |FROM daily d JOIN stats s USING (event_type)""".stripMargin,
+
+    // Welch t from exact integer moments per arm; the same expression
+    // tree as the engine (double ops on identical exact integers are
+    // IEEE-deterministic), round 6 + 0 on every sign-indefinite scalar.
+    "q_ab_test" ->
+      """WITH u AS (SELECT event_type, user_id,
+        |    CAST(user_id % 2 AS INTEGER) AS arm,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2, 3),
+        |g AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 0 THEN cents END) AS BIGINT) AS s1a,
+        |    CAST(sum(CASE WHEN arm = 1 THEN cents END) AS BIGINT) AS s1b,
+        |    sum(CASE WHEN arm = 0 THEN CAST(cents AS HUGEINT) * cents END) AS s2a,
+        |    sum(CASE WHEN arm = 1 THEN CAST(cents AS HUGEINT) * cents END) AS s2b
+        |  FROM u GROUP BY 1)
+        |SELECT event_type, n_a, n_b,
+        |  CAST(round(CAST(s1a AS DOUBLE)/100.0/n_a, 6) + 0 AS DOUBLE) AS mean_a,
+        |  CAST(round(CAST(s1b AS DOUBLE)/100.0/n_b, 6) + 0 AS DOUBLE) AS mean_b,
+        |  CAST(round(CAST(s1b AS DOUBLE)/100.0/n_b
+        |    - CAST(s1a AS DOUBLE)/100.0/n_a, 6) + 0 AS DOUBLE) AS lift,
+        |  CAST(round(
+        |    (CAST(s1a AS DOUBLE)/100.0/n_a - CAST(s1b AS DOUBLE)/100.0/n_b)
+        |    / sqrt(CAST(n_a*s2a - CAST(s1a AS HUGEINT)*s1a AS DOUBLE)
+        |        / (CAST(n_a AS DOUBLE)*(CAST(n_a AS DOUBLE)-1.0)) / 10000.0 / n_a
+        |      + CAST(n_b*s2b - CAST(s1b AS HUGEINT)*s1b AS DOUBLE)
+        |        / (CAST(n_b AS DOUBLE)*(CAST(n_b AS DOUBLE)-1.0)) / 10000.0 / n_b),
+        |    6) + 0 AS DOUBLE) AS t_stat
+        |FROM g""".stripMargin,
 
     // DuckDB date_trunc returns DATE here and datediff is date
     // subtraction; Spark datediff returns INT — cast to match.

@@ -30,7 +30,9 @@ object SimilarityQueries {
     "q_dedup_embedding_lsh" -> ((s, d) => Similarity.nearDupLsh(s, d)),
     "q_dedup_embedding_cc" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "q_kmeans" -> ((s, d) => Similarity.kmeans(s, d)),
-    "q_sim_topk_ivf_kmeans" -> ((s, d) => Similarity.topKIvfKmeans(s, d))
+    "q_sim_topk_ivf_kmeans" -> ((s, d) => Similarity.topKIvfKmeans(s, d)),
+    "q_sim_topk_pq" -> ((s, d) => Similarity.topKPqAdc(s, d)),
+    "q_pq_error" -> ((s, d) => Similarity.pqQuantError(s, d))
   )
 
   /** Shared oracle CTEs, parameterized on the hyperplane-count
@@ -75,6 +77,40 @@ object SimilarityQueries {
     * fixed-point Lloyd rounds unrolled as CTEs — `af` is the final
     * (vec_id, cid, d2) assignment, `c2` the final centroids.
     */
+  /** Product-quantization oracle CTEs — the per-subspace twin of
+    * [[kmeansCtes]]: 8 subspaces × 8 dims, 16 codes each, 2 unrolled
+    * Lloyd rounds over the SAME positive fixed-point integers, argmin
+    * per (vec_id, sub) with (d2, code) tie order. `dim` is global so a
+    * centroid join on dim alone can never cross subspaces.
+    */
+  private val pqCtes =
+    """pex AS (SELECT vec_id, CAST((i-1)//8 AS INTEGER) AS sub, i-1 AS dim,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE)*1000000) AS BIGINT)
+      |      + 1000000 AS vi
+      |  FROM embeddings, range(1, 65) r(i)),
+      |pc0 AS (SELECT vec_id AS code, dim, vi AS ci FROM pex WHERE vec_id < 16),
+      |pd1 AS (SELECT p.vec_id, p.sub, c.code, sum((p.vi-c.ci)*(p.vi-c.ci)) AS d2
+      |  FROM pex p JOIN pc0 c ON p.dim = c.dim GROUP BY 1, 2, 3),
+      |pa1 AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code,
+      |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+      |  FROM pd1) WHERE rn = 1),
+      |pc1 AS (SELECT a.code, p.dim, sum(p.vi) // count(*) AS ci
+      |  FROM pa1 a JOIN pex p ON a.vec_id = p.vec_id AND a.sub = p.sub
+      |  GROUP BY 1, 2),
+      |pd2 AS (SELECT p.vec_id, p.sub, c.code, sum((p.vi-c.ci)*(p.vi-c.ci)) AS d2
+      |  FROM pex p JOIN pc1 c ON p.dim = c.dim GROUP BY 1, 2, 3),
+      |pa2 AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code,
+      |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+      |  FROM pd2) WHERE rn = 1),
+      |pc2 AS (SELECT a.code, p.dim, sum(p.vi) // count(*) AS ci
+      |  FROM pa2 a JOIN pex p ON a.vec_id = p.vec_id AND a.sub = p.sub
+      |  GROUP BY 1, 2),
+      |pdf AS (SELECT p.vec_id, p.sub, c.code, sum((p.vi-c.ci)*(p.vi-c.ci)) AS d2
+      |  FROM pex p JOIN pc2 c ON p.dim = c.dim GROUP BY 1, 2, 3),
+      |paf AS (SELECT vec_id, sub, code, d2 FROM (SELECT vec_id, sub, code, d2,
+      |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+      |  FROM pdf) WHERE rn = 1)""".stripMargin
+
   private val kmeansCtes =
     """ex AS (SELECT vec_id, i-1 AS dim,
       |    CAST(round(CAST(embedding[i] AS DOUBLE)*1000000) AS BIGINT)
@@ -163,6 +199,29 @@ object SimilarityQueries {
         |  GROUP BY 1, 2)
         |SELECT vec_id, cid, CAST(round($qscore, 6) + 0 AS DOUBLE) AS score
         |FROM s ORDER BY $qscore DESC, vec_id LIMIT 10""".stripMargin,
+
+    // PQ asymmetric-distance top-k: one m×k partial-d² table for the
+    // query, then every vector's distance = m exact-BIGINT lookups
+    // summed — no float appears anywhere, so membership and order are
+    // engine-independent by construction.
+    "q_sim_topk_pq" ->
+      s"""WITH $pqCtes,
+        |qd AS (SELECT p.sub, c.code, sum((p.vi-c.ci)*(p.vi-c.ci)) AS pd2
+        |  FROM pex p JOIN pc2 c ON p.dim = c.dim WHERE p.vec_id = 0
+        |  GROUP BY 1, 2)
+        |SELECT a.vec_id, CAST(sum(q.pd2) AS BIGINT) AS adc_d2
+        |FROM paf a JOIN qd q ON a.sub = q.sub AND a.code = q.code
+        |GROUP BY a.vec_id
+        |ORDER BY adc_d2, a.vec_id LIMIT 10""".stripMargin,
+
+    // per-subspace codebook audit: exact quantization error + live-code
+    // census
+    "q_pq_error" ->
+      s"""WITH $pqCtes
+        |SELECT sub, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(d2) AS BIGINT) AS quant_err,
+        |  CAST(count(DISTINCT code) AS BIGINT) AS codes_used
+        |FROM paf GROUP BY sub""".stripMargin,
     "q_embed_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

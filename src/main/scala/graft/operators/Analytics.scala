@@ -2158,6 +2158,51 @@ object Analytics {
           .as("is_anomaly"))
   }
 
+  /** Welch two-sample t-test per event_type — the experimentation
+    * readout every product-analytics engine ships: users hash into
+    * control/treatment arms (user_id % 2 — a stable unit-level split,
+    * never per-event, or a user's events straddle arms), the per-user
+    * metric is their exact cents total, and the t statistic comes from
+    * exact integer moments per arm (n, Σx, Σx² — the anomalyZscore
+    * discipline: cents are BIGINT, squares DECIMAL(38,0), so the
+    * distributed sums are order-exempt and the float appears only in
+    * the final per-group scalar). Welch's form (unpooled variances)
+    * because arms at scale are never variance-matched.
+    *
+    * Scale shape: one (event_type, user_id) shuffle with map-side
+    * partial sums, then a |types|-row conditional pivot — no join, no
+    * second shuffle; the arm split rides the same aggregate.
+    */
+  def abTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val user = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg((sum(dec("value")) * 100).cast("long").as("cents"))
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+    def n(a: Int) = sum(when(col("arm") === a, 1L))
+    def s1(a: Int) = sum(when(col("arm") === a, col("cents")))
+    def s2(a: Int) = sum(when(col("arm") === a,
+      col("cents").cast("decimal(18,0)") * col("cents")))
+    val g = user.groupBy(col("event_type")).agg(
+      n(0).as("n_a"), n(1).as("n_b"), s1(0).as("s1a"), s1(1).as("s1b"),
+      s2(0).as("s2a"), s2(1).as("s2b"))
+    def mean(s1c: Column, nc: Column) = s1c.cast("double") / 100.0 / nc
+    // sample variance in value² units from the exact integer moments
+    def vr(nc: Column, s2c: Column, s1c: Column) =
+      (nc.cast("decimal(38,0)") * s2c
+        - s1c.cast("decimal(38,0)") * s1c).cast("double") /
+        (nc.cast("double") * (nc.cast("double") - 1.0)) / 10000.0
+    val t = (mean(col("s1a"), col("n_a")) - mean(col("s1b"), col("n_b"))) /
+      sqrt(vr(col("n_a"), col("s2a"), col("s1a")) / col("n_a")
+        + vr(col("n_b"), col("s2b"), col("s1b")) / col("n_b"))
+    g.select(col("event_type"), col("n_a"), col("n_b"),
+      // + 0.0 canonicalizes IEEE -0.0 — t and lift are sign-indefinite
+      (round(mean(col("s1a"), col("n_a")), 6) + lit(0.0)).as("mean_a"),
+      (round(mean(col("s1b"), col("n_b")), 6) + lit(0.0)).as("mean_b"),
+      (round(mean(col("s1b"), col("n_b"))
+        - mean(col("s1a"), col("n_a")), 6) + lit(0.0)).as("lift"),
+      (round(t, 6) + lit(0.0)).as("t_stat"))
+  }
+
   /** Cohort retention matrix — the standard product-analytics shape:
     * users grouped by first-seen day (cohort), activity counted as
     * distinct users per (cohort, days-since-cohort). Two shuffles: the

@@ -494,4 +494,98 @@ object Similarity {
             - col("s1").cast("decimal(38,0)") * col("s1")).cast("double")
           / col("n") / col("n") / 1e12, 6).as("variance"))
   }
+
+  /** PRODUCT QUANTIZATION model (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011 — public literature): the
+    * 64-d space splits into `m` contiguous subspaces of 64/m dims, and
+    * each subspace trains its own k-code codebook with the SAME exact
+    * integer Lloyd recipe as [[kmeansAssignments]] (coords snapped ×10⁶
+    * then shifted +10⁶ so floor division and argmin ties agree across
+    * engines; seeds = the first k vec_ids' subvectors; fixed `iters`
+    * rounds). A vector's PQ code is its per-subspace argmin — m small
+    * ints replacing 64 floats (~32× compression at m=8/k=16).
+    *
+    * Scale shape: the codebook is m×k×(64/m) = 1024 tiny rows,
+    * broadcast; training is `iters` passes of narrow (vec_id, dim)
+    * shuffles with map-side partial d² sums; the encoded corpus —
+    * the thing a 100 TB deployment actually stores — is m bytes/vector.
+    *
+    * Returns (codes `(vec_id, sub, code, d2)`, codebook
+    * `(code, dim, ci)` — dim implies the subspace, final centroids,
+    * fixed-point corpus `(vec_id, sub, dim, vi)`).
+    */
+  private[graft] def pqModel(spark: SparkSession, sfDir: String,
+      m: Int = 8, k: Int = 16, iters: Int = 2)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val subDims = 64 / m
+    val ex = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), expr(s"dim div $subDims").cast("int").as("sub"),
+        col("dim"),
+        (round(col("v").cast("double") * 1e6).cast("long") + 1000000L).as("vi"))
+      .truncateLineage() // reused every Lloyd round: snap once
+
+    // codebook rows are (code, dim, ci): dim is global (0..63) so it
+    // already pins the subspace — joining on dim alone can never match
+    // a centroid from another subspace
+    def assign(cb: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"), col("sub"))
+        .orderBy(col("d2"), col("code"))
+      ex.join(broadcast(cb), "dim")
+        .groupBy(col("vec_id"), col("sub"), col("code"))
+        .agg(sum((col("vi") - col("ci")) * (col("vi") - col("ci"))).as("d2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("sub"), col("code"), col("d2"))
+    }
+
+    var cb = ex.filter(col("vec_id") < k)
+      .select(col("vec_id").as("code"), col("dim"), col("vi").as("ci"))
+    for (_ <- 1 to iters)
+      cb = assign(cb).join(ex, Seq("vec_id", "sub"))
+        .groupBy(col("code"), col("dim"))
+        .agg(expr("sum(vi) div count(*)").as("ci"))
+    (assign(cb), cb, ex)
+  }
+
+  /** ASYMMETRIC DISTANCE COMPUTATION top-k over the PQ codes — the
+    * memory-bound ANN scan a billion-vector corpus runs: the query
+    * precomputes one m×k table of exact integer partial d²s against the
+    * codebook (1024 rows, broadcast), and every corpus vector's
+    * approximate distance is m table lookups summed — the raw vectors
+    * are never touched at query time. Every quantity is an exact
+    * BIGINT, so top-k membership and order are engine-independent by
+    * construction (no rounding anywhere). Composes with
+    * [[topKIvfKmeans]]'s coarse pruning: IVF picks the lists, ADC
+    * scores inside them.
+    */
+  def topKPqAdc(spark: SparkSession, sfDir: String, topK: Int = 10,
+      m: Int = 8, k: Int = 16, iters: Int = 2): DataFrame = {
+    val (codes, cb, ex) = pqModel(spark, sfDir, m, k, iters)
+    val qd = ex.filter(col("vec_id") === 0)
+      .join(broadcast(cb), "dim")
+      .groupBy(col("sub"), col("code"))
+      .agg(sum((col("vi") - col("ci")) * (col("vi") - col("ci"))).as("pd2"))
+    codes.join(broadcast(qd), Seq("sub", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("pd2")).as("adc_d2"))
+      .orderBy(col("adc_d2"), col("vec_id"))
+      .limit(topK)
+  }
+
+  /** Per-subspace codebook audit: total quantization error, live code
+    * count, and rows encoded — the table that says whether k codes per
+    * subspace are enough BEFORE re-encoding a 100 TB corpus (a subspace
+    * with collapsed codes_used or an outsized quant_err share needs a
+    * bigger codebook or a rotation). Exact integers end to end.
+    */
+  def pqQuantError(spark: SparkSession, sfDir: String,
+      m: Int = 8, k: Int = 16, iters: Int = 2): DataFrame = {
+    val (codes, _, _) = pqModel(spark, sfDir, m, k, iters)
+    codes.groupBy(col("sub"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("quant_err"),
+        countDistinct(col("code")).as("codes_used"))
+      .select(col("sub"), col("n_vecs"), col("quant_err"), col("codes_used"))
+  }
 }

@@ -46,4 +46,66 @@ class Round9OpsSpec extends SparkTestBase {
       s"probe subdirs must be the ≤K batches after the generation, " +
         s"got ${idx.toSeq.sorted}")
   }
+
+  test("PQ ADC distance equals the exact distance to the reconstruction") {
+    // With subspaces an orthogonal decomposition of the dims, the ADC
+    // table-lookup sum is IDENTICALLY the squared distance from the
+    // query to each vector's reconstructed (centroid-per-subspace)
+    // vector — an exact integer identity, not an approximation. Pin it
+    // by recomputing the distance the slow way through the codebook.
+    import graft.operators.Similarity
+    val adc = Similarity.topKPqAdc(spark, sf(), topK = 1000)
+    val (codes, cb, ex) = Similarity.pqModel(spark, sf())
+    val recon = codes.join(
+      cb.withColumn("sub", expr("dim div 8").cast("int")),
+      Seq("sub", "code"))
+      .select(col("vec_id"), col("dim"), col("ci"))
+    val direct = ex.filter(col("vec_id") === 0)
+      .select(col("dim"), col("vi").as("qvi"))
+      .join(recon, "dim")
+      .groupBy(col("vec_id"))
+      .agg(sum((col("qvi") - col("ci")) * (col("qvi") - col("ci")))
+        .as("adc_d2"))
+    val n = ex.select(col("vec_id")).distinct().count()
+    assert(adc.count() == math.min(1000L, n))
+    assert(canon(direct.orderBy(col("adc_d2"), col("vec_id")).limit(1000))
+      == canon(adc))
+  }
+
+  test("PQ codes are a total per-subspace assignment; audit is exact") {
+    import graft.operators.Similarity
+    val (codes, _, ex) = Similarity.pqModel(spark, sf())
+    val n = ex.select(col("vec_id")).distinct().count()
+    // every vector carries exactly one code per subspace
+    assert(codes.count() == n * 8)
+    assert(codes.groupBy(col("vec_id")).count()
+      .filter(col("count") =!= 8).isEmpty)
+    val audit = Similarity.pqQuantError(spark, sf()).collect()
+    assert(audit.length == 8)
+    audit.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == n)
+      assert(r.getAs[Long]("codes_used") <= 16L)
+      assert(r.getAs[Long]("quant_err") >= 0L)
+    }
+    // the per-sub error sums to the corpus total reconstruction error
+    val total = codes.agg(sum(col("d2"))).head.getLong(0)
+    assert(audit.map(_.getAs[Long]("quant_err")).sum == total)
+  }
+
+  test("Welch t-test: arms partition users, t opposes lift, means check") {
+    import graft.operators.Analytics
+    val rows = Analytics.abTest(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val users = graft.sources.Tables.events(spark, sf())
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    rows.foreach { r =>
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(na + nb == users(r.getAs[String]("event_type")))
+      // t = (mean_a - mean_b)/sqrt(+) — its sign must oppose the lift
+      val (t, lift) = (r.getAs[Double]("t_stat"), r.getAs[Double]("lift"))
+      if (t != 0.0 && lift != 0.0) assert(t.sign == -lift.sign)
+    }
+  }
 }
