@@ -447,7 +447,33 @@ object Similarity {
     * the n·Σxy fold, and the final scalar division mirrors the oracle
     * text exactly.
     */
+  /** Full covariance matrix in ONE pass: the per-row work is a fused
+    * multiply-add loop over a live primitive-array Gram accumulator
+    * ([[graft.functions.GramCovAgg]]) instead of materializing
+    * d(d+1)/2 pair rows per vector through a hash aggregate — at 10⁸
+    * vectors the explode plan pushes 10¹¹ rows through the aggregate,
+    * this one streams the vectors once and shuffles one ~34 KB buffer
+    * per map task. Same exact-integer algebra (128-bit Σxᵢxⱼ limbs =
+    * the DECIMAL(38,0) discipline), same finishing arithmetic, so the
+    * result is bit-identical to [[embedCovExploded]] — spec-pinned.
+    */
   def embedCov(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      // the snap stays IN the plan (codegen'd transform), so the
+      // aggregate is pure integer arithmetic with no rounding to match
+      .select(expr(
+        "transform(embedding, x -> CAST(round(x * 1e6) AS BIGINT))")
+        .as("xs"))
+      .agg(graft.functions.GramMatrix.gram_cov(col("xs")).as("g"))
+      .select(explode(col("g")).as("p"))
+      .select(col("p.dim_i").as("dim_i"), col("p.dim_j").as("dim_j"),
+        col("p.cov").as("cov"))
+
+  /** The declarative pair-explosion form of [[embedCov]] — kept as the
+    * equivalence oracle for the Gram aggregate (and as the reference
+    * for the finishing-arithmetic order both paths must share).
+    */
+  private[graft] def embedCovExploded(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       // snap the whole vector ONCE per row; the pair transform then
       // reads the int array (the first cut re-rounded each component

@@ -92,6 +92,22 @@ class Round9OpsSpec extends SparkTestBase {
     assert(audit.map(_.getAs[Long]("quant_err")).sum == total)
   }
 
+  test("Gram-aggregate covariance is bit-identical to the explode plan") {
+    import graft.operators.Similarity
+    // one-pass primitive-array accumulator vs the d(d+1)/2-pair
+    // hash-aggregate plan: same exact integers, same finishing
+    // arithmetic, so equality is exact — not approximate
+    val fast = Similarity.embedCov(spark, sf())
+    val slow = Similarity.embedCovExploded(spark, sf())
+    assert(canon(fast) == canon(slow))
+    assert(fast.count() == 64L * 65L / 2L)
+    // and the plan truly aggregates: ONE aggregate over vectors, no
+    // pair-row explode before the exchange
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("flatten("),
+      s"gram path must not explode dim pairs pre-aggregate:\n$plan")
+  }
+
   test("Welch t-test: arms partition users, t opposes lift, means check") {
     import graft.operators.Analytics
     val rows = Analytics.abTest(spark, sf()).collect()
