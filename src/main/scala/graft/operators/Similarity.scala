@@ -542,10 +542,15 @@ object Similarity {
     */
   private[graft] def pqModel(spark: SparkSession, sfDir: String,
       m: Int = 8, k: Int = 16, iters: Int = 2)
+      : (DataFrame, DataFrame, DataFrame) =
+    pqModelFrom(Tables.embeddings(spark, sfDir), m, k, iters)
+
+  private[graft] def pqModelFrom(emb: DataFrame,
+      m: Int = 8, k: Int = 16, iters: Int = 2)
       : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val subDims = 64 / m
-    val ex = Tables.embeddings(spark, sfDir)
+    val ex = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("vec_id"), expr(s"dim div $subDims").cast("int").as("sub"),
         col("dim"),
@@ -587,8 +592,12 @@ object Similarity {
     * scores inside them.
     */
   def topKPqAdc(spark: SparkSession, sfDir: String, topK: Int = 10,
+      m: Int = 8, k: Int = 16, iters: Int = 2): DataFrame =
+    topKPqAdcFrom(Tables.embeddings(spark, sfDir), topK, m, k, iters)
+
+  private[graft] def topKPqAdcFrom(emb: DataFrame, topK: Int = 10,
       m: Int = 8, k: Int = 16, iters: Int = 2): DataFrame = {
-    val (codes, cb, ex) = pqModel(spark, sfDir, m, k, iters)
+    val (codes, cb, ex) = pqModelFrom(emb, m, k, iters)
     val qd = ex.filter(col("vec_id") === 0)
       .join(broadcast(cb), "dim")
       .groupBy(col("sub"), col("code"))

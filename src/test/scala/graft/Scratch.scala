@@ -155,6 +155,21 @@ object Scratch {
           println(f"| LSH | planes=$planes | ${recalls.sum / recalls.length}%.3f " +
             f"| ${fracs.sum / fracs.length}%.4f |")
         }
+        // PQ-ADC: scans EVERY row but touches only m code-bytes per row
+        // instead of d×4 float bytes — its cost axis is bytes, not rows,
+        // so "frac" here is bytes-touched / raw-corpus-bytes (constant
+        // in the codebook size; recall is what the codes buy).
+        for (codes <- Seq(8, 16, 32)) {
+          val recalls = queryIds.map { qid =>
+            val ids = operators.Similarity
+              .topKPqAdcFrom(swapTo0(qid), topK = k, m = 8, k = codes)
+              .collect().map(_.getLong(0)).toSet
+            gts(qid).count(ids).toDouble / k
+          }
+          val bytesFrac = 8.0 / (64 * 4)
+          println(f"| PQ-ADC | m=8,codes=$codes " +
+            f"| ${recalls.sum / recalls.length}%.3f | $bytesFrac%.4f (bytes) |")
+        }
       case q =>
         time(q) { SparkEntry.queries(q)(spark, d).count() }
     }
