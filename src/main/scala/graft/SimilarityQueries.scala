@@ -32,7 +32,8 @@ object SimilarityQueries {
     "q_kmeans" -> ((s, d) => Similarity.kmeans(s, d)),
     "q_sim_topk_ivf_kmeans" -> ((s, d) => Similarity.topKIvfKmeans(s, d)),
     "q_sim_topk_pq" -> ((s, d) => Similarity.topKPqAdc(s, d)),
-    "q_pq_error" -> ((s, d) => Similarity.pqQuantError(s, d))
+    "q_pq_error" -> ((s, d) => Similarity.pqQuantError(s, d)),
+    "q_jl_project" -> ((s, d) => Similarity.jlProjection(s, d))
   )
 
   /** Shared oracle CTEs, parameterized on the hyperplane-count
@@ -213,6 +214,25 @@ object SimilarityQueries {
         |FROM paf a JOIN qd q ON a.sub = q.sub AND a.code = q.code
         |GROUP BY a.vec_id
         |ORDER BY adc_d2, a.vec_id LIMIT 10""".stripMargin,
+
+    // JL ±1 projection: the sign matrix is the same (i,j) parity
+    // arithmetic in both engines, coordinates and norms exact BIGINTs,
+    // the audit ratio the only float (positive, so no -0.0 hazard)
+    "q_jl_project" ->
+      """WITH ex AS (SELECT vec_id, i-1 AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE)*1000000) AS BIGINT) AS xi
+        |  FROM embeddings, range(1, 65) r(i)),
+        |pj AS (SELECT vec_id, j,
+        |    sum(CASE WHEN (dim * 2654435761 + j * 40503) % 2 = 0
+        |      THEN xi ELSE -xi END) AS p
+        |  FROM ex, range(0, 16) rj(j) GROUP BY 1, 2),
+        |n2 AS (SELECT vec_id, CAST(sum(xi*xi) AS BIGINT) AS orig_n2
+        |  FROM ex GROUP BY 1)
+        |SELECT p.vec_id, n.orig_n2, CAST(sum(p.p*p.p) AS BIGINT) AS proj_n2,
+        |  CAST(round(CAST(sum(p.p*p.p) AS DOUBLE) / 16.0 / n.orig_n2, 6)
+        |    AS DOUBLE) AS norm_ratio
+        |FROM pj p JOIN n2 n ON p.vec_id = n.vec_id
+        |GROUP BY 1, 2""".stripMargin,
 
     // per-subspace codebook audit: exact quantization error + live-code
     // census

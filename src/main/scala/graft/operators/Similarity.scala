@@ -609,6 +609,44 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Johnson–Lindenstrauss ±1 random projection (Achlioptas,
+    * "Database-friendly random projections", JCSS 2003 — public
+    * literature): 64-d vectors project to `outDims` via a DETERMINISTIC
+    * ±1 sign matrix derived arithmetically from (i, j) — no RNG state
+    * to ship, any engine regenerates the identical matrix. Components
+    * snap ×10⁶ first, so every projection coordinate and both squared
+    * norms are exact BIGINTs; the JL audit ratio
+    * ‖Px‖²/(outDims·‖x‖²) ≈ 1 is the one float, rounded at the end.
+    *
+    * Scale shape: entirely in-plan (nested higher-order functions over
+    * the array column — codegen'd, zero explosion, zero shuffle): the
+    * narrow per-row transform a 100 TB corpus runs before LSH/cluster
+    * passes to cut the downstream byte cost 4×.
+    */
+  def jlProjection(spark: SparkSession, sfDir: String,
+      outDims: Int = 16): DataFrame = {
+    val d = 64
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+        .as("xs"))
+      .select(col("vec_id"),
+        expr("aggregate(xs, CAST(0 AS BIGINT), (a, x) -> a + x * x)")
+          .as("orig_n2"),
+        expr(
+          s"""transform(sequence(0, ${outDims - 1}), j ->
+             |  aggregate(sequence(0, ${d - 1}), CAST(0 AS BIGINT), (acc, i) ->
+             |    acc + IF((CAST(i AS BIGINT) * 2654435761 + CAST(j AS BIGINT) * 40503) % 2 = 0,
+             |      element_at(xs, i + 1), -element_at(xs, i + 1))))"""
+            .stripMargin).as("pj"))
+      .select(col("vec_id"), col("orig_n2"),
+        expr("aggregate(pj, CAST(0 AS BIGINT), (a, p) -> a + p * p)")
+          .as("proj_n2"))
+      .select(col("vec_id"), col("orig_n2"), col("proj_n2"),
+        round(col("proj_n2").cast("double") / outDims.toDouble
+          / col("orig_n2"), 6).as("norm_ratio"))
+  }
+
   /** Per-subspace codebook audit: total quantization error, live code
     * count, and rows encoded — the table that says whether k codes per
     * subspace are enough BEFORE re-encoding a 100 TB corpus (a subspace

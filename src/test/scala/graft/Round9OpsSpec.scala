@@ -108,6 +108,22 @@ class Round9OpsSpec extends SparkTestBase {
       s"gram path must not explode dim pairs pre-aggregate:\n$plan")
   }
 
+  test("JL projection is shuffle-free and concentrates the norm ratio") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.operators.Similarity
+    val df = Similarity.jlProjection(spark, sf())
+    // a narrow per-row transform: the 100 TB shape is ZERO exchanges
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.isEmpty,
+      s"JL projection must be exchange-free:\n${df.queryExecution.executedPlan}")
+    // JL lemma: E[‖Px‖²] = outDims·‖x‖² — the per-corpus mean ratio
+    // lands near 1 even at 16 output dims (loose band: ±50%)
+    val mean = df.agg(avg(col("norm_ratio"))).head.getDouble(0)
+    assert(mean > 0.5 && mean < 1.5, s"mean JL norm ratio $mean")
+  }
+
   test("Welch t-test: arms partition users, t opposes lift, means check") {
     import graft.operators.Analytics
     val rows = Analytics.abTest(spark, sf()).collect()
