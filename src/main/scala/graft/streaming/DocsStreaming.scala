@@ -28,15 +28,23 @@ object DocsStreaming {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  private def stagedDir(sfDir: String): String = {
+  // All staging I/O below goes through the Hadoop FileSystem API (the
+  // GraftCommitSink/PartitionedTables discipline): on a real cluster
+  // the stream source dir lives on HDFS/S3A, and FileUtil.copy against
+  // the resolved FileSystem is the portable form of "seed the source".
+  private def stagedDir(spark: SparkSession, sfDir: String): String = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
     val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val dir = java.nio.file.Paths.get(
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(
       sys.props("java.io.tmpdir"), s"graft_stream_docs_$safe")
-    val target = dir.resolve("documents.parquet")
-    if (!java.nio.file.Files.exists(target)) {
-      java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(sfDir, "documents.parquet"), target)
+    val fs = dir.getFileSystem(conf)
+    val target = new Path(dir, "documents.parquet")
+    if (!fs.exists(target)) {
+      fs.mkdirs(dir)
+      val src = new Path(sfDir, "documents.parquet")
+      FileUtil.copy(src.getFileSystem(conf), src, fs, target,
+        false, false, conf)
     }
     dir.toString
   }
@@ -46,7 +54,7 @@ object DocsStreaming {
       EventsStreaming.withStreamPartitions(spark, 8) {
     val name = s"graft_stream_docs_dedup_${nameCounter.incrementAndGet()}"
     val deduped = spark.readStream.schema(docSchema)
-      .parquet(stagedDir(sfDir))
+      .parquet(stagedDir(spark, sfDir))
       .select(md5(col("text")).as("content_hash"))
       .dropDuplicates("content_hash")
     // foreachBatch parquet append + readback: the distinct-hash rows
@@ -63,10 +71,12 @@ object DocsStreaming {
 
   private def stagedShardedDocs(spark: SparkSession, sfDir: String,
       shards: Int): String = {
+    import org.apache.hadoop.fs.Path
     val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val dir = java.nio.file.Paths.get(
+    val dir = new Path(
       sys.props("java.io.tmpdir"), s"graft_stream_docs_sh${shards}_$safe")
-    if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dir, "_SUCCESS")))
       spark.read.schema(docSchema).parquet(s"$sfDir/documents.parquet")
         .repartition(shards, col("doc_id"))
         .write.mode("overwrite").parquet(dir.toString)
@@ -80,28 +90,37 @@ object DocsStreaming {
     */
   private def stagedRangeShardedDocs(spark: SparkSession, sfDir: String,
       shards: Int): String = {
+    import org.apache.hadoop.fs.Path
     val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val dir = java.nio.file.Paths.get(
+    val hdir = new Path(
       sys.props("java.io.tmpdir"), s"graft_stream_docs_rng${shards}_$safe")
-    if (!java.nio.file.Files.exists(dir.resolve("_DONE"))) {
-      java.nio.file.Files.createDirectories(dir)
+    val fs = hdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(hdir, "_DONE"))) {
+      fs.mkdirs(hdir)
       val docs = spark.read.schema(docSchema).parquet(s"$sfDir/documents.parquet")
       val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
       (0 until shards).foreach { i =>
         val lo = maxId * i / shards
         val hi = if (i == shards - 1) Long.MaxValue else maxId * (i + 1) / shards
         val p = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
-        val tmpb = dir.resolve(s"_build_$i")
+        val tmpb = new Path(hdir, s"_build_$i")
         p.coalesce(1).write.mode("overwrite").parquet(tmpb.toString)
-        val f = dir.resolve(f"shard_$i%02d.parquet")
-        java.nio.file.Files.move(graft.FsUtil.singleParquetPart(tmpb), f)
-        java.nio.file.Files.setLastModifiedTime(f,
-          java.nio.file.attribute.FileTime.fromMillis(
-            1600000000000L + i * 60000L))
+        val part = fs.listStatus(tmpb)
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")) match {
+          case Array(one) => one
+          case parts => throw new IllegalStateException(
+            s"expected exactly one .parquet part in $tmpb, found ${parts.length}")
+        }
+        val f = new Path(hdir, f"shard_$i%02d.parquet")
+        fs.rename(part, f)
+        fs.delete(tmpb, true)
+        // arrival order = doc_id order: ascending mtimes drive the
+        // maxFilesPerTrigger=1 replay sequence
+        fs.setTimes(f, 1600000000000L + i * 60000L, -1)
       }
-      java.nio.file.Files.createFile(dir.resolve("_DONE"))
+      fs.create(new Path(hdir, "_DONE")).close()
     }
-    dir.toString
+    hdir.toString
   }
 
   /** Streaming ingest-time NEAR-dup removal — the online form of the
