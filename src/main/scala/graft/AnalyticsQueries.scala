@@ -82,6 +82,7 @@ object AnalyticsQueries {
     "q_attribution_linear" -> ((s, d) => Analytics.linearAttribution(s, d)),
     "q_anomaly_zscore" -> ((s, d) => Analytics.anomalyZscore(s, d)),
     "q_ab_test" -> ((s, d) => Analytics.abTest(s, d)),
+    "q_cuped" -> ((s, d) => Analytics.cuped(s, d)),
     "q_asof_join" -> ((s, d) => AsOf.purchaseToLastView(s, d)),
     // The same as-of semantics through the custom Catalyst operator
     // (AsofJoin LogicalPlan + strategy + exec) — oracle shared below.
@@ -1210,6 +1211,62 @@ object AnalyticsQueries {
         |      + CAST(n_b*s2b - CAST(s1b AS HUGEINT)*s1b AS DOUBLE)
         |        / (CAST(n_b AS DOUBLE)*(CAST(n_b AS DOUBLE)-1.0)) / 10000.0 / n_b),
         |    6) + 0 AS DOUBLE) AS t_stat
+        |FROM g""".stripMargin,
+
+    // CUPED: same pooled-theta adjustment from the same 11 exact
+    // integer moments; DuckDB date-date is integer days and date+int a
+    // date, mirroring Spark's datediff/date_add split.
+    "q_cuped" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |b AS (SELECT min(day) AS mn,
+        |    CAST((max(day) - min(day)) // 2 AS INTEGER) AS half FROM ev),
+        |u AS (SELECT user_id, CAST(user_id % 2 AS INTEGER) AS arm,
+        |    CAST(coalesce(sum(CASE WHEN day < mn + half THEN v END),
+        |      CAST(0 AS DECIMAL(18,2))) * 100 AS BIGINT) AS x,
+        |    CAST(coalesce(sum(CASE WHEN day >= mn + half THEN v END),
+        |      CAST(0 AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+        |  FROM ev, b GROUP BY 1, 2),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 0 THEN x END) AS BIGINT) AS sxa,
+        |    CAST(sum(CASE WHEN arm = 1 THEN x END) AS BIGINT) AS sxb,
+        |    CAST(sum(CASE WHEN arm = 0 THEN y END) AS BIGINT) AS sya,
+        |    CAST(sum(CASE WHEN arm = 1 THEN y END) AS BIGINT) AS syb
+        |  FROM u)
+        |SELECT n_a, n_b,
+        |  CAST(round(CAST(n*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+        |    / CAST(n*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE), 6) + 0
+        |    AS DOUBLE) AS theta,
+        |  CAST(round((CAST(sya AS DOUBLE)/n_a
+        |    - (CAST(n*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+        |       / CAST(n*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE))
+        |      * (CAST(sxa AS DOUBLE)/n_a - CAST(sx AS DOUBLE)/n)) / 100.0,
+        |    6) + 0 AS DOUBLE) AS mean_adj_a,
+        |  CAST(round((CAST(syb AS DOUBLE)/n_b
+        |    - (CAST(n*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+        |       / CAST(n*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE))
+        |      * (CAST(sxb AS DOUBLE)/n_b - CAST(sx AS DOUBLE)/n)) / 100.0,
+        |    6) + 0 AS DOUBLE) AS mean_adj_b,
+        |  CAST(round((CAST(syb AS DOUBLE)/n_b
+        |    - (CAST(n*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+        |       / CAST(n*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE))
+        |      * (CAST(sxb AS DOUBLE)/n_b - CAST(sx AS DOUBLE)/n)) / 100.0
+        |    - (CAST(sya AS DOUBLE)/n_a
+        |    - (CAST(n*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+        |       / CAST(n*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE))
+        |      * (CAST(sxa AS DOUBLE)/n_a - CAST(sx AS DOUBLE)/n)) / 100.0,
+        |    6) + 0 AS DOUBLE) AS adj_lift,
+        |  CAST(round(CAST(n*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+        |      * CAST(n*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+        |    / CAST(n*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE)
+        |    / CAST(n*syy - CAST(sy AS HUGEINT)*sy AS DOUBLE), 6)
+        |    AS DOUBLE) AS rho2
         |FROM g""".stripMargin,
 
     // DuckDB date_trunc returns DATE here and datediff is date

@@ -2203,6 +2203,74 @@ object Analytics {
       (round(t, 6) + lit(0.0)).as("t_stat"))
   }
 
+  /** CUPED variance reduction (Deng et al., "Improving the Sensitivity
+    * of Online Controlled Experiments by Utilizing Pre-Experiment
+    * Data", WSDM 2013 — public literature): each user's pre-period
+    * spend is the covariate x, post-period spend the metric y, the
+    * experiment window splitting the fixture's day span in half by
+    * exact date arithmetic. θ = cov(x,y)/var(x) pooled over both arms
+    * (the standard choice — θ from a pooled fit keeps the estimator
+    * unbiased under randomization), adjusted means
+    * ȳ*ₐ = ȳₐ − θ(x̄ₐ − x̄), and ρ² = cov²/(var·var) — the fraction of
+    * metric variance the covariate removes, i.e. how much smaller the
+    * experiment can be. Every distributed sum is an exact integer
+    * (cents BIGINT, squares/cross-products DECIMAL(38,0)); the floats
+    * are final per-table scalars, rounded with +0 on the
+    * sign-indefinite ones.
+    *
+    * Scale shape: one (user) shuffle with map-side partials, then ONE
+    * global aggregate carrying the 11 exact moments; the bounds row is
+    * a broadcast scalar. Nothing here grows with users except the
+    * per-user aggregate every experimentation readout already pays.
+    */
+  def cuped(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        dec("value").as("v"))
+    val bounds = ev.agg(min(col("day")).as("mn"),
+      datediff(max(col("day")), min(col("day"))).as("span"))
+    val zero = lit(0).cast("decimal(18,2)")
+    val user = ev.crossJoin(broadcast(bounds))
+      .withColumn("cutoff", expr("date_add(mn, CAST(span div 2 AS INT))"))
+      .groupBy(col("user_id"))
+      .agg(
+        (coalesce(sum(when(col("day") < col("cutoff"), col("v"))), zero)
+          * 100).cast("long").as("x"),
+        (coalesce(sum(when(col("day") >= col("cutoff"), col("v"))), zero)
+          * 100).cast("long").as("y"))
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val g = user.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(d38(col("x")) * col("x")).as("sxx"),
+      sum(d38(col("y")) * col("y")).as("syy"),
+      sum(d38(col("x")) * col("y")).as("sxy"),
+      sum(when(col("arm") === 0, 1L)).as("n_a"),
+      sum(when(col("arm") === 1, 1L)).as("n_b"),
+      sum(when(col("arm") === 0, col("x"))).as("sxa"),
+      sum(when(col("arm") === 1, col("x"))).as("sxb"),
+      sum(when(col("arm") === 0, col("y"))).as("sya"),
+      sum(when(col("arm") === 1, col("y"))).as("syb"))
+    // exact integer numerators, float only in the final scalars
+    def m(num: Column, den: Column) = num.cast("double") / den
+    val covN = d38(col("n")) * col("sxy") - d38(col("sx")) * col("sy")
+    val varxN = d38(col("n")) * col("sxx") - d38(col("sx")) * col("sx")
+    val varyN = d38(col("n")) * col("syy") - d38(col("sy")) * col("sy")
+    val theta = covN.cast("double") / varxN.cast("double")
+    def adj(syArm: Column, sxArm: Column, nArm: Column) =
+      (m(syArm, nArm) - theta * (m(sxArm, nArm) - m(col("sx"), col("n")))) / 100.0
+    val adjA = adj(col("sya"), col("sxa"), col("n_a"))
+    val adjB = adj(col("syb"), col("sxb"), col("n_b"))
+    g.select(col("n_a"), col("n_b"),
+      (round(theta, 6) + lit(0.0)).as("theta"),
+      (round(adjA, 6) + lit(0.0)).as("mean_adj_a"),
+      (round(adjB, 6) + lit(0.0)).as("mean_adj_b"),
+      (round(adjB - adjA, 6) + lit(0.0)).as("adj_lift"),
+      round(covN.cast("double") * covN.cast("double")
+        / varxN.cast("double") / varyN.cast("double"), 6).as("rho2"))
+  }
+
   /** Cohort retention matrix — the standard product-analytics shape:
     * users grouped by first-seen day (cohort), activity counted as
     * distinct users per (cohort, days-since-cohort). Two shuffles: the

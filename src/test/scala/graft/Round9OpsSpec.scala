@@ -124,6 +124,23 @@ class Round9OpsSpec extends SparkTestBase {
     assert(mean > 0.5 && mean < 1.5, s"mean JL norm ratio $mean")
   }
 
+  test("CUPED: rho2 is a variance fraction, arms partition the users") {
+    import graft.operators.Analytics
+    val r = Analytics.cuped(spark, sf()).head()
+    val users = graft.sources.Tables.events(spark, sf())
+      .select(countDistinct(col("user_id"))).head.getLong(0)
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == users)
+    val rho2 = r.getAs[Double]("rho2")
+    assert(rho2 >= 0.0 && rho2 <= 1.0, s"rho2 $rho2")
+    assert(!r.getAs[Double]("theta").isNaN)
+    // adjusted lift must equal the adjusted means' difference (rounded)
+    val d = BigDecimal(r.getAs[Double]("mean_adj_b") -
+      r.getAs[Double]("mean_adj_a")).setScale(5, BigDecimal.RoundingMode.HALF_UP)
+    val l = BigDecimal(r.getAs[Double]("adj_lift"))
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP)
+    assert((d - l).abs <= BigDecimal("0.00001"))
+  }
+
   test("Welch t-test: arms partition users, t opposes lift, means check") {
     import graft.operators.Analytics
     val rows = Analytics.abTest(spark, sf()).collect()
