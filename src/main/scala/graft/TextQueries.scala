@@ -25,6 +25,7 @@ object TextQueries {
     "q_pmi_top" -> ((s, d) => TextAnalysis.pmiTop(s, d)),
     "q_distinctive_terms" -> ((s, d) => TextAnalysis.distinctiveTerms(s, d)),
     "q_redact_pii" -> ((s, d) => TextAnalysis.redactPiiQuery(s, d)),
+    "q_k_anon" -> ((s, d) => TextAnalysis.kAnonymity(s, d)),
     "q_extract_numbers" -> ((s, d) => TextAnalysis.extractNumbers(s, d)),
     "q_quality_audit" -> ((s, d) => TextAnalysis.qualityAudit(s, d)),
     // The curation terminal: dedup ∧ quality ∧ language-verified,
@@ -901,6 +902,13 @@ object TextQueries {
          |JOIN uni u2 ON bi.cur = u2.token, nu, nb
          |WHERE c_bi >= 5
          |ORDER BY pmi_f DESC, prev, cur LIMIT 100""".stripMargin,
+
+    // k-anonymity: equivalence classes under the (lang, source,
+    // 100-char-length) quasi-identifier with fewer than k=5 members
+    "q_k_anon" ->
+      """SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 5""".stripMargin,
 
     // Identical deterministic PII injection (the corpus itself is
     // sanitized), then the same three-pattern redaction chain; DuckDB

@@ -283,6 +283,27 @@ object TextAnalysis {
     redactPii(dirty, "text")
   }
 
+  /** k-anonymity audit over quasi-identifiers (Sweeney, IJUFKS 2002 —
+    * public literature): group the corpus by the attacker-visible
+    * attribute combination (lang, source, 100-char length bucket) and surface
+    * every equivalence class smaller than k — the records a release
+    * policy must suppress or generalize, because an attribute-joining
+    * adversary narrows them to <k candidates. The result is bounded by
+    * construction: every surfaced class has <k rows behind it.
+    *
+    * Scale shape: one 3-key aggregate with map-side partials, then a
+    * |classes|-row filter — the audit cost is the groupBy a governance
+    * sweep already pays; no joins, no second shuffle.
+    */
+  def kAnonymity(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source"),
+        expr("n_chars div 100").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") < k)
+      .select(col("lang"), col("source"), col("len_bucket"), col("n_docs"))
+  }
+
   /** Bigram language-model quality score — the perplexity-style signal
     * a training-data pipeline uses to rank fluency: build an MLE bigram
     * model over the corpus (p(cur|prev) = c(prev,cur)/c(prev)), then
