@@ -26,6 +26,12 @@ object TextQueries {
     "q_distinctive_terms" -> ((s, d) => TextAnalysis.distinctiveTerms(s, d)),
     "q_redact_pii" -> ((s, d) => TextAnalysis.redactPiiQuery(s, d)),
     "q_k_anon" -> ((s, d) => TextAnalysis.kAnonymity(s, d)),
+    // Attribute-disclosure audit: k-anonymous classes that still leak
+    // the sensitive attribute (homogeneity attack surface).
+    "q_l_diversity" -> ((s, d) => TextAnalysis.lDiversity(s, d)),
+    // GPT-style concat-and-chunk packing manifest (distributed prefix
+    // sum over corpus-order token counts — never an empty-key window).
+    "q_pack_blocks" -> ((s, d) => graft.operators.DataPrep.packBlocks(s, d)),
     "q_extract_numbers" -> ((s, d) => TextAnalysis.extractNumbers(s, d)),
     "q_quality_audit" -> ((s, d) => TextAnalysis.qualityAudit(s, d)),
     // The curation terminal: dedup ∧ quality ∧ language-verified,
@@ -909,6 +915,34 @@ object TextQueries {
       """SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 5""".stripMargin,
+
+    // l-diversity: classes ≥ k=5 members whose sensitive attribute
+    // (lang) spans < l=3 distinct values.
+    "q_l_diversity" ->
+      """SELECT source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+        |  count(*) AS n_docs, count(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY 1, 2
+        |HAVING count(*) >= 5 AND count(DISTINCT lang) < 3""".stripMargin,
+
+    // Concat-and-chunk packing manifest: the window form of the
+    // distributed prefix sum the Spark side computes without a window.
+    "q_pack_blocks" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
+        |      AS n_toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_toks,
+        |    CAST(COALESCE(sum(n_toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS tok_offset
+        |  FROM t)
+        |SELECT doc_id, n_toks, tok_offset,
+        |  tok_offset // 1024 AS first_block,
+        |  (tok_offset + n_toks - 1) // 1024 AS last_block,
+        |  (tok_offset + n_toks - 1) // 1024 - tok_offset // 1024 + 1 AS n_blocks,
+        |  CAST(((tok_offset + n_toks - 1) // 1024 - tok_offset // 1024 + 1) > 1
+        |    AS INT) AS is_split
+        |FROM c""".stripMargin,
 
     // Identical deterministic PII injection (the corpus itself is
     // sanitized), then the same three-pattern redaction chain; DuckDB

@@ -336,6 +336,59 @@ object DataPrep {
       .drop("_skey")
   }
 
+  /** Weighted twin of [[withGlobalIndex]]: stamps each row with the SUM
+    * of `weightCol` over all rows strictly before it in `sortCols`
+    * order (`running_offset`) — i.e. `sum(w) OVER (ORDER BY … ROWS
+    * UNBOUNDED PRECEDING AND 1 PRECEDING)` without the one-task
+    * empty-key window. Same two-pass shape: range partition + local
+    * sort, per-partition weight totals broadcast as offsets, one
+    * streaming stamp pass keyed by the partition's min sort key (the
+    * same fusion-proof data-keyed lookup — see the hazards documented
+    * on [[withGlobalIndex]]). `weightCol` must be a non-null LongType
+    * column of `df`.
+    */
+  private[graft] def withRunningTotal(df: DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column], weightCol: String,
+      parts: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_skey", struct(sortCols: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perPart = sorted
+      .groupBy(spark_partition_id().as("_pid"))
+      .agg(sum(col(weightCol)).as("_w"), min(col("_skey")).as("_min"))
+      .collect().sortBy(_.getInt(0))
+    var acc = 0L
+    val offsetByMin: Map[Row, Long] = perPart.map { r =>
+      val entry = (r.getAs[Row]("_min"), acc)
+      acc += r.getAs[Long]("_w")
+      entry
+    }.toMap
+    val bc = spark.sparkContext.broadcast(offsetByMin)
+    val wIdx = sorted.schema.fieldIndex(weightCol)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          "running_offset", org.apache.spark.sql.types.LongType,
+          nullable = false))
+    sorted.mapPartitions { it =>
+      val buf = it.buffered
+      if (!buf.hasNext) Iterator.empty
+      else {
+        var off = bc.value(buf.head.getAs[Row]("_skey"))
+        buf.map { r =>
+          val out = Row.fromSeq(r.toSeq :+ off)
+          off += r.getLong(wIdx)
+          out
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+      .drop("_skey")
+  }
+
   /** Global event enumeration by (ts, event_id): the q-entry face of
     * [[withGlobalIndex]] — equals `row_number() OVER (ORDER BY ts,
     * event_id) - 1` without ever forming a one-task window.
@@ -345,6 +398,39 @@ object DataPrep {
       Tables.events(spark, sfDir).select(col("event_id"), col("ts")),
       Seq(col("ts"), col("event_id")), parts = 32)
       .select(col("event_id"), col("global_idx"))
+
+  /** Training-sequence packing layout — the GPT-style concat-and-chunk
+    * pass that turns a variable-length corpus into fixed `blockSize`-token
+    * training sequences with ZERO padding waste: conceptually the corpus
+    * is concatenated in doc_id order and cut every `blockSize` tokens, so
+    * each document occupies the half-open token interval
+    * [tok_offset, tok_offset + n_toks) of the global stream and the
+    * blocks it lands in are pure integer arithmetic on that interval.
+    * The output is the packing MANIFEST (per-doc offset + block span +
+    * split flag) a sharded tensor-writer consumes — the thing you must
+    * compute exactly once, globally, before writers can run in parallel.
+    *
+    * Scale shape: per-doc token counts are a narrow map; the only global
+    * state is the corpus-order prefix sum, which rides
+    * [[withRunningTotal]] (range-partition + broadcast per-partition
+    * totals) — never an empty-key window, so no single task ever sees
+    * the whole corpus. Cost: one range shuffle of (doc_id, n_toks) pairs
+    * — 16 bytes/doc regardless of document size.
+    */
+  def packBlocks(spark: SparkSession, sfDir: String,
+      blockSize: Long = 1024L): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.wsTokens(col("text")))
+          .cast("long").as("n_toks"))
+    withRunningTotal(counts, Seq(col("doc_id")), "n_toks", parts = 32)
+      .select(col("doc_id"), col("n_toks"),
+        col("running_offset").as("tok_offset"),
+        expr(s"running_offset div $blockSize").as("first_block"),
+        expr(s"(running_offset + n_toks - 1) div $blockSize").as("last_block"))
+      .withColumn("n_blocks", col("last_block") - col("first_block") + 1)
+      .withColumn("is_split", (col("n_blocks") > 1).cast("int"))
+  }
 
   /** Curriculum-stage assignment — order the corpus easy→hard (here by
     * `n_chars`, the stand-in for a model-based difficulty score) and

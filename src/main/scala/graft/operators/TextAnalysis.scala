@@ -304,6 +304,34 @@ object TextAnalysis {
       .select(col("lang"), col("source"), col("len_bucket"), col("n_docs"))
   }
 
+  /** l-diversity audit — the attribute-disclosure companion to
+    * [[kAnonymity]] (Machanavajjhala et al., TKDD 2007 — public
+    * literature): a class can be safely k-anonymous for RE-identification
+    * yet still leak the sensitive attribute outright if (nearly) all its
+    * members share one value — the homogeneity attack. Here the
+    * quasi-identifier is (source, 100-char length bucket) and the
+    * sensitive attribute is `lang`: surfaced rows are the classes with
+    * ≥k members (so they PASS the k-anonymity gate) whose members span
+    * fewer than l distinct languages — an adversary who pins a record to
+    * the class infers its language without re-identifying anyone.
+    *
+    * Scale shape: one 2-key aggregate; the distinct count plans as
+    * Spark's standard two-phase partial-distinct aggregate (dedup
+    * locally per map task, then one exchange of (QI, lang) pairs — the
+    * pair space is bounded by |classes|×|langs|, not corpus size).
+    */
+  def lDiversity(spark: SparkSession, sfDir: String, k: Int = 5,
+      l: Int = 3): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .groupBy(col("source"), expr("n_chars div 100").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"))
+      .filter(col("n_docs") >= k && col("n_langs") < l)
+      .select(col("source"), col("len_bucket"), col("n_docs"),
+        col("n_langs"))
+  }
+
+
   /** Bigram language-model quality score — the perplexity-style signal
     * a training-data pipeline uses to rank fluency: build an MLE bigram
     * model over the corpus (p(cur|prev) = c(prev,cur)/c(prev)), then

@@ -141,6 +141,50 @@ class Round9OpsSpec extends SparkTestBase {
     assert((d - l).abs <= BigDecimal("0.00001"))
   }
 
+  test("packBlocks: exact corpus prefix sum without a WindowExec") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import graft.operators.DataPrep
+    val packed = DataPrep.packBlocks(spark, sf())
+    val windows = packed.queryExecution.executedPlan.collect {
+      case w: WindowExec => w
+    }
+    assert(windows.isEmpty,
+      s"packing must never form a one-task window:\n${packed.queryExecution.executedPlan}")
+    // bit-identical to the window form at test scale
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = graft.sources.Tables.documents(spark, sf())
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.wsTokens(col("text")))
+          .cast("long").as("n_toks"))
+      .withColumn("tok_offset",
+        coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .select(col("doc_id"), col("n_toks"), col("tok_offset"),
+        expr("tok_offset div 1024").as("first_block"),
+        expr("(tok_offset + n_toks - 1) div 1024").as("last_block"))
+      .withColumn("n_blocks", col("last_block") - col("first_block") + 1)
+      .withColumn("is_split", (col("n_blocks") > 1).cast("int"))
+    assert(canon(packed) == canon(expected))
+    // blocks tile the token stream: total tokens = last doc's end offset
+    val total = packed.agg(max(col("tok_offset") + col("n_toks"))).head.getLong(0)
+    val sumToks = packed.agg(sum(col("n_toks"))).head.getLong(0)
+    assert(total == sumToks)
+  }
+
+  test("lDiversity surfaces only k-anonymous, low-diversity classes") {
+    import graft.operators.TextAnalysis
+    val r = TextAnalysis.lDiversity(spark, sf())
+    assert(r.filter(col("n_docs") < 5 || col("n_langs") >= 3).isEmpty)
+    // every surfaced class really has that many docs and languages
+    val direct = graft.sources.Tables.documents(spark, sf())
+      .groupBy(col("source"), expr("n_chars div 100").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"))
+    val joined = r.join(direct, Seq("source", "len_bucket"))
+    assert(joined.count() == r.count())
+  }
+
   test("Welch t-test: arms partition users, t opposes lift, means check") {
     import graft.operators.Analytics
     val rows = Analytics.abTest(spark, sf()).collect()
