@@ -29,6 +29,9 @@ object TextQueries {
     // Attribute-disclosure audit: k-anonymous classes that still leak
     // the sensitive attribute (homogeneity attack surface).
     "q_l_diversity" -> ((s, d) => TextAnalysis.lDiversity(s, d)),
+    // Per-source leave-one-out KS drift on the length distribution,
+    // exact-integer ECDF comparison (fixed-point ppm statistic).
+    "q_ks_drift" -> ((s, d) => TextAnalysis.ksDrift(s, d)),
     // GPT-style concat-and-chunk packing manifest (distributed prefix
     // sum over corpus-order token counts — never an empty-key window).
     "q_pack_blocks" -> ((s, d) => graft.operators.DataPrep.packBlocks(s, d)),
@@ -915,6 +918,36 @@ object TextQueries {
       """SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 5""".stripMargin,
+
+    // Leave-one-out KS per source: both ECDFs evaluated on the pooled
+    // distinct-length grid, all-integer comparison, ppm fixed point.
+    "q_ks_drift" ->
+      """WITH c AS (SELECT n_chars AS v, source, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |srcs AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s
+        |  FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tot FROM c),
+        |vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS t_v FROM c GROUP BY 1),
+        |cumt AS (SELECT v,
+        |    CAST(sum(t_v) OVER (ORDER BY v) AS BIGINT) AS cum_tot FROM vals),
+        |grid AS (SELECT vals.v, srcs.source FROM vals CROSS JOIN srcs),
+        |cum AS (SELECT g.v, g.source,
+        |    CAST(sum(COALESCE(c.c, 0)) OVER (PARTITION BY g.source
+        |      ORDER BY g.v) AS BIGINT) AS cum_s
+        |  FROM grid g LEFT JOIN c ON c.v = g.v AND c.source = g.source),
+        |d AS (SELECT cum.source, n_s, n_tot - n_s AS rest_n, cum.v,
+        |    abs(cum_s * (n_tot - n_s) - (cum_tot - cum_s) * n_s) AS dd
+        |  FROM cum JOIN cumt USING (v)
+        |  JOIN srcs ON srcs.source = cum.source, tot),
+        |m AS (SELECT source, CAST(max(dd) AS BIGINT) AS d_num
+        |  FROM d GROUP BY 1)
+        |SELECT d.source, CAST(max(n_s) AS BIGINT) AS n_s,
+        |  CAST(max(d_num) AS BIGINT) AS d_num,
+        |  CAST(min(v) AS BIGINT) AS v_at_max,
+        |  CAST(max(d_num) * 1000000 // (max(n_s) * max(rest_n)) AS BIGINT)
+        |    AS ks_ppm
+        |FROM d JOIN m ON m.source = d.source AND d.dd = m.d_num
+        |GROUP BY 1""".stripMargin,
 
     // l-diversity: classes ≥ k=5 members whose sensitive attribute
     // (lang) spans < l=3 distinct values.

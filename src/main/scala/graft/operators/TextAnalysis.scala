@@ -320,6 +320,63 @@ object TextAnalysis {
     * locally per map task, then one exchange of (QI, lang) pairs — the
     * pair space is bounded by |classes|×|langs|, not corpus size).
     */
+  /** Two-sample Kolmogorov–Smirnov drift audit — the nonparametric
+    * distribution-shift monitor a corpus pipeline runs per ingest
+    * source: for every source, the KS statistic between ITS document
+    * length distribution and the rest of the corpus (leave-one-out), so
+    * a feed whose length profile drifts from the pool surfaces with an
+    * exact, assumption-free score. sup|F_s − F_rest| is attained at a
+    * pooled data point, so evaluating both ECDFs on the pooled distinct
+    * value grid is exact, and the comparison runs entirely in integers:
+    * d_num = max|cum_s·n_rest − cum_rest·n_s| with the final statistic
+    * as fixed-point ppm (`d_num·10⁶ div (n_s·n_rest)`) — no float ECDF
+    * anywhere, so engines can't disagree in the last ulp. (BIGINT holds
+    * exactly while n_s·n_rest·10⁶ < 2⁶³, i.e. corpora to ~3·10⁹ docs
+    * per side; past that the two products move to DECIMAL(38,0) with
+    * the same plan.) `v_at_max` = the smallest length where the sup is
+    * attained — the drift location a triage dashboard plots.
+    *
+    * Scale shape: the corpus collapses to (length, source) counts in one
+    * map-side-combined aggregate; everything after runs on the bounded
+    * |values|×|sources| grid. Per-source ECDFs are windows PARTITIONED
+    * by source; the pooled ECDF is [[graft.operators.DataPrep]]'s
+    * broadcast prefix sum — never an empty-key window.
+    */
+  def ksDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.documents(spark, sfDir)
+      .groupBy(col("n_chars").as("v"), col("source"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val srcs = c.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val total = c.agg(sum(col("c")).as("n_tot"))
+    val vals = c.groupBy(col("v")).agg(sum(col("c")).as("t_v"))
+    val cumTot = DataPrep
+      .withRunningTotal(vals, Seq(col("v")), "t_v", parts = 32)
+      .select(col("v"), (col("running_offset") + col("t_v")).as("cum_tot"))
+    val w = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = vals.select(col("v"))
+      .crossJoin(broadcast(srcs.select(col("source"))))
+      .join(c, Seq("v", "source"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("cum_s", sum(col("c")).over(w))
+      .join(cumTot, "v")
+      .join(broadcast(srcs), "source")
+      .crossJoin(broadcast(total))
+      .withColumn("rest_n", col("n_tot") - col("n_s"))
+      .withColumn("dd", abs(col("cum_s") * col("rest_n")
+        - (col("cum_tot") - col("cum_s")) * col("n_s")))
+    val dMax = d.groupBy(col("source")).agg(max(col("dd")).as("d_num"))
+    d.join(dMax, "source")
+      .filter(col("dd") === col("d_num"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_s"), max(col("rest_n")).as("rest_n"),
+        max(col("d_num")).as("d_num"), min(col("v")).as("v_at_max"))
+      .select(col("source"), col("n_s"), col("d_num"), col("v_at_max"),
+        expr("d_num * 1000000 div (n_s * rest_n)").as("ks_ppm"))
+  }
+
   def lDiversity(spark: SparkSession, sfDir: String, k: Int = 5,
       l: Int = 3): DataFrame = {
     Tables.documents(spark, sfDir)

@@ -172,6 +172,35 @@ class Round9OpsSpec extends SparkTestBase {
     assert(total == sumToks)
   }
 
+  test("ksDrift equals the brute-force per-source KS statistic") {
+    import graft.operators.TextAnalysis
+    val got = TextAnalysis.ksDrift(spark, sf()).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_s"), r.getAs[Long]("d_num"),
+          r.getAs[Long]("v_at_max"), r.getAs[Long]("ks_ppm"))).toMap
+    // independent driver-side recomputation (test scale only)
+    val lens = graft.sources.Tables.documents(spark, sf())
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = lens.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val all = lens.map(_._2)
+    val grid = all.distinct.sorted
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (s, mine) =>
+      val rest = lens.filter(_._1 != s).map(_._2)
+      val (ns, nr) = (mine.length.toLong, rest.length.toLong)
+      val cands = grid.map { v =>
+        val cs = mine.count(_ <= v).toLong
+        val cr = rest.count(_ <= v).toLong
+        (math.abs(cs * nr - cr * ns), v)
+      }
+      val dNum = cands.map(_._1).max
+      val vAt = cands.filter(_._1 == dNum).map(_._2).min
+      assert(got(s) == ((ns, dNum, vAt, dNum * 1000000L / (ns * nr))),
+        s"KS mismatch for source $s")
+    }
+  }
+
   test("lDiversity surfaces only k-anonymous, low-diversity classes") {
     import graft.operators.TextAnalysis
     val r = TextAnalysis.lDiversity(spark, sf())
