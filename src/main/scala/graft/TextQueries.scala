@@ -32,6 +32,9 @@ object TextQueries {
     // Per-source leave-one-out KS drift on the length distribution,
     // exact-integer ECDF comparison (fixed-point ppm statistic).
     "q_ks_drift" -> ((s, d) => TextAnalysis.ksDrift(s, d)),
+    // PSI over pooled-CDF decile bins, add-one smoothed, fixed-point
+    // per-bin terms summed as integers.
+    "q_psi_drift" -> ((s, d) => TextAnalysis.psiDrift(s, d)),
     // GPT-style concat-and-chunk packing manifest (distributed prefix
     // sum over corpus-order token counts — never an empty-key window).
     "q_pack_blocks" -> ((s, d) => graft.operators.DataPrep.packBlocks(s, d)),
@@ -948,6 +951,43 @@ object TextQueries {
         |    AS ks_ppm
         |FROM d JOIN m ON m.source = d.source AND d.dd = m.d_num
         |GROUP BY 1""".stripMargin,
+
+    // PSI: equal-frequency bins from the pooled CDF (first-rank rule,
+    // ties together), leave-one-out rest, add-one smoothing, per-bin
+    // ×1e6 fixed-point terms summed as integers.
+    "q_psi_drift" ->
+      """WITH c AS (SELECT n_chars AS v, source, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |srcs AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s
+        |  FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tot FROM c),
+        |vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS t_v FROM c GROUP BY 1),
+        |bins AS (SELECT v, least(9,
+        |    CAST(COALESCE(sum(t_v) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) * 10 // n_tot) AS bin
+        |  FROM vals, tot),
+        |pb AS (SELECT source, bin, CAST(sum(c) AS BIGINT) AS c_sb
+        |  FROM c JOIN bins USING (v) GROUP BY 1, 2),
+        |bt AS (SELECT bin, CAST(sum(c_sb) AS BIGINT) AS c_b
+        |  FROM pb GROUP BY 1),
+        |dense AS (SELECT srcs.source, srcs.n_s, bt.bin, bt.c_b,
+        |    COALESCE(pb.c_sb, 0) AS c_sb, n_tot
+        |  FROM srcs CROSS JOIN bt
+        |  LEFT JOIN pb ON pb.source = srcs.source AND pb.bin = bt.bin, tot),
+        |terms AS (SELECT source, n_s,
+        |    CAST(round(
+        |      ((CAST(c_sb + 1 AS DOUBLE) / CAST(n_s + 10 AS DOUBLE))
+        |        - (CAST(c_b - c_sb + 1 AS DOUBLE)
+        |           / CAST(n_tot - n_s + 10 AS DOUBLE)))
+        |      * ln((CAST(c_sb + 1 AS DOUBLE) / CAST(n_s + 10 AS DOUBLE))
+        |        / (CAST(c_b - c_sb + 1 AS DOUBLE)
+        |           / CAST(n_tot - n_s + 10 AS DOUBLE))) * 1e6)
+        |      AS BIGINT) AS term_f
+        |  FROM dense)
+        |SELECT source, CAST(max(n_s) AS BIGINT) AS n_s,
+        |  CAST(sum(term_f) AS BIGINT) AS psi_fp, count(*) AS n_bins
+        |FROM terms GROUP BY 1""".stripMargin,
 
     // l-diversity: classes ≥ k=5 members whose sensitive attribute
     // (lang) spans < l=3 distinct values.

@@ -377,6 +377,57 @@ object TextAnalysis {
         expr("d_num * 1000000 div (n_s * rest_n)").as("ks_ppm"))
   }
 
+  /** Population Stability Index — the binned industry-standard drift
+    * score next to [[ksDrift]]'s sup-norm: corpus lengths fall into 10
+    * equal-frequency bins derived from the POOLED CDF, and each source
+    * scores PSI = Σ (p_i − q_i)·ln(p_i/q_i) against the rest of the
+    * corpus, with add-one smoothing so an empty bin never produces
+    * ln(0). Binning is pure integer arithmetic on the pooled prefix sum
+    * (a value group whose first element has 0-based rank r lands in bin
+    * `r·10 div N`) — no quantile cuts ever collect to the driver, ties
+    * stay together by construction, and both engines replay the rule
+    * identically. Per-bin terms are snapped to ×10⁶ fixed point BEFORE
+    * the final sum (the lm_score/zipf discipline), so the only floats
+    * are the per-term scalars, never a distributed accumulation.
+    *
+    * Scale shape: identical to [[ksDrift]] — one (length, source)
+    * count aggregate, then everything runs on |values| and
+    * |sources|×10 rows; the pooled CDF rides the broadcast prefix sum.
+    */
+  def psiDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.documents(spark, sfDir)
+      .groupBy(col("n_chars").as("v"), col("source"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val srcs = c.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val total = c.agg(sum(col("c")).as("n_tot"))
+    val vals = c.groupBy(col("v")).agg(sum(col("c")).as("t_v"))
+    val bins = DataPrep
+      .withRunningTotal(vals, Seq(col("v")), "t_v", parts = 32)
+      .crossJoin(broadcast(total))
+      .select(col("v"),
+        expr("least(9, running_offset * 10 div n_tot)").as("bin"))
+    val perBin = c.join(bins, "v")
+      .groupBy(col("source"), col("bin")).agg(sum(col("c")).as("c_sb"))
+    val binTot = perBin.groupBy(col("bin")).agg(sum(col("c_sb")).as("c_b"))
+    val dense = srcs.select(col("source"), col("n_s"))
+      .crossJoin(broadcast(binTot))
+      .join(perBin, Seq("source", "bin"), "left")
+      .na.fill(0L, Seq("c_sb"))
+      .crossJoin(broadcast(total))
+      .withColumn("p", (col("c_sb") + 1).cast("double")
+        / (col("n_s") + 10).cast("double"))
+      .withColumn("q", (col("c_b") - col("c_sb") + 1).cast("double")
+        / (col("n_tot") - col("n_s") + 10).cast("double"))
+      .withColumn("term_f",
+        round((col("p") - col("q")) * log(col("p") / col("q")) * lit(1e6))
+          .cast("bigint"))
+    dense.groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_s"), sum(col("term_f")).as("psi_fp"),
+        count(lit(1)).as("n_bins"))
+      .select(col("source"), col("n_s"), col("psi_fp"), col("n_bins"))
+  }
+
   def lDiversity(spark: SparkSession, sfDir: String, k: Int = 5,
       l: Int = 3): DataFrame = {
     Tables.documents(spark, sfDir)

@@ -201,6 +201,40 @@ class Round9OpsSpec extends SparkTestBase {
     }
   }
 
+  test("psiDrift equals the brute-force per-source PSI") {
+    import graft.operators.TextAnalysis
+    val got = TextAnalysis.psiDrift(spark, sf()).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_s"), r.getAs[Long]("psi_fp"),
+          r.getAs[Long]("n_bins"))).toMap
+    val lens = graft.sources.Tables.documents(spark, sf())
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val nTot = lens.length.toLong
+    // pooled-CDF first-rank binning, ties together
+    val byV = lens.map(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong).toSeq.sortBy(_._1)
+    var run = 0L
+    val binOfV = byV.map { case (v, t) =>
+      val b = math.min(9L, run * 10L / nTot); run += t; v -> b
+    }.toMap
+    val binTot = lens.groupBy(l => binOfV(l._2)).view
+      .mapValues(_.length.toLong).toMap
+    got.foreach { case (s, (nS, psiFp, nBins)) =>
+      val mine = lens.filter(_._1 == s)
+      assert(nS == mine.length.toLong)
+      assert(nBins == binTot.size.toLong)
+      val psi = binTot.toSeq.map { case (b, cB) =>
+        val cSb = mine.count(l => binOfV(l._2) == b).toLong
+        val p = (cSb + 1).toDouble / (nS + 10).toDouble
+        val q = (cB - cSb + 1).toDouble / (nTot - nS + 10).toDouble
+        math.round((p - q) * math.log(p / q) * 1e6)
+      }.sum
+      assert(psi == psiFp, s"PSI mismatch for source $s")
+      assert(psiFp >= 0L)
+    }
+  }
+
   test("lDiversity surfaces only k-anonymous, low-diversity classes") {
     import graft.operators.TextAnalysis
     val r = TextAnalysis.lDiversity(spark, sf())
