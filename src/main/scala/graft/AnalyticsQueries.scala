@@ -64,6 +64,9 @@ object AnalyticsQueries {
       ((s, d) => graft.operators.DataPrep.exactPercentiles(s, d)),
     "q_fk_audit" -> ((s, d) => Analytics.fkAudit(s, d)),
     "q_anomaly_mad" -> ((s, d) => Analytics.anomalyMad(s, d)),
+    // CUSUM level-shift changepoint on daily volumes (closed-form
+    // prefix-sum/running-min, exact n-scaled integers).
+    "q_cusum" -> ((s, d) => Analytics.cusumChangepoint(s, d)),
     "q_scalar_funcs" -> ((s, d) => Analytics.scalarFuncs(s, d)),
     "q_grouping_sets" -> ((s, d) => Analytics.groupingSetsAgg(s, d)),
     "q_stats_moments" -> ((s, d) => Analytics.statsMoments(s, d)),
@@ -936,6 +939,34 @@ object AnalyticsQueries {
 
     // identical discrete-median replay: rank (n+1)//2 under the same
     // deterministic (value, day) total order, integer-cents fences
+    // CUSUM closed form: S_t = P_t - min(0, min_{j<t} P_j) over the
+    // exact n-scaled centered series d = n*x - T; argmax day, ties to
+    // the earliest.
+    "q_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d')
+        |      AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS t_x FROM daily GROUP BY 1),
+        |s AS (SELECT d.event_type, d.day, pt.n_days,
+        |    CAST(sum(pt.n_days * d.x - pt.t_x) OVER (
+        |      PARTITION BY d.event_type ORDER BY d.day) AS BIGINT) AS p
+        |  FROM daily d JOIN pt USING (event_type)),
+        |st AS (SELECT event_type, day, n_days,
+        |    p - least(0, CAST(COALESCE(min(p) OVER (
+        |      PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT)) AS s_t
+        |  FROM s),
+        |m AS (SELECT event_type, CAST(max(s_t) AS BIGINT) AS s_max
+        |  FROM st GROUP BY 1)
+        |SELECT st.event_type, CAST(max(st.n_days) AS BIGINT) AS n_days,
+        |  CAST(max(s_max) AS BIGINT) AS s_max, min(st.day) AS cp_day
+        |FROM st JOIN m ON m.event_type = st.event_type AND st.s_t = m.s_max
+        |GROUP BY 1""".stripMargin,
+
     "q_anomaly_mad" ->
       """WITH daily AS (
         |  SELECT event_type,

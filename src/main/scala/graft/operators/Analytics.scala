@@ -1225,6 +1225,52 @@ object Analytics {
           <= col("n_exact") * lit(0.1) + lit(5)).as("within_tol"))
   }
 
+  /** CUSUM changepoint detection on the daily event volume — the
+    * level-shift monitor beside [[anomalyMad]]'s spike fence: a
+    * sustained small upward drift that never trips a per-day outlier
+    * fence accumulates in S_t = max(0, S_{t−1}) + (x_t − μ) (Page 1954,
+    * public literature; this restart-at-zero variant has the same
+    * positive maxima as the fully-clipped form). The recursion is NOT
+    * run sequentially — it has the closed form
+    * S_t = P_t − min(0, min_{j<t} P_j) over prefix sums
+    * P of the centered series, so the whole detector is two windows
+    * (prefix sum + running min), both PARTITIONED by event_type and
+    * bounded by |days|. Centering is exact: d_i = n·x_i − Σx (the
+    * per-type mean multiplied through by n), so every P and S is an
+    * exact n-scaled BIGINT and the argmax day — the detected
+    * changepoint — is engine-independent, ties to the earliest day.
+    *
+    * Scale shape: the corpus collapses to (type, day) counts in one
+    * map-side-combined aggregate; windows and the final argmax run on
+    * the |types|×|days| table. s_max is n-scaled (divide by n_days for
+    * the mean-units magnitude); the detected day is where the maximum
+    * cumulative positive drift ends.
+    */
+  def cusumChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val perType = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("t_x"))
+    val wSum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val s = daily.join(broadcast(perType), "event_type")
+      .withColumn("d", col("n_days") * col("x") - col("t_x"))
+      .withColumn("p", sum(col("d")).over(wSum))
+      .withColumn("base", least(lit(0L), coalesce(min(col("p")).over(wPrev), lit(0L))))
+      .withColumn("s_t", col("p") - col("base"))
+    val sMax = s.groupBy(col("event_type")).agg(max(col("s_t")).as("s_max"))
+    s.join(sMax, "event_type")
+      .filter(col("s_t") === col("s_max"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_days")).as("n_days"), max(col("s_max")).as("s_max"),
+        min(col("day")).cast("string").as("cp_day"))
+      .select(col("event_type"), col("n_days"), col("s_max"), col("cp_day"))
+  }
+
   /** Robust anomaly detection on the daily flow: median + MAD (median
     * absolute deviation) instead of mean + stddev — the detector that
     * still works when the anomalies themselves pollute the baseline

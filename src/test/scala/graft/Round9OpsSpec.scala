@@ -235,6 +235,34 @@ class Round9OpsSpec extends SparkTestBase {
     }
   }
 
+  test("cusum closed form equals the sequential Page recursion") {
+    import graft.operators.Analytics
+    val got = Analytics.cusumChangepoint(spark, sf()).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("s_max"),
+          r.getAs[String]("cp_day"))).toMap
+    val daily = graft.sources.Tables.events(spark, sf())
+      .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("x")))
+    daily.groupBy(_._1).foreach { case (t, rows) =>
+      val xs = rows.sortBy(_._2).map(x => (x._2, x._3))
+      val n = xs.length.toLong
+      val tot = xs.map(_._2).sum
+      // the sequential recursion S_t = max(0, S_{t-1}) + d_t, with the
+      // changepoint at the earliest day attaining the maximum
+      var sPrev = 0L
+      val seq = xs.map { case (day, x) =>
+        val s = math.max(0L, sPrev) + (n * x - tot)
+        sPrev = s
+        (day, s)
+      }
+      val sMax = seq.map(_._2).max
+      val cp = seq.filter(_._2 == sMax).map(_._1).min
+      assert(got(t) == ((n, sMax, cp)), s"CUSUM mismatch for $t")
+    }
+  }
+
   test("lDiversity surfaces only k-anonymous, low-diversity classes") {
     import graft.operators.TextAnalysis
     val r = TextAnalysis.lDiversity(spark, sf())
