@@ -32,6 +32,9 @@ object AnalyticsQueries {
     "q_skew_profile" -> ((s, d) => Analytics.skewProfile(s, d)),
     "q_cdc_apply" -> ((s, d) => graft.operators.Formats.cdcApply(s, d)),
     "q_time_travel" -> ((s, d) => graft.operators.Formats.timeTravel(s, d)),
+    // Retention vacuum: reclaim prior + crashed-write dirs, prove the
+    // current generation reads back intact (Hadoop FS API throughout).
+    "q_vacuum" -> ((s, d) => graft.operators.Formats.vacuumTable(s, d)),
     "q_join_incremental" -> ((s, d) => graft.operators.Formats.incrementalJoin(s, d)),
     "q_large_orders" -> ((s, d) => Analytics.largeOrders(s, d)),
     "q_calendar_dim" -> ((s, d) => Analytics.calendarDim(s, d)),
@@ -643,6 +646,22 @@ object AnalyticsQueries {
         |    AS BIGINT)
         |FROM orders WHERE o_orderkey % 10 != 0
         |GROUP BY 2""".stripMargin,
+
+    // Vacuum accounting: current = gen_2 slice (kept, intact after the
+    // deletes), prior = full table, uncommitted = the crashed writer's
+    // %5 slice — all recomputable from orders.
+    "q_vacuum" ->
+      """SELECT 'current' AS dir_class, CAST(count(*) AS BIGINT) AS n_rows,
+        |  'kept' AS disposition, CAST(count(*) AS BIGINT) AS n_rows_after
+        |FROM orders WHERE o_orderkey % 10 != 0
+        |UNION ALL
+        |SELECT 'prior', CAST(count(*) AS BIGINT), 'reclaimed',
+        |  CAST(NULL AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'uncommitted', CAST(count(*) AS BIGINT), 'reclaimed',
+        |  CAST(NULL AS BIGINT)
+        |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin,
 
     // The delta decomposition must equal the from-scratch join.
     "q_join_incremental" ->

@@ -261,6 +261,67 @@ object Formats {
     snap(1, gen1).unionAll(snap(2, gen2))
   }
 
+  /** Retention VACUUM over the generational layout — the maintenance
+    * pass [[timeTravel]] points at ("retention pruning = deleting old
+    * gen dirs") made a first-class, audited operator: the table root
+    * holds the current `_SUCCESS`-gated generation, a prior retained
+    * generation, and an UNCOMMITTED directory a crashed writer left
+    * behind (no `_SUCCESS` — the debris every long-lived table
+    * accumulates). Vacuum deletes everything except the current
+    * generation and proves three things in one result: what it
+    * reclaimed (per-class exact row counts, read before deletion), that
+    * the crashed write was never part of the table (uncommitted rows
+    * are accounted but were always unreadable through the gate), and
+    * that the current generation reads back intact AFTER the deletes
+    * (n_rows_after = n_rows for the kept class, null for reclaimed).
+    *
+    * All filesystem work goes through the Hadoop `FileSystem` API (the
+    * cluster-FS decoupling rule for production I/O paths — this must
+    * run against HDFS/S3A, not just a local tmpdir). Scale shape: list
+    * + delete are per-generation O(files) namespace calls; the row
+    * accounting is three bounded parquet scans of the staged table,
+    * and on a real deployment the delete is metadata-only.
+    */
+  def vacuumTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = fmtDir("vacuum", sfDir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(hconf)
+    val gen1 = new org.apache.hadoop.fs.Path(s"$root/gen_1")
+    val gen2 = new org.apache.hadoop.fs.Path(s"$root/gen_2")
+    val tmp  = new org.apache.hadoop.fs.Path(s"$root/gen_3_inflight")
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    // (re)stage whenever a prior vacuum (or nothing) ran: the audit is
+    // idempotent per run, so a second execution restages and re-vacuums
+    if (!fs.exists(new org.apache.hadoop.fs.Path(gen1, "_SUCCESS")) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(gen2, "_SUCCESS"))) {
+      base.write.mode("overwrite").parquet(gen1.toString)
+      base.filter(col("o_orderkey") % 10 =!= 0)
+        .write.mode("overwrite").parquet(gen2.toString)
+      // simulate the crashed writer: data files present, no _SUCCESS
+      base.filter(col("o_orderkey") % 5 === 0)
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
+    }
+    // row accounting BEFORE deletion (exact, engine-checkable)
+    def n(p: org.apache.hadoop.fs.Path): Long =
+      spark.read.parquet(p.toString).count()
+    val (n1, n2, nt) = (n(gen1), n(gen2), n(tmp))
+    // vacuum: keep only the current (= highest _SUCCESS-gated) gen
+    fs.delete(gen1, true)
+    fs.delete(tmp, true)
+    val nAfter = n(gen2)
+    import spark.implicits._
+    Seq(
+      ("current", n2, "kept", Some(nAfter)),
+      ("prior", n1, "reclaimed", None: Option[Long]),
+      ("uncommitted", nt, "reclaimed", None: Option[Long]))
+      .toDF("dir_class", "n_rows", "disposition", "n_rows_after")
+      .select(col("dir_class"), col("n_rows"), col("disposition"),
+        col("n_rows_after").cast("long").as("n_rows_after"))
+  }
+
   /** Incremental join-view maintenance — the delta algebra a maintained
     * materialized join lives on: with base relations A, B already joined
     * into the view, an ingest of ΔA and ΔB updates it with

@@ -263,6 +263,25 @@ class Round9OpsSpec extends SparkTestBase {
     }
   }
 
+  test("vacuum keeps only the gated current generation; reruns restage") {
+    import graft.operators.Formats
+    val r1 = canon(Formats.vacuumTable(spark, sf()))
+    // post-vacuum: the table root holds exactly the current generation
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_vacuum_sf0.001")
+    val dirs = root.listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("gen_2"),
+      s"only gen_2 must survive the vacuum, got ${dirs.toSeq}")
+    assert(new java.io.File(root, "gen_2/_SUCCESS").exists())
+    // a second run restages the debris and reproduces the same audit
+    assert(canon(Formats.vacuumTable(spark, sf())) == r1)
+    val n = graft.sources.Tables.orders(spark, sf()).count()
+    val rows = Formats.vacuumTable(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("prior") == n)
+    assert(rows("current") < n && rows("uncommitted") < n)
+  }
+
   test("lDiversity surfaces only k-anonymous, low-diversity classes") {
     import graft.operators.TextAnalysis
     val r = TextAnalysis.lDiversity(spark, sf())
