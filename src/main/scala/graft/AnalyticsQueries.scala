@@ -70,6 +70,9 @@ object AnalyticsQueries {
     // CUSUM level-shift changepoint on daily volumes (closed-form
     // prefix-sum/running-min, exact n-scaled integers).
     "q_cusum" -> ((s, d) => Analytics.cusumChangepoint(s, d)),
+    // Theil-Sen robust trend: exact discrete median of pairwise slopes
+    // in floor-safe x1e6 fixed point, |days|^2-bounded per type.
+    "q_theil_sen" -> ((s, d) => Analytics.theilSen(s, d)),
     "q_scalar_funcs" -> ((s, d) => Analytics.scalarFuncs(s, d)),
     "q_grouping_sets" -> ((s, d) => Analytics.groupingSetsAgg(s, d)),
     "q_stats_moments" -> ((s, d) => Analytics.statsMoments(s, d)),
@@ -958,6 +961,34 @@ object AnalyticsQueries {
 
     // identical discrete-median replay: rank (n+1)//2 under the same
     // deterministic (value, day) total order, integer-cents fences
+    // Theil-Sen: pairwise-slope median under the deterministic total
+    // order (slope_fp, num, den, ti, tj); the +K*den offset makes the
+    // integer division run on positives so // (floor) and div (trunc)
+    // agree.
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |t0 AS (SELECT event_type, min(day) AS d0,
+        |    CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1),
+        |pts AS (SELECT d.event_type, t0.n_days,
+        |    CAST(date_diff('day', t0.d0, d.day) AS BIGINT) AS t, d.x
+        |  FROM daily d JOIN t0 USING (event_type)),
+        |pairs AS (SELECT a.event_type, a.n_days,
+        |    b.x - a.x AS num, b.t - a.t AS den, a.t AS ti, b.t AS tj,
+        |    CAST((((b.x - a.x) * 1000000 + 100000000000000 * (b.t - a.t))
+        |      // (b.t - a.t)) - 100000000000000 AS BIGINT) AS slope_fp
+        |  FROM pts a JOIN pts b
+        |    ON a.event_type = b.event_type AND a.t < b.t),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY slope_fp, num, den, ti, tj) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n_pairs
+        |  FROM pairs)
+        |SELECT event_type, n_days, n_pairs, slope_fp AS med_slope_fp
+        |FROM r WHERE rn = (n_pairs + 1) // 2""".stripMargin,
+
     // CUSUM closed form: S_t = P_t - min(0, min_{j<t} P_j) over the
     // exact n-scaled centered series d = n*x - T; argmax day, ties to
     // the earliest.

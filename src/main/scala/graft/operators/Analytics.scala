@@ -1271,6 +1271,56 @@ object Analytics {
       .select(col("event_type"), col("n_days"), col("s_max"), col("cp_day"))
   }
 
+  /** Theil–Sen robust trend — the slope companion to [[cusumChangepoint]]
+    * (level shift) and [[anomalyMad]] (spikes): the median of all
+    * pairwise slopes (x_j − x_i)/(t_j − t_i) over the daily volume
+    * series, the estimator with a 29% breakdown point where OLS is
+    * dragged by a single anomalous day (Theil 1950 / Sen 1968, public
+    * literature). Slopes are ×10⁶ fixed-point integers via the
+    * positive-offset floor trick ((num·10⁶ + K·den) div den − K with
+    * K = 10¹⁴) so TRUNC-vs-FLOOR integer division can never split
+    * engines on a negative slope, and the median is the exact discrete
+    * rank-(n+1) div 2 pick under a fully deterministic total order
+    * (slope, num, den, t_i, t_j) — the winsorize/MAD selection rule.
+    *
+    * Scale shape: the corpus collapses to (type, day) counts first;
+    * the pair join and the rank window are PARTITIONED by type and
+    * bounded by |days|² (~10⁶ pairs even at three years of daily
+    * points — this never touches corpus rows). For decade-scale series
+    * swap in the repeated-median variant per t_i; same plan shape.
+    */
+  def theilSen(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val t0 = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), count(lit(1)).as("n_days"))
+    val pts = daily.join(broadcast(t0), "event_type")
+      .select(col("event_type"), col("n_days"),
+        datediff(col("day"), col("d0")).cast("long").as("t"), col("x"))
+    val pairs = pts.as("a").join(pts.as("b"),
+        col("a.event_type") === col("b.event_type")
+          && col("a.t") < col("b.t"))
+      .select(col("a.event_type").as("event_type"),
+        col("a.n_days").as("n_days"),
+        (col("b.x") - col("a.x")).as("num"),
+        (col("b.t") - col("a.t")).as("den"),
+        col("a.t").as("ti"), col("b.t").as("tj"))
+      .withColumn("slope_fp",
+        expr("(num * 1000000 + 100000000000000 * den) div den" +
+          " - 100000000000000"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("slope_fp"), col("num"), col("den"), col("ti"), col("tj"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_pairs", count(lit(1))
+        .over(Window.partitionBy(col("event_type"))))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("slope_fp").as("med_slope_fp"))
+  }
+
   /** Robust anomaly detection on the daily flow: median + MAD (median
     * absolute deviation) instead of mean + stddev — the detector that
     * still works when the anomalies themselves pollute the baseline

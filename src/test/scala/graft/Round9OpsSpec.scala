@@ -282,6 +282,37 @@ class Round9OpsSpec extends SparkTestBase {
     assert(rows("current") < n && rows("uncommitted") < n)
   }
 
+  test("theilSen equals the brute-force pairwise-slope median") {
+    import graft.operators.Analytics
+    val got = Analytics.theilSen(spark, sf()).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("med_slope_fp"))).toMap
+    val daily = graft.sources.Tables.events(spark, sf())
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getAs[Long]("x")))
+    val K = 100000000000000L
+    daily.groupBy(_._1).foreach { case (tp, rows) =>
+      val d0 = rows.map(_._2).min
+      val pts = rows.map(r =>
+        (java.time.temporal.ChronoUnit.DAYS.between(d0, r._2), r._3))
+        .sortBy(_._1)
+      val slopes = for {
+        i <- pts.indices; j <- pts.indices if pts(i)._1 < pts(j)._1
+      } yield {
+        val num = pts(j)._2 - pts(i)._2
+        val den = pts(j)._1 - pts(i)._1
+        ((num * 1000000L + K * den) / den - K, num, den,
+          pts(i)._1, pts(j)._1)
+      }
+      val sorted = slopes.sorted
+      val med = sorted((sorted.length + 1) / 2 - 1)
+      assert(got(tp) == ((pts.length.toLong, slopes.length.toLong, med._1)),
+        s"Theil-Sen mismatch for $tp")
+    }
+  }
+
   test("lDiversity surfaces only k-anonymous, low-diversity classes") {
     import graft.operators.TextAnalysis
     val r = TextAnalysis.lDiversity(spark, sf())
