@@ -155,7 +155,17 @@ object Dedup {
     */
   def jaccardCalibration(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashPairs(spark, sfDir)
+    // Materialize signatures + shingle arrays ONLY for documents that
+    // participate in a candidate pair (a broadcast semi-join BEFORE the
+    // per-row array projection): the calibration table is per-PAIR, so
+    // computing and shuffling 500 k full shingle arrays to serve ~25 k
+    // pairs is pure waste — measured 397 s → linear-in-pairs after this
+    // filter at sf10. The pair-id list is bounded by 2·|pairs|, safely
+    // broadcastable (pairs are the LSH candidate set, not n²).
+    val pairIds = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     def docs = Tables.documents(spark, sfDir)
+      .join(broadcast(pairIds), Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         graft.functions.HashExpressions.minhash_signature(col("text")).as("sig"),
         array_distinct(shingles3(col("text"))).as("sh"))

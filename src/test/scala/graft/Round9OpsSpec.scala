@@ -313,6 +313,36 @@ class Round9OpsSpec extends SparkTestBase {
     }
   }
 
+  test("bitmap tiers agree; production query avoids the mixed-agg plan") {
+    import graft.functions.BitmapDistinct
+    val ev = graft.sources.Tables.events(spark, sf())
+      .select(to_date(col("ts")).cast("string").as("day"), col("user_id"))
+    // public-Aggregator tier and TypedImperativeAggregate tier compute
+    // the identical exact distinct count
+    val both = ev.groupBy(col("day"))
+      .agg(BitmapDistinct.bitmapDistinct(col("user_id"), 1 << 20).as("pub"),
+        BitmapDistinct.bitmapDistinctFast(col("user_id"), 1 << 20).as("tia"),
+        countDistinct(col("user_id")).as("exact"))
+    assert(both.filter(col("pub") =!= col("exact")
+      || col("tia") =!= col("exact")).isEmpty)
+    // the production query must keep the bitmap partial at DAY
+    // granularity: no aggregate keyed on (day, user) may carry the
+    // bitmap function (the mixed distinct/non-distinct rewrite that
+    // measured 228 s at sf10)
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    val plan = graft.operators.Analytics
+      .bitmapDistinctDaily(spark, sf()).queryExecution.executedPlan
+    val bad = plan.collect {
+      case a: ObjectHashAggregateExec
+        if a.groupingExpressions.length > 1 &&
+          a.aggregateExpressions.exists(
+            _.aggregateFunction.isInstanceOf[
+              graft.functions.BitmapDistinctTIA]) => a
+    }
+    assert(bad.isEmpty,
+      s"bitmap partial must group by day only:\n$plan")
+  }
+
   test("lDiversity surfaces only k-anonymous, low-diversity classes") {
     import graft.operators.TextAnalysis
     val r = TextAnalysis.lDiversity(spark, sf())

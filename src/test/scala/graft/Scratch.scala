@@ -9,8 +9,9 @@ import org.apache.spark.sql.SparkSession
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(sys.props.getOrElse("graft.scratch.master", "local[4]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.props.getOrElse("graft.scratch.shuffle", "4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -63,6 +64,45 @@ object Scratch {
           println(s"-- $stmt")
           spark.sql(stmt).show(20, truncate = false)
         }
+      case "bitmapdebug" =>
+        // decompose q_bitmap_distinct: which stage is superlinear?
+        import org.apache.spark.sql.functions._
+        val ev = sources.Tables.events(spark, d)
+          .select(to_date(col("ts")).cast("string").as("day"),
+            col("user_id"))
+        val maxId = ev.agg(max(col("user_id"))).head().getLong(0)
+        val capacity = java.lang.Long.highestOneBit(
+          math.max(maxId * 2 + 1, 64L)).toInt * 2
+        println(s"maxId=$maxId capacity=$capacity bits " +
+          s"(${capacity / 8 / 1024} KiB/buffer)")
+        time("scan_only") { ev.count() }
+        time("count_distinct") {
+          ev.groupBy(col("day"))
+            .agg(countDistinct(col("user_id"))).count()
+        }
+        time("bitmap_fast_tia") {
+          ev.groupBy(col("day"))
+            .agg(graft.functions.BitmapDistinct
+              .bitmapDistinctFast(col("user_id"), capacity)).count()
+        }
+        time("combined_tia_plus_distinct") {
+          ev.groupBy(col("day"))
+            .agg(graft.functions.BitmapDistinct
+              .bitmapDistinctFast(col("user_id"), capacity),
+              countDistinct(col("user_id"))).count()
+        }
+        val combined = ev.groupBy(col("day"))
+          .agg(graft.functions.BitmapDistinct
+            .bitmapDistinctFast(col("user_id"), capacity),
+            countDistinct(col("user_id")))
+        println(combined.queryExecution.executedPlan.toString.take(4000))
+
+      case "paircount" =>
+        time("minhash_pairs") { operators.Dedup.minhashPairs(spark, d).count() }
+        time("calibration") {
+          operators.Dedup.jaccardCalibration(spark, d).count()
+        }
+
       case "sweep" =>
         // plan-shape audit: flag cartesians, count exchanges, check scans
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
