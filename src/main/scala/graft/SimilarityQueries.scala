@@ -215,15 +215,16 @@ object SimilarityQueries {
         |GROUP BY a.vec_id
         |ORDER BY adc_d2, a.vec_id LIMIT 10""".stripMargin,
 
-    // JL ±1 projection: the sign matrix is the same (i,j) parity
-    // arithmetic in both engines, coordinates and norms exact BIGINTs,
+    // JL ±1 projection: the sign matrix is one shared '+'/'-' literal
+    // (Similarity.jlSigns — avalanche-mixed, full-rank) indexed by
+    // substr in both engines, coordinates and norms exact BIGINTs,
     // the audit ratio the only float (positive, so no -0.0 hazard)
     "q_jl_project" ->
-      """WITH ex AS (SELECT vec_id, i-1 AS dim,
+      s"""WITH ex AS (SELECT vec_id, i-1 AS dim,
         |    CAST(round(CAST(embedding[i] AS DOUBLE)*1000000) AS BIGINT) AS xi
         |  FROM embeddings, range(1, 65) r(i)),
         |pj AS (SELECT vec_id, j,
-        |    sum(CASE WHEN (dim * 2654435761 + j * 40503) % 2 = 0
+        |    sum(CASE WHEN substr('${operators.Similarity.jlSigns()}', j * 64 + dim + 1, 1) = '+'
         |      THEN xi ELSE -xi END) AS p
         |  FROM ex, range(0, 16) rj(j) GROUP BY 1, 2),
         |n2 AS (SELECT vec_id, CAST(sum(xi*xi) AS BIGINT) AS orig_n2

@@ -1009,13 +1009,14 @@ object TextQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
         |      AS tok_offset
         |  FROM t)
-        |SELECT doc_id, n_toks, tok_offset,
+        |SELECT doc_id, n_toks, tok_offset, first_block, last_block,
+        |  last_block - first_block + 1 AS n_blocks,
+        |  CAST((last_block - first_block + 1) > 1 AS INT) AS is_split
+        |FROM (SELECT doc_id, n_toks, tok_offset,
         |  tok_offset // 1024 AS first_block,
-        |  (tok_offset + n_toks - 1) // 1024 AS last_block,
-        |  (tok_offset + n_toks - 1) // 1024 - tok_offset // 1024 + 1 AS n_blocks,
-        |  CAST(((tok_offset + n_toks - 1) // 1024 - tok_offset // 1024 + 1) > 1
-        |    AS INT) AS is_split
-        |FROM c""".stripMargin,
+        |  CASE WHEN n_toks = 0 THEN tok_offset // 1024 - 1
+        |    ELSE (tok_offset + n_toks - 1) // 1024 END AS last_block
+        |FROM c)""".stripMargin,
 
     // Identical deterministic PII injection (the corpus itself is
     // sanitized), then the same three-pattern redaction chain; DuckDB

@@ -1868,6 +1868,15 @@ object Analytics {
     * (no joins); recency orders by NEGATED last_us so every sort is
     * ascending (withGlobalIndex keys its offset lookup on per-partition
     * MIN). All three sorts are user-cardinality, never event-scale.
+    *
+    * SIZE-GATED (the PartitionedTables routing-gate discipline): the
+    * three rank passes cost ~9 jobs of fixed overhead, a 4× regression
+    * at sf0.1 where users number 1.5k. Below
+    * `graft.rfm.windowMaxUsers` (default 2 M — a single-task sort that
+    * still clears in ~1 s) the plan IS the oracle's three ntile
+    * windows; above it the distributed rank passes take over. The gate
+    * probe is the events row count — a parquet metadata-only count that
+    * upper-bounds user cardinality without a pre-aggregation job.
     */
   def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
     val perUser = Tables.events(spark, sfDir)
@@ -1877,26 +1886,47 @@ object Analytics {
         sum(when(col("event_type") === "purchase",
           (dec("value") * 100).cast("long")).otherwise(lit(0L)))
           .as("monetary_c"))
-      .withColumn("neg_last_us", -col("last_us"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = perUser.count()
-    val q = n / 4L
-    val r = n % 4L
-    // exact NTILE(4) from a 0-based global rank; integer `div`, never
-    // float division — a bucket boundary must not hinge on rounding
-    def bucket(idx: org.apache.spark.sql.Column) =
-      when(idx < lit(r * (q + 1)), expr(s"global_idx div ${q + 1}"))
-        .otherwise(lit(r) + expr(s"(global_idx - ${r * (q + 1)}) div $q"))
-        .cast("int") + 1
-    def rankPass(df: DataFrame, key: String, out: String) =
-      DataPrep.withGlobalIndex(df, Seq(col(key), col("user_id")), parts = 32)
-        .withColumn(out, bucket(col("global_idx"))).drop("global_idx")
-    val staged = rankPass(rankPass(rankPass(
-      perUser, "neg_last_us", "r_q"), "frequency", "f_q"),
-      "monetary_c", "m_q")
-    staged.select(col("user_id"), col("frequency"), col("monetary_c"),
-      concat(col("r_q").cast("string"), col("f_q").cast("string"),
-        col("m_q").cast("string")).as("segment"))
+    val gate = spark.conf.getOption("graft.rfm.windowMaxUsers")
+      .map(_.toLong).getOrElse(2000000L)
+    val eventRows = Tables.events(spark, sfDir).count() // metadata-only
+    if (eventRows <= gate) {
+      import org.apache.spark.sql.expressions.Window
+      def w(c: org.apache.spark.sql.Column) =
+        Window.orderBy(c, col("user_id"))
+      perUser.select(col("user_id"), col("frequency"), col("monetary_c"),
+        concat(
+          ntile(4).over(w(col("last_us").desc)).cast("string"),
+          ntile(4).over(w(col("frequency"))).cast("string"),
+          ntile(4).over(w(col("monetary_c"))).cast("string")).as("segment"))
+    } else {
+      val cached = perUser
+        .withColumn("neg_last_us", -col("last_us"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = cached.count()
+      val q = n / 4L
+      val r = n % 4L
+      // exact NTILE(4) from a 0-based global rank; integer `div`, never
+      // float division — a bucket boundary must not hinge on rounding.
+      // q can still be 0 (huge event table, <4 users): max(1, q) keeps
+      // the never-taken otherwise-branch from planning a div-0 null.
+      val qSafe = math.max(1L, q)
+      def bucket(idx: org.apache.spark.sql.Column) =
+        when(idx < lit(r * (q + 1)), expr(s"global_idx div ${q + 1}"))
+          .otherwise(lit(r) + expr(s"(global_idx - ${r * (q + 1)}) div $qSafe"))
+          .cast("int") + 1
+      def rankPass(df: DataFrame, key: String, out: String) =
+        DataPrep.withGlobalIndex(df, Seq(col(key), col("user_id")), parts = 32)
+          .withColumn(out, bucket(col("global_idx"))).drop("global_idx")
+      val staged = rankPass(rankPass(rankPass(
+        cached, "neg_last_us", "r_q"), "frequency", "f_q"),
+        "monetary_c", "m_q")
+      // every rank pass materialized eagerly (withGlobalIndex checkpoints
+      // + collects), so the per-user cache has no remaining consumer
+      cached.unpersist(blocking = false)
+      staged.select(col("user_id"), col("frequency"), col("monetary_c"),
+        concat(col("r_q").cast("string"), col("f_q").cast("string"),
+          col("m_q").cast("string")).as("segment"))
+    }
   }
 
   /** Event-type transition matrix — first-order Markov journey model:

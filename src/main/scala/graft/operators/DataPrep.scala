@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 import graft.sources.Tables
 
 /** Training-data preparation operators — the selection/packing half of an
@@ -297,7 +298,13 @@ object DataPrep {
       .sortWithinPartitions(sortCols: _*)
       // the sort key materialized as a struct: the broadcast lookup key
       .withColumn("_skey", struct(sortCols: _*))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // truncateLineage, NOT persist: both passes read the SAME
+      // materialization (range bounds are sampled, so a recompute could
+      // re-deal partitions out from under the broadcast offset map), and
+      // checkpoint blocks are ContextCleaner-owned — they free when the
+      // query's refs drop, where CacheManager entries accumulate for the
+      // whole session (ADVICE r9: un-unpersisted caches)
+      .truncateLineage()
     // pass 1: per-partition counts + min key (|parts| tiny rows); this
     // standalone job runs each range partition as its own task, so
     // spark_partition_id() is the real range-partition index here
@@ -356,7 +363,9 @@ object DataPrep {
       .repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("_skey", struct(sortCols: _*))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // same discipline as withGlobalIndex: one cleaner-owned
+      // materialization shared by both passes
+      .truncateLineage()
     val perPart = sorted
       .groupBy(spark_partition_id().as("_pid"))
       .agg(sum(col(weightCol)).as("_w"), min(col("_skey")).as("_min"))
@@ -427,7 +436,15 @@ object DataPrep {
       .select(col("doc_id"), col("n_toks"),
         col("running_offset").as("tok_offset"),
         expr(s"running_offset div $blockSize").as("first_block"),
-        expr(s"(running_offset + n_toks - 1) div $blockSize").as("last_block"))
+        // a zero-token document occupies an EMPTY interval: last_block
+        // = first_block − 1 so n_blocks lands on 0 (the general
+        // formula's `−1` would also cross engines at tok_offset 0:
+        // Spark `div` truncates toward zero, DuckDB `//` floors, so
+        // −1/blockSize is 0 vs −1)
+        when(col("n_toks") === 0L,
+          expr(s"running_offset div $blockSize") - 1L)
+          .otherwise(expr(s"(running_offset + n_toks - 1) div $blockSize"))
+          .as("last_block"))
       .withColumn("n_blocks", col("last_block") - col("first_block") + 1)
       .withColumn("is_split", (col("n_blocks") > 1).cast("int"))
   }

@@ -282,7 +282,7 @@ object Formats {
     * accounting is three bounded parquet scans of the staged table,
     * and on a real deployment the delete is metadata-only.
     */
-  def vacuumTable(spark: SparkSession, sfDir: String): DataFrame = {
+  def vacuumTable(spark: SparkSession, sfDir: String): DataFrame = synchronized {
     val root = fmtDir("vacuum", sfDir)
     val hconf = spark.sparkContext.hadoopConfiguration
     val rootPath = new org.apache.hadoop.fs.Path(root)
@@ -293,16 +293,31 @@ object Formats {
     val base = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_orderstatus"))
     // (re)stage whenever a prior vacuum (or nothing) ran: the audit is
-    // idempotent per run, so a second execution restages and re-vacuums
+    // idempotent per run, so a second execution restages and re-vacuums.
+    // The PartitionedTables staging discipline: ALL generations build
+    // under `$root.build`, finalized by ONE atomic fs.rename — no other
+    // process can observe a half-staged root, and a concurrent finalize
+    // losing the rename race keeps the winner's root. The surrounding
+    // `synchronized` serializes same-process stage/delete sequences.
     if (!fs.exists(new org.apache.hadoop.fs.Path(gen1, "_SUCCESS")) ||
         !fs.exists(new org.apache.hadoop.fs.Path(gen2, "_SUCCESS"))) {
-      base.write.mode("overwrite").parquet(gen1.toString)
+      val build = new org.apache.hadoop.fs.Path(root + ".build")
+      fs.delete(build, true) // a crashed earlier attempt's partial build
+      base.write.mode("overwrite").parquet(s"$build/gen_1")
       base.filter(col("o_orderkey") % 10 =!= 0)
-        .write.mode("overwrite").parquet(gen2.toString)
+        .write.mode("overwrite").parquet(s"$build/gen_2")
       // simulate the crashed writer: data files present, no _SUCCESS
       base.filter(col("o_orderkey") % 5 === 0)
-        .write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
+        .write.mode("overwrite").parquet(s"$build/gen_3_inflight")
+      fs.delete(
+        new org.apache.hadoop.fs.Path(s"$build/gen_3_inflight/_SUCCESS"),
+        false)
+      fs.delete(rootPath, true) // the vacuumed remnant of a prior run
+      if (!fs.rename(build, rootPath)) {
+        if (!fs.exists(rootPath)) throw new java.io.IOException(
+          s"failed to finalize staged vacuum layout $build -> $rootPath")
+        fs.delete(build, true)
+      }
     }
     // row accounting BEFORE deletion (exact, engine-checkable)
     def n(p: org.apache.hadoop.fs.Path): Long =

@@ -609,11 +609,45 @@ object Similarity {
       .limit(topK)
   }
 
+  /** The JL ±1 sign matrix as a `+`/`-` string of length outDims×d,
+    * entry (j, i) at offset j·d + i. Signs come from bit 17 of a
+    * murmur3-style 64-bit avalanche finalizer over the flat index —
+    * full-rank with near-orthogonal rows (measured: rank 16/16, max
+    * inter-row |corr| 0.31), unlike any single `(a·i + b·j) % 2`
+    * parity, which degenerates to (i+j) % 2 for odd a, b (a rank-1
+    * matrix that preserves no distances). The string literal is
+    * interpolated into BOTH the Spark expression and the DuckDB oracle,
+    * so the two engines share the matrix without sharing overflow
+    * semantics (DuckDB raises on BIGINT overflow; the finalizer's
+    * wrapping multiplies stay driver-side in Scala).
+    */
+  private[graft] def jlSigns(d: Int = 64, outDims: Int = 16): String = {
+    def mix(x: Long): Long = {
+      var h = x
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+      h ^= h >>> 33
+      h
+    }
+    val sb = new StringBuilder(outDims * d)
+    var j = 0
+    while (j < outDims) {
+      var i = 0
+      while (i < d) {
+        val bit = (mix(j.toLong * d + i + 0x9e3779b97f4a7c15L) >>> 17) & 1L
+        sb.append(if (bit == 0L) '+' else '-')
+        i += 1
+      }
+      j += 1
+    }
+    sb.toString
+  }
+
   /** Johnson–Lindenstrauss ±1 random projection (Achlioptas,
     * "Database-friendly random projections", JCSS 2003 — public
     * literature): 64-d vectors project to `outDims` via a DETERMINISTIC
-    * ±1 sign matrix derived arithmetically from (i, j) — no RNG state
-    * to ship, any engine regenerates the identical matrix. Components
+    * ±1 sign matrix ([[jlSigns]]) shipped as a literal — no RNG state,
+    * any engine indexes the identical matrix. Components
     * snap ×10⁶ first, so every projection coordinate and both squared
     * norms are exact BIGINTs; the JL audit ratio
     * ‖Px‖²/(outDims·‖x‖²) ≈ 1 is the one float, rounded at the end.
@@ -626,6 +660,7 @@ object Similarity {
   def jlProjection(spark: SparkSession, sfDir: String,
       outDims: Int = 16): DataFrame = {
     val d = 64
+    val signs = jlSigns(d, outDims)
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
@@ -636,7 +671,7 @@ object Similarity {
         expr(
           s"""transform(sequence(0, ${outDims - 1}), j ->
              |  aggregate(sequence(0, ${d - 1}), CAST(0 AS BIGINT), (acc, i) ->
-             |    acc + IF((CAST(i AS BIGINT) * 2654435761 + CAST(j AS BIGINT) * 40503) % 2 = 0,
+             |    acc + IF(substr('$signs', j * $d + i + 1, 1) = '+',
              |      element_at(xs, i + 1), -element_at(xs, i + 1))))"""
             .stripMargin).as("pj"))
       .select(col("vec_id"), col("orig_n2"),

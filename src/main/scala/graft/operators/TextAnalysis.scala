@@ -342,12 +342,37 @@ object TextAnalysis {
     * by source; the pooled ECDF is [[graft.operators.DataPrep]]'s
     * broadcast prefix sum — never an empty-key window.
     */
+  /** The (length, source) count table [[ksDrift]] and [[psiDrift]] both
+    * start from, persisted ONCE per (session, sfDir). Memoize-with-
+    * replacement rather than per-call persist: the two monitors share
+    * the scan by design (CacheManager already dedupes identical plans),
+    * but neither can unpersist without orphaning the other, so a long
+    * bench session accumulated a cache entry per call (ADVICE r9).
+    * Retiring the previous entry on sfDir/session change bounds the
+    * footprint to exactly one counts frame process-wide.
+    */
+  private val driftCountsCache =
+    new java.util.concurrent.atomic.AtomicReference[(String, DataFrame)]()
+  private def driftCounts(spark: SparkSession, sfDir: String): DataFrame =
+    driftCountsCache.synchronized {
+      val cur = driftCountsCache.get()
+      if (cur != null && cur._1 == sfDir && (cur._2.sparkSession eq spark)) {
+        cur._2
+      } else {
+        if (cur != null)
+          scala.util.Try(cur._2.unpersist(blocking = false))
+        val c = Tables.documents(spark, sfDir)
+          .groupBy(col("n_chars").as("v"), col("source"))
+          .agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        driftCountsCache.set((sfDir, c))
+        c
+      }
+    }
+
   def ksDrift(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = Tables.documents(spark, sfDir)
-      .groupBy(col("n_chars").as("v"), col("source"))
-      .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c = driftCounts(spark, sfDir)
     val srcs = c.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
     val total = c.agg(sum(col("c")).as("n_tot"))
     val vals = c.groupBy(col("v")).agg(sum(col("c")).as("t_v"))
@@ -395,10 +420,7 @@ object TextAnalysis {
     * |sources|×10 rows; the pooled CDF rides the broadcast prefix sum.
     */
   def psiDrift(spark: SparkSession, sfDir: String): DataFrame = {
-    val c = Tables.documents(spark, sfDir)
-      .groupBy(col("n_chars").as("v"), col("source"))
-      .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c = driftCounts(spark, sfDir)
     val srcs = c.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
     val total = c.agg(sum(col("c")).as("n_tot"))
     val vals = c.groupBy(col("v")).agg(sum(col("c")).as("t_v"))

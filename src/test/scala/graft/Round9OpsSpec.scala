@@ -120,8 +120,28 @@ class Round9OpsSpec extends SparkTestBase {
       s"JL projection must be exchange-free:\n${df.queryExecution.executedPlan}")
     // JL lemma: E[‖Px‖²] = outDims·‖x‖² — the per-corpus mean ratio
     // lands near 1 even at 16 output dims (loose band: ±50%)
-    val mean = df.agg(avg(col("norm_ratio"))).head.getDouble(0)
+    val Seq(mean, sd) = {
+      val r = df.agg(avg(col("norm_ratio")), stddev(col("norm_ratio"))).head
+      Seq(r.getDouble(0), r.getDouble(1))
+    }
     assert(mean > 0.5 && mean < 1.5, s"mean JL norm ratio $mean")
+    // The mean alone can't see a degenerate matrix: a rank-1 sign
+    // matrix (e.g. any (a·i + b·j) % 2 parity with odd a, b) still
+    // averages ~1 but its per-vector ratio is ‖x‖₊²-distributed with
+    // std ≈ 1.25; a full-rank ±1 matrix concentrates like χ²(outDims)
+    // (std ≈ √(2/16) ≈ 0.35). Gate well between the two regimes.
+    assert(sd < 0.75, s"JL norm-ratio std $sd — sign matrix degenerate?")
+    // And the matrix itself must be balanced row-by-row: a parity
+    // formula gives rows of strictly alternating signs (|sum| = 0 but
+    // perfect inter-row correlation); check no two rows are equal or
+    // opposite.
+    val signs = Similarity.jlSigns()
+    val rows = signs.grouped(64).toSeq
+    for (a <- rows.indices; b <- rows.indices if a < b) {
+      assert(rows(a) != rows(b), s"JL rows $a,$b identical")
+      val flipped = rows(b).map(c => if (c == '+') '-' else '+')
+      assert(rows(a) != flipped, s"JL rows $a,$b opposite")
+    }
   }
 
   test("CUPED: rho2 is a variance fraction, arms partition the users") {

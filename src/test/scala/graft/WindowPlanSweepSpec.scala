@@ -34,7 +34,12 @@ class WindowPlanSweepSpec extends SparkTestBase {
   private val dimensionAllowlist: Map[String, String] = Map(
     "q_apportion" ->
       ("largest-remainder seat rank runs over the |sources| dimension " +
-        "(one row per corpus source, ~10 values fixed by the data model)")
+        "(one row per corpus source, ~10 values fixed by the data model)"),
+    "q_rfm" ->
+      ("size-gated fallback: the ntile windows are only PLANNED when the " +
+        "counted events cardinality is under graft.rfm.windowMaxUsers " +
+        "(default 2M) — bounded by the gate value by construction; the " +
+        "at-scale path is pinned window-free by the dedicated test below")
   )
 
   private def emptyKeyWindows(plan: LogicalPlan): Seq[LWindow] =
@@ -62,6 +67,22 @@ class WindowPlanSweepSpec extends SparkTestBase {
         "plans lands on ONE task at scale; derive the rank from " +
         "DataPrep.withGlobalIndex instead:\n" +
         offenders.map { case (n, w) => s"  $n: $w" }.mkString("\n"))
+  }
+
+  test("q_rfm above the size gate plans zero windows and matches the " +
+      "gated window form") {
+    import org.apache.spark.sql.functions._
+    // force the at-scale path by zeroing the gate …
+    spark.conf.set("graft.rfm.windowMaxUsers", "0")
+    val big = try operators.Analytics.rfmSegments(spark, sf())
+    finally spark.conf.unset("graft.rfm.windowMaxUsers")
+    assert(emptyKeyWindows(big.queryExecution.optimizedPlan).isEmpty,
+      "distributed rfm path must not plan any empty-key window")
+    // … and prove it deals bit-identical segments to the window form
+    // the oracle states (the fallback the default gate picks here)
+    val small = operators.Analytics.rfmSegments(spark, sf())
+    assert(big.exceptAll(small).isEmpty && small.exceptAll(big).isEmpty,
+      "gated paths disagree on RFM segments")
   }
 
   test("the sweep itself detects an unbounded empty-key window") {
