@@ -32,6 +32,9 @@ object SimilarityQueries {
     "q_kmeans" -> ((s, d) => Similarity.kmeans(s, d)),
     "q_sim_topk_ivf_kmeans" -> ((s, d) => Similarity.topKIvfKmeans(s, d)),
     "q_sim_topk_pq" -> ((s, d) => Similarity.topKPqAdc(s, d)),
+    // The composed production plan: IVF prunes lists, PQ-ADC scores
+    // survivors from stored codes, exact cosine re-ranks the ADC top-50.
+    "q_sim_topk_ivf_pq" -> ((s, d) => Similarity.topKIvfPq(s, d)),
     "q_pq_error" -> ((s, d) => Similarity.pqQuantError(s, d)),
     "q_jl_project" -> ((s, d) => Similarity.jlProjection(s, d))
   )
@@ -199,6 +202,37 @@ object SimilarityQueries {
         |    JOIN embeddings q ON q.vec_id = 0, range(1, 65) r(i)
         |  GROUP BY 1, 2)
         |SELECT vec_id, cid, CAST(round($qscore, 6) + 0 AS DOUBLE) AS score
+        |FROM s ORDER BY $qscore DESC, vec_id LIMIT 10""".stripMargin,
+
+    // The composed IVF→PQ-ADC→exact-rerank plan: both CTE blocks
+    // rederive the stored models (training is exact-integer
+    // deterministic, so stored ≡ rederived — this oracle IS that
+    // proof), candidate membership is all-BIGINT, and only the final
+    // 10 rows' order involves a float (the same qscore as every
+    // cosine oracle).
+    "q_sim_topk_ivf_pq" ->
+      s"""WITH $kmeansCtes, $pqCtes,
+        |kqd AS (SELECT c.cid, sum((ex.vi-c.ci)*(ex.vi-c.ci)) AS qd2
+        |  FROM ex JOIN c2 c ON ex.dim = c.dim
+        |  WHERE ex.vec_id = 0 GROUP BY c.cid),
+        |probe AS (SELECT cid FROM kqd ORDER BY qd2, cid LIMIT 2),
+        |cand AS (SELECT af.vec_id, af.cid FROM af JOIN probe USING (cid)),
+        |aqd AS (SELECT p.sub, c.code, sum((p.vi-c.ci)*(p.vi-c.ci)) AS pd2
+        |  FROM pex p JOIN pc2 c ON p.dim = c.dim WHERE p.vec_id = 0
+        |  GROUP BY 1, 2),
+        |adc AS (SELECT a.vec_id, cd.cid, CAST(sum(q.pd2) AS BIGINT) AS adc_d2
+        |  FROM paf a JOIN cand cd ON a.vec_id = cd.vec_id
+        |  JOIN aqd q ON a.sub = q.sub AND a.code = q.code
+        |  GROUP BY 1, 2 ORDER BY adc_d2, a.vec_id LIMIT 50),
+        |s AS (SELECT t.vec_id, t.cid, t.adc_d2,
+        |  ${qsum("e.embedding[i]", "q.embedding[i]")} AS dot,
+        |  ${qsum("e.embedding[i]", "e.embedding[i]")} AS na,
+        |  ${qsum("q.embedding[i]", "q.embedding[i]")} AS nb
+        |  FROM adc t JOIN embeddings e ON t.vec_id = e.vec_id
+        |    JOIN embeddings q ON q.vec_id = 0, range(1, 65) r(i)
+        |  GROUP BY 1, 2, 3)
+        |SELECT vec_id, cid, adc_d2,
+        |  CAST(round($qscore, 6) + 0 AS DOUBLE) AS score
         |FROM s ORDER BY $qscore DESC, vec_id LIMIT 10""".stripMargin,
 
     // PQ asymmetric-distance top-k: one m×k partial-d² table for the

@@ -235,10 +235,15 @@ object TextQueries {
 
     // FastSS deletion-neighborhood candidates + exact levenshtein
     // verify, identical construction on both engines.
+    // names DISTINCT (mirroring the engine's entity resolution — and
+    // without it the scaled-sf row replication squares the bare-variant
+    // join: 100× duplicated names → 10⁴× the joined pairs, the round-9
+    // sf10 gate hang); variants DISTINCT per name because dense digit
+    // runs reach one key from many positions
     "q_fuzzy_join" ->
-      """WITH names AS (SELECT c_name AS nm FROM customer),
+      """WITH names AS (SELECT DISTINCT c_name AS nm FROM customer),
         |variants AS (
-        |  SELECT nm, unnest(list_append(
+        |  SELECT DISTINCT nm, unnest(list_append(
         |    list_transform(range(0, length(nm)),
         |      i -> substr(nm, 1, i) || substr(nm, i + 2, length(nm))), nm))
         |    AS key

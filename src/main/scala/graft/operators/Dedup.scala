@@ -474,18 +474,22 @@ object Dedup {
     * documents, and is the standard pre-training diagnostic for "how
     * much of this corpus is repeated text".
     *
-    * Inverted-index shape: distinct (doc_id, shingle) pairs, document
-    * frequency per shingle, then a co-partitioned self-join — both
-    * sides hash on `shingle`, so the join adds NO exchange beyond the
-    * two aggregation shuffles. At 100 TB the df table is bounded by
-    * |distinct shingles| and the heavy keys (boilerplate shingles!) are
-    * exactly the ones AQE's skew split handles; nothing materializes
-    * per-pair like a doc×doc comparison would.
+    * Inverted-index shape, with the dedup kept NARROW: per-document
+    * distinct shingles come from `array_distinct` INSIDE the row
+    * (zero exchange — the round-9 plan's corpus-wide
+    * `distinct()` shuffled every (doc_id, shingle) instance, twice,
+    * because the un-persisted subtree fed both consumers; measured
+    * 16× sf1→sf10). What remains: one map-side-combined aggregate to
+    * the |distinct shingles|-bounded df table, one shuffle of the
+    * distinct pairs to join it, one partially-aggregated rollup to
+    * doc_id. Heavy keys (boilerplate shingles!) are exactly the ones
+    * AQE's skew split handles; nothing materializes per-pair like a
+    * doc×doc comparison would.
     */
   def dupNgrams(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(shingles3(col("text")))).as("shingle"))
     val df = pairs.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
     pairs.join(df, "shingle")

@@ -343,7 +343,7 @@ object Similarity {
     * window — embeddings never materialize as all-pairs.
     */
   def kmeans(spark: SparkSession, sfDir: String, k: Int = 8, iters: Int = 2): DataFrame =
-    kmeansAssignments(spark, sfDir, k, iters)._1
+    kmeansModel(spark, sfDir, k, iters)._1
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("inertia"))
       .select(col("cid").as("cluster_id"), col("n_vecs"), col("inertia"))
@@ -353,35 +353,90 @@ object Similarity {
     * `(vec_id, dim, vi)`) — shared by the cluster rollup above and the
     * learned-coarse-key IVF below.
     */
-  private[graft] def kmeansAssignments(spark: SparkSession, sfDir: String,
-      k: Int, iters: Int): (DataFrame, DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    val ex = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+  /** The shared positive fixed-point explode: ×10⁶ snap then +10⁶
+    * shift, so floor and truncating division agree (see [[kmeans]]).
+    */
+  private def fixedPointEx(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("vec_id"), col("dim"),
         (round(col("v").cast("double") * 1e6).cast("long") + 1000000L).as("vi"))
+
+  /** One exact-integer assignment pass against a centroid table —
+    * argmin d² with (d2, cid) tie order; shared by the Lloyd loop and
+    * the stored-model rebuild of the assignment relation.
+    */
+  private[graft] def kmAssign(ex: DataFrame, cent: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    ex.join(broadcast(cent), "dim")
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum((col("vi") - col("ci")) * (col("vi") - col("ci"))).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("d2"))
+  }
+
+  private[graft] def kmeansAssignments(spark: SparkSession, sfDir: String,
+      k: Int, iters: Int): (DataFrame, DataFrame, DataFrame) = {
+    val ex = fixedPointEx(Tables.embeddings(spark, sfDir))
       .truncateLineage() // reused every round: snap the fixed-point once
-
-    def distances(cent: DataFrame): DataFrame =
-      ex.join(broadcast(cent), "dim")
-        .groupBy(col("vec_id"), col("cid"))
-        .agg(sum((col("vi") - col("ci")) * (col("vi") - col("ci"))).as("d2"))
-
-    def assign(cent: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
-      distances(cent)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"), col("d2"))
-    }
 
     var cent = ex.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("dim"), col("vi").as("ci"))
     for (_ <- 1 to iters)
-      cent = assign(cent).join(ex, "vec_id")
+      cent = kmAssign(ex, cent).join(ex, "vec_id")
         .groupBy(col("cid"), col("dim"))
         .agg(expr("sum(vi) div count(*)").as("ci"))
-    (assign(cent), cent, ex)
+    (kmAssign(ex, cent), cent, ex)
+  }
+
+  /** TRAIN-ONCE k-means model per (sfDir, k, iters) — centroids and the
+    * full assignment relation materialized through the idempotent
+    * `_SUCCESS`-gated store ([[materializedModel]]): codebooks and IVF
+    * lists are ARTIFACTS a production deployment trains on a sample and
+    * persists next to the corpus, not query plans to re-derive per
+    * lookup. Training is exact-integer deterministic, so the stored
+    * model is bit-identical to an in-query rederivation (the DuckDB
+    * oracles keep rederiving — that IS the equivalence check).
+    */
+  private[graft] def kmeansModel(spark: SparkSession, sfDir: String,
+      k: Int = 8, iters: Int = 2): (DataFrame, DataFrame) = {
+    val cent = materializedModel(spark, s"km_cent_k${k}i$iters", sfDir) {
+      kmeansAssignments(spark, sfDir, k, iters)._2
+    }
+    val af = materializedModel(spark, s"km_af_k${k}i$iters", sfDir) {
+      // assignment against the FINAL stored centroids — by definition
+      // the same relation the training loop's last assign produced
+      kmAssign(fixedPointEx(Tables.embeddings(spark, sfDir)), cent)
+    }
+    (af, cent)
+  }
+
+  /** Idempotent per-(model, sfDir) parquet store, `_SUCCESS`-gated and
+    * finalized by one atomic rename (the PartitionedTables staging
+    * discipline — a concurrent builder losing the race keeps the
+    * winner's model, and no reader ever sees a partial one).
+    */
+  private def materializedModel(spark: SparkSession, name: String,
+      sfDir: String)(build: => DataFrame): DataFrame = synchronized {
+    import org.apache.hadoop.fs.Path
+    val f = new java.io.File(sfDir)
+    val tag = f.getName.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
+      Integer.toHexString(f.getAbsolutePath.hashCode)
+    val dir = new Path(
+      s"${sys.props("java.io.tmpdir")}/graft_model_${name}_$tag")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dir, "_SUCCESS"))) {
+      val buildDir = new Path(dir.toString + ".build")
+      fs.delete(buildDir, true) // a crashed earlier attempt
+      build.write.mode("overwrite").parquet(buildDir.toString)
+      if (!fs.rename(buildDir, dir)) {
+        if (!fs.exists(dir)) throw new java.io.IOException(
+          s"failed to finalize model $buildDir -> $dir")
+        fs.delete(buildDir, true)
+      }
+    }
+    spark.read.parquet(dir.toString)
   }
 
   /** IVF with a LEARNED coarse key — the conclusion the round-9 ANN
@@ -400,15 +455,15 @@ object Similarity {
     */
   def topKIvfKmeans(spark: SparkSession, sfDir: String, k: Int = 10,
       nprobe: Int = 2, kClusters: Int = 8, iters: Int = 2): DataFrame = {
-    val (af, cent, ex) = kmeansAssignments(spark, sfDir, kClusters, iters)
-    // query = vec 0's fixed-point coords against the FINAL centroids
-    val probe = ex.filter(col("vec_id") === 0)
+    val (af, cent) = kmeansModel(spark, sfDir, kClusters, iters)
+    val emb = Tables.embeddings(spark, sfDir)
+    // query = vec 0's fixed-point coords against the STORED centroids
+    val probe = fixedPointEx(emb.filter(col("vec_id") === 0))
       .join(broadcast(cent), "dim")
       .groupBy(col("cid"))
       .agg(sum((col("vi") - col("ci")) * (col("vi") - col("ci"))).as("qd2"))
       .orderBy(col("qd2"), col("cid")).limit(nprobe)
       .select(col("cid"))
-    val emb = Tables.embeddings(spark, sfDir)
     emb
       .join(af.join(broadcast(probe), "cid")
         .select(col("vec_id"), col("cid")), "vec_id")
@@ -545,39 +600,64 @@ object Similarity {
       : (DataFrame, DataFrame, DataFrame) =
     pqModelFrom(Tables.embeddings(spark, sfDir), m, k, iters)
 
-  private[graft] def pqModelFrom(emb: DataFrame,
-      m: Int = 8, k: Int = 16, iters: Int = 2)
-      : (DataFrame, DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
+  /** [[fixedPointEx]] plus the contiguous-subspace column. */
+  private def pqEx(emb: DataFrame, m: Int): DataFrame = {
     val subDims = 64 / m
-    val ex = emb
+    emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("vec_id"), expr(s"dim div $subDims").cast("int").as("sub"),
         col("dim"),
         (round(col("v").cast("double") * 1e6).cast("long") + 1000000L).as("vi"))
-      .truncateLineage() // reused every Lloyd round: snap once
+  }
 
-    // codebook rows are (code, dim, ci): dim is global (0..63) so it
-    // already pins the subspace — joining on dim alone can never match
-    // a centroid from another subspace
-    def assign(cb: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"), col("sub"))
-        .orderBy(col("d2"), col("code"))
-      ex.join(broadcast(cb), "dim")
-        .groupBy(col("vec_id"), col("sub"), col("code"))
-        .agg(sum((col("vi") - col("ci")) * (col("vi") - col("ci"))).as("d2"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("sub"), col("code"), col("d2"))
-    }
+  /** One per-subspace assignment pass against a PQ codebook — the
+    * encode step. Codebook rows are (code, dim, ci): dim is global
+    * (0..63) so it already pins the subspace — joining on dim alone can
+    * never match a centroid from another subspace.
+    */
+  private[graft] def pqAssign(ex: DataFrame, cb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d2"), col("code"))
+    ex.join(broadcast(cb), "dim")
+      .groupBy(col("vec_id"), col("sub"), col("code"))
+      .agg(sum((col("vi") - col("ci")) * (col("vi") - col("ci"))).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("code"), col("d2"))
+  }
+
+  private[graft] def pqModelFrom(emb: DataFrame,
+      m: Int = 8, k: Int = 16, iters: Int = 2)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val ex = pqEx(emb, m)
+      .truncateLineage() // reused every Lloyd round: snap once
 
     var cb = ex.filter(col("vec_id") < k)
       .select(col("vec_id").as("code"), col("dim"), col("vi").as("ci"))
     for (_ <- 1 to iters)
-      cb = assign(cb).join(ex, Seq("vec_id", "sub"))
+      cb = pqAssign(ex, cb).join(ex, Seq("vec_id", "sub"))
         .groupBy(col("code"), col("dim"))
         .agg(expr("sum(vi) div count(*)").as("ci"))
-    (assign(cb), cb, ex)
+    (pqAssign(ex, cb), cb, ex)
+  }
+
+  /** TRAIN-ONCE PQ model per (sfDir, m, k, iters): the codebook AND the
+    * encoded corpus (m small ints per vector — the thing a 100 TB
+    * deployment actually stores) materialized via [[materializedModel]].
+    * Queries against the stored model never re-run Lloyd; the exact
+    * integer training makes stored ≡ rederived, which the rederiving
+    * DuckDB oracles verify every gate run.
+    */
+  private[graft] def pqStored(spark: SparkSession, sfDir: String,
+      m: Int = 8, k: Int = 16, iters: Int = 2): (DataFrame, DataFrame) = {
+    val cb = materializedModel(spark, s"pq_cb_m${m}k${k}i$iters", sfDir) {
+      pqModelFrom(Tables.embeddings(spark, sfDir), m, k, iters)._2
+    }
+    val codes = materializedModel(spark, s"pq_codes_m${m}k${k}i$iters", sfDir) {
+      pqAssign(pqEx(Tables.embeddings(spark, sfDir), m), cb)
+    }
+    (codes, cb)
   }
 
   /** ASYMMETRIC DISTANCE COMPUTATION top-k over the PQ codes — the
@@ -592,8 +672,21 @@ object Similarity {
     * scores inside them.
     */
   def topKPqAdc(spark: SparkSession, sfDir: String, topK: Int = 10,
-      m: Int = 8, k: Int = 16, iters: Int = 2): DataFrame =
-    topKPqAdcFrom(Tables.embeddings(spark, sfDir), topK, m, k, iters)
+      m: Int = 8, k: Int = 16, iters: Int = 2): DataFrame = {
+    val (codes, cb) = pqStored(spark, sfDir, m, k, iters)
+    val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+    // the ADC lookup table: m×k exact partial d²s from ONE query row —
+    // the stored model means query time touches no training pass at all
+    val qd = pqEx(q, m)
+      .join(broadcast(cb), "dim")
+      .groupBy(col("sub"), col("code"))
+      .agg(sum((col("vi") - col("ci")) * (col("vi") - col("ci"))).as("pd2"))
+    codes.join(broadcast(qd), Seq("sub", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("pd2")).as("adc_d2"))
+      .orderBy(col("adc_d2"), col("vec_id"))
+      .limit(topK)
+  }
 
   private[graft] def topKPqAdcFrom(emb: DataFrame, topK: Int = 10,
       m: Int = 8, k: Int = 16, iters: Int = 2): DataFrame = {
@@ -607,6 +700,69 @@ object Similarity {
       .agg(sum(col("pd2")).as("adc_d2"))
       .orderBy(col("adc_d2"), col("vec_id"))
       .limit(topK)
+  }
+
+  /** THE production retrieval plan — the composition the round-9
+    * recall-cost curve (PLANS.md annsweep) measured its way to:
+    *
+    *   1. **IVF prunes**: the query probes its `nprobe` nearest LEARNED
+    *      k-means centroids (label-IVF measured only ~1.3×
+    *      recall-per-byte — a metadata label is not a geometric
+    *      partition), so only those lists' fraction of the corpus is
+    *      touched at all;
+    *   2. **PQ-ADC scores the survivors**: inside the probed lists the
+    *      distance is m BIGINT table lookups against the stored m-byte
+    *      codes — the raw float corpus stays cold (measured 12×
+    *      recall-per-byte at m/(4d) bytes touched);
+    *   3. **exact re-rank, `rerank` rows deep**: only the ADC top-
+    *      `rerank` candidates read their raw components for the exact
+    *      quantized-cosine order the user sees.
+    *
+    * Both models come from the TRAIN-ONCE stores ([[kmeansModel]],
+    * [[pqStored]]) — at query time nothing trains, nothing scans
+    * outside the probed lists except the `rerank`-row float lookup. At
+    * 100 TB the corpus is stored partitioned by `cid` with the codes
+    * inline, so step 2's scan is physically pruned to nprobe/kClusters
+    * of the data and step 3 is a broadcast-semi-join point lookup.
+    * Every pre-rerank quantity is an exact BIGINT: candidate membership
+    * cannot differ between engines.
+    */
+  def topKIvfPq(spark: SparkSession, sfDir: String, k: Int = 10,
+      nprobe: Int = 2, kClusters: Int = 8, m: Int = 8, kCodes: Int = 16,
+      iters: Int = 2, rerank: Int = 50): DataFrame = {
+    val (af, cent) = kmeansModel(spark, sfDir, kClusters, iters)
+    val (codes, cb) = pqStored(spark, sfDir, m, kCodes, iters)
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") === 0)
+    // coarse probe: exact integer d² of the query to the k centroids
+    val probe = fixedPointEx(q)
+      .join(broadcast(cent), "dim")
+      .groupBy(col("cid"))
+      .agg(sum((col("vi") - col("ci")) * (col("vi") - col("ci"))).as("qd2"))
+      .orderBy(col("qd2"), col("cid")).limit(nprobe)
+      .select(col("cid"))
+    // ADC lookup table: m×kCodes partial d²s from the one query row
+    val qd = pqEx(q, m)
+      .join(broadcast(cb), "dim")
+      .groupBy(col("sub"), col("code"))
+      .agg(sum((col("vi") - col("ci")) * (col("vi") - col("ci"))).as("pd2"))
+    // survivors of the coarse prune, ADC-scored from codes only
+    val cand = af.join(broadcast(probe), "cid")
+      .select(col("vec_id"), col("cid"))
+    val adcTop = codes.join(cand, "vec_id")
+      .join(broadcast(qd), Seq("sub", "code"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum(col("pd2")).as("adc_d2"))
+      .orderBy(col("adc_d2"), col("vec_id")).limit(rerank)
+    // exact re-rank on raw floats — only `rerank` vectors deep
+    emb.join(broadcast(adcTop), "vec_id")
+      .crossJoin(queryVecFrom(emb))
+      .withColumn("raw_score", graft.functions.VectorExpressions
+        .quantized_cosine(col("embedding"), col("q_embedding")))
+      .orderBy(col("raw_score").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("cid"), col("adc_d2"),
+        round(col("raw_score"), 6).as("score"))
   }
 
   /** The JL ±1 sign matrix as a `+`/`-` string of length outDims×d,
@@ -690,7 +846,7 @@ object Similarity {
     */
   def pqQuantError(spark: SparkSession, sfDir: String,
       m: Int = 8, k: Int = 16, iters: Int = 2): DataFrame = {
-    val (codes, _, _) = pqModel(spark, sfDir, m, k, iters)
+    val (codes, _) = pqStored(spark, sfDir, m, k, iters)
     codes.groupBy(col("sub"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("quant_err"),
         countDistinct(col("code")).as("codes_used"))
