@@ -74,19 +74,38 @@ object JdbcStreamSink {
       .save()
   }
 
-  /** The flagship pipeline streamed into the exactly-once JDBC terminal:
-    * file-source micro-batches → parse/validate/pivot → delete-then-
-    * append into the `investment_data`-shaped table → readback (without
-    * the bookkeeping column).
+  /** The delete-then-append delivery of ONE batch, rendered as portable
+    * ANSI SQL text — the PROTOCOL with the transport factored out. The
+    * Spark-JDBC path above is the executor-parallel production writer;
+    * this rendering exists so the same idempotence contract can be
+    * driven over any statement channel — PostgresRealSpec executes these
+    * statements against a LIVE PostgreSQL 15 through the psql wire path
+    * (the sandbox ships no Postgres JDBC driver jar, so the Spark writer
+    * itself can only be exercised against Derby). Values are escaped by
+    * SQL's only string-literal rule (doubled single quotes).
     */
-  def flagshipStreamJdbc(spark: SparkSession): DataFrame = {
-    val run = runCounter.incrementAndGet()
-    val db = s"stream_${jvmTag}_$run" // fresh DB per run: no stale replays
-    val jdbcUrl = url(db)
-    val table = "investment_stream"
-    val ddl = Schemas.investmentCols.map(c => s"$c VARCHAR(32)").mkString(", ")
+  def renderBatchStatements(rows: Seq[Seq[String]], cols: Seq[String],
+      batchId: Long, table: String): Seq[String] = {
+    val colList = (cols :+ "batch_id").mkString(", ")
+    val del = s"DELETE FROM $table WHERE batch_id = $batchId"
+    val inserts = rows.map { r =>
+      val vals = (r.map(v => "'" + v.replace("'", "''") + "'")
+        :+ batchId.toString).mkString(", ")
+      s"INSERT INTO $table($colList) VALUES ($vals)"
+    }
+    del +: inserts
+  }
 
-    val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_twse_jdbc_${jvmTag}_$run")
+  /** The flagship pipeline streamed through a pluggable per-batch
+    * deliverer: file-source micro-batches → parse/validate/pivot →
+    * `deliver(batch, batchId)`. Shared by the Derby JDBC terminal below
+    * and PostgresRealSpec's live-Postgres psql deliverer.
+    */
+  private[graft] def flagshipStreamInto(spark: SparkSession,
+      deliver: (DataFrame, Long) => Unit): Unit = {
+    val run = runCounter.incrementAndGet()
+    val base = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_twse_jdbc_${jvmTag}_$run")
     val landing = base.resolve("landing")
     Files.createDirectories(landing)
     TwseFixtures.all.zipWithIndex.foreach { case (payload, i) =>
@@ -103,11 +122,25 @@ object JdbcStreamSink {
     val q = validRows.writeStream
       .option("checkpointLocation", base.resolve("checkpoint").toString)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        exactlyOnceAppend(batch, batchId, jdbcUrl, table, ddl)
-      }
+      .foreachBatch(deliver)
       .start()
     q.awaitTermination()
+  }
+
+  /** The flagship pipeline streamed into the exactly-once JDBC terminal:
+    * file-source micro-batches → parse/validate/pivot → delete-then-
+    * append into the `investment_data`-shaped table → readback (without
+    * the bookkeeping column).
+    */
+  def flagshipStreamJdbc(spark: SparkSession): DataFrame = {
+    val run = runCounter.incrementAndGet()
+    val db = s"stream_${jvmTag}_$run" // fresh DB per run: no stale replays
+    val jdbcUrl = url(db)
+    val table = "investment_stream"
+    val ddl = Schemas.investmentCols.map(c => s"$c VARCHAR(32)").mkString(", ")
+
+    flagshipStreamInto(spark, (batch: DataFrame, batchId: Long) =>
+      exactlyOnceAppend(batch, batchId, jdbcUrl, table, ddl))
 
     spark.read.format("jdbc")
       .option("url", jdbcUrl).option("driver", driver)
