@@ -733,14 +733,29 @@ object Similarity {
     val (af, cent) = kmeansModel(spark, sfDir, kClusters, iters)
     val (codes, cb) = pqStored(spark, sfDir, m, kCodes, iters)
     val emb = Tables.embeddings(spark, sfDir)
-    val q = emb.filter(col("vec_id") === 0)
-    // coarse probe: exact integer d² of the query to the k centroids
-    val probe = fixedPointEx(q)
+    topKIvfPqCore(emb, af, cent, codes, cb, k, nprobe, m, rerank)
+  }
+
+  /** The query's `nprobe` nearest centroids by exact integer d². */
+  private[graft] def ivfProbe(emb: DataFrame, cent: DataFrame,
+      nprobe: Int): DataFrame =
+    fixedPointEx(emb.filter(col("vec_id") === 0))
       .join(broadcast(cent), "dim")
       .groupBy(col("cid"))
       .agg(sum((col("vi") - col("ci")) * (col("vi") - col("ci"))).as("qd2"))
       .orderBy(col("qd2"), col("cid")).limit(nprobe)
       .select(col("cid"))
+
+  /** The composition over EXPLICIT model frames — [[topKIvfPq]] binds it
+    * to the stored models; the annsweep harness binds it to per-query
+    * retrained models over a swapped corpus.
+    */
+  private[graft] def topKIvfPqCore(emb: DataFrame, af: DataFrame,
+      cent: DataFrame, codes: DataFrame, cb: DataFrame, k: Int,
+      nprobe: Int, m: Int, rerank: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") === 0)
+    // coarse probe: exact integer d² of the query to the k centroids
+    val probe = ivfProbe(emb, cent, nprobe)
     // ADC lookup table: m×kCodes partial d²s from the one query row
     val qd = pqEx(q, m)
       .join(broadcast(cb), "dim")
@@ -763,6 +778,27 @@ object Similarity {
       .limit(k)
       .select(col("vec_id"), col("cid"), col("adc_d2"),
         round(col("raw_score"), 6).as("score"))
+  }
+
+  /** Sweep-harness variant: retrains both models on the given corpus
+    * (the annsweep convention — swapped query ids change the seed rows,
+    * exactly like [[topKPqAdcFrom]]); returns the result plus the final
+    * IVF assignment so the harness can price the probed lists.
+    */
+  private[graft] def topKIvfPqFrom(emb: DataFrame, k: Int = 10,
+      nprobe: Int = 2, kClusters: Int = 8, m: Int = 8, kCodes: Int = 16,
+      iters: Int = 2, rerank: Int = 50): (DataFrame, DataFrame, DataFrame) = {
+    val ex = fixedPointEx(emb).truncateLineage()
+    var cent = ex.filter(col("vec_id") < kClusters)
+      .select(col("vec_id").as("cid"), col("dim"), col("vi").as("ci"))
+    for (_ <- 1 to iters)
+      cent = kmAssign(ex, cent).join(ex, "vec_id")
+        .groupBy(col("cid"), col("dim"))
+        .agg(expr("sum(vi) div count(*)").as("ci"))
+    val af = kmAssign(ex, cent)
+    val (codes, cb, _) = pqModelFrom(emb, m, kCodes, iters)
+    (topKIvfPqCore(emb, af, cent, codes, cb, k, nprobe, m, rerank),
+      af, cent)
   }
 
   /** The JL ±1 sign matrix as a `+`/`-` string of length outDims×d,

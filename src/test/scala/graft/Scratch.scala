@@ -210,6 +210,28 @@ object Scratch {
           println(f"| PQ-ADC | m=8,codes=$codes " +
             f"| ${recalls.sum / recalls.length}%.3f | $bytesFrac%.4f (bytes) |")
         }
+        // Composed IVF→PQ-ADC→exact-rerank (the production plan): ADC
+        // code-bytes are only read inside the probed lists, raw floats
+        // only for the rerank rows — bytes-touched =
+        // probedRowsFrac × m/(4d) + rerank/n.
+        for ((nprobe, rerank) <- Seq((1, 50), (2, 50), (3, 100))) {
+          val (recalls, fracs) = queryIds.map { qid =>
+            val e = swapTo0(qid)
+            val (res, af, cent) = operators.Similarity
+              .topKIvfPqFrom(e, k, nprobe = nprobe, rerank = rerank)
+            val ids = res.collect().map(_.getLong(0)).toSet
+            val sizes = af.groupBy("cid").count().collect()
+              .map(r => r.getLong(0) -> r.getLong(1)).toMap
+            val probed = operators.Similarity.ivfProbe(e, cent, nprobe)
+              .collect().map(_.getLong(0))
+            val rowsFrac = probed.map(sizes.getOrElse(_, 0L)).sum.toDouble / n
+            val bytesFrac = rowsFrac * 8.0 / (64 * 4) + rerank.toDouble / n
+            (gts(qid).count(ids).toDouble / k, bytesFrac)
+          }.unzip
+          println(f"| IVF+PQ+rerank | nprobe=$nprobe,rerank=$rerank " +
+            f"| ${recalls.sum / recalls.length}%.3f " +
+            f"| ${fracs.sum / fracs.length}%.4f (bytes) |")
+        }
       case q =>
         time(q) { SparkEntry.queries(q)(spark, d).count() }
     }
