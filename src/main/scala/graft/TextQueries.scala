@@ -120,6 +120,9 @@ object TextQueries {
     "q_sketch_source_sim" -> ((s, d) => Dedup.sourceSimilarity(s, d)),
     "q_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "q_dup_ngrams" -> ((s, d) => Dedup.dupNgrams(s, d)),
+    // MOSS winnowing fingerprints + the cross-document match join.
+    "q_winnow" -> ((s, d) => Dedup.winnow(s, d)),
+    "q_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(s, d)),
     "q_length_buckets" -> ((s, d) => graft.operators.DataPrep.lengthBuckets(s, d)),
     "q_domain_cap" -> ((s, d) => graft.operators.DataPrep.domainCap(s, d)),
     // distributed row_number() OVER (ORDER BY …) without the one-task window
@@ -134,6 +137,22 @@ object TextQueries {
       |  lower(trim(text)) AS norm,
       |  regexp_split_to_array(lower(trim(text)), '\s+') AS toks
       |  FROM documents)""".stripMargin
+
+  /** Winnowing CTEs (k=5, w=4) over `base.toks` — grams are md5→60-bit
+    * BIGINTs of the space-joined 5-token slice, selection is the
+    * rightmost window minimum; mirrors `Dedup.winnow` exactly.
+    */
+  private val winnowCtes =
+    """wt AS (SELECT doc_id, toks FROM base WHERE len(toks) >= 8),
+      |wg AS (SELECT doc_id, list_transform(range(0, len(toks) - 4), i ->
+      |    CAST(CAST(('0x' || substr(md5(array_to_string(toks[i+1:i+5], ' ')),
+      |      1, 15)) AS UBIGINT) AS BIGINT)) AS gs
+      |  FROM wt),
+      |wwin AS (SELECT doc_id, gs, unnest(range(0, len(gs) - 3)) AS j FROM wg),
+      |wsel AS (SELECT DISTINCT doc_id,
+      |  CAST(j + list_max(list_filter(range(0, 4), i ->
+      |    gs[j+i+1] = list_min(gs[j+1:j+4]))) AS BIGINT) AS pos,
+      |  list_min(gs[j+1:j+4]) AS fp FROM wwin)""".stripMargin
 
   private val shinglesCte =
     """sh AS (SELECT doc_id, source,
@@ -1413,6 +1432,25 @@ object TextQueries {
          |    AND alpha_words * 10000 // n_words >= 8000
          |    AND stop_hits >= 1) AS passes
          |FROM m""".stripMargin,
+
+    // Winnowing (k=5, w=4): same k-gram md5→60-bit hashes, same
+    // rightmost-window-min selection, positions and mins computed over
+    // DuckDB lists exactly as the engine's higher-order functions
+    "q_winnow" ->
+      s"""WITH $baseCte, $winnowCtes
+         |SELECT doc_id, pos, fp FROM wsel""".stripMargin,
+
+    "q_winnow_pairs" ->
+      s"""WITH $baseCte, $winnowCtes,
+         |wfp AS (SELECT DISTINCT doc_id, fp FROM wsel),
+         |wkeep AS (SELECT fp FROM (
+         |  SELECT fp, count(*) AS df FROM wfp GROUP BY 1) WHERE df <= 100)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM (SELECT * FROM wfp JOIN wkeep USING (fp)) a
+         |JOIN (SELECT * FROM wfp JOIN wkeep USING (fp)) b
+         |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     "q_dup_ngrams" ->
       s"""WITH $baseCte, $shinglesCte,

@@ -500,6 +500,69 @@ object Dedup {
         expr("n_dup_shingles * 10000 div n_shingles").as("dup_bp"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 — public literature; the MOSS algorithm): hash every
+    * k-token gram, slide a w-hash window, keep each window's MINIMUM
+    * hash — recording a kept hash once per contiguous run via the
+    * RIGHTMOST-minimum position rule, which the paper proves gives
+    * guaranteed detection of any match ≥ w+k−1 tokens at bounded
+    * fingerprint density 2/(w+1). Unlike minhash (a per-document
+    * global sketch), winnowing keeps POSITIONED local fingerprints, so
+    * shared fingerprints localize WHERE two documents overlap — the
+    * copy-detection / attribution primitive document-level dedup
+    * cannot express.
+    *
+    * Scale shape: selection is entirely IN-PLAN (nested higher-order
+    * functions over the token array — codegen'd, zero exchange); the
+    * output is the bounded-density fingerprint table, ~2/(w+1) of the
+    * gram count. Documents shorter than k+w−1 tokens have no full
+    * window and fingerprint empty, per the paper.
+    */
+  def winnow(spark: SparkSession, sfDir: String,
+      k: Int = 5, w: Int = 4): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k + w - 1)
+      .withColumn("gs", expr(
+        s"""transform(sequence(0, size(toks) - $k), i ->
+           |  cast(conv(substring(md5(array_join(slice(toks, i + 1, $k), ' ')),
+           |    1, 15), 16, 10) as bigint))""".stripMargin))
+      // one struct per window: (rightmost position attaining the window
+      // min, the min) — array_distinct collapses the runs where
+      // adjacent windows select the same occurrence
+      .withColumn("fps", expr(
+        s"""array_distinct(transform(sequence(0, size(gs) - $w), j ->
+           |  struct(
+           |    cast(j + array_max(filter(sequence(0, ${w - 1}), i ->
+           |      element_at(gs, j + i + 1) = array_min(slice(gs, j + 1, $w))))
+           |      as bigint) AS pos,
+           |    array_min(slice(gs, j + 1, $w)) AS fp)))""".stripMargin))
+      .select(col("doc_id"), explode(col("fps")).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+
+  /** Cross-document fingerprint matches over [[winnow]]'s table: the
+    * inverted-index join on `fp` (the ngramJaccard/containment postings
+    * shape), corpus-frequent fingerprints dropped at `maxDf` (boilerplate
+    * — mirrored in the oracle, the `q_containment` stop-cap discipline),
+    * pairs kept at ≥ `minShared` shared fingerprints. At 100 TB the
+    * index is the 2/(w+1)-density fingerprint table, never the text.
+    */
+  def winnowPairs(spark: SparkSession, sfDir: String, k: Int = 5,
+      w: Int = 4, minShared: Int = 2, maxDf: Int = 100): DataFrame = {
+    val fps = winnow(spark, sfDir, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("fp"))
+    val posting = fps.join(keep, "fp")
+    posting.as("a").join(posting.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   def repetition(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
