@@ -487,9 +487,13 @@ object Dedup {
     * doc×doc comparison would.
     */
   def dupNgrams(spark: SparkSession, sfDir: String): DataFrame = {
+    // one cleaner-owned materialization feeds BOTH consumers (the df
+    // aggregate and the join probe) — recomputing the explode per
+    // consumer re-reads and re-shingles the full text twice
     val pairs = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         explode(array_distinct(shingles3(col("text")))).as("shingle"))
+      .truncateLineage()
     val df = pairs.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
     pairs.join(df, "shingle")

@@ -853,22 +853,28 @@ object Similarity {
       outDims: Int = 16): DataFrame = {
     val d = 64
     val signs = jlSigns(d, outDims)
+    // the matrix multiply is UNROLLED into plain ±Add expression trees
+    // (whole-stage-codegen'd, one add per term) — higher-order-function
+    // lambdas run INTERPRETED per element, and the first cut (substr
+    // lookup per term inside an aggregate() lambda) measured 53.9 s at
+    // sf1 vs 0.5 s unrolled; the oracle keeps the substr form over the
+    // SAME sign string (DuckDB vectorizes it fine)
+    def x(i: Int) = element_at(col("xs"), i + 1)
+    val pjCols = (0 until outDims).map { j =>
+      (0 until d).map { i =>
+        if (signs.charAt(j * d + i) == '+') x(i) else -x(i)
+      }.reduce(_ + _)
+    }
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
         .as("xs"))
       .select(col("vec_id"),
-        expr("aggregate(xs, CAST(0 AS BIGINT), (a, x) -> a + x * x)")
-          .as("orig_n2"),
-        expr(
-          s"""transform(sequence(0, ${outDims - 1}), j ->
-             |  aggregate(sequence(0, ${d - 1}), CAST(0 AS BIGINT), (acc, i) ->
-             |    acc + IF(substr('$signs', j * $d + i + 1, 1) = '+',
-             |      element_at(xs, i + 1), -element_at(xs, i + 1))))"""
-            .stripMargin).as("pj"))
+        (0 until d).map(i => x(i) * x(i)).reduce(_ + _).as("orig_n2"),
+        array(pjCols: _*).as("pj"))
       .select(col("vec_id"), col("orig_n2"),
-        expr("aggregate(pj, CAST(0 AS BIGINT), (a, p) -> a + p * p)")
-          .as("proj_n2"))
+        (0 until outDims).map(j => element_at(col("pj"), j + 1)
+          * element_at(col("pj"), j + 1)).reduce(_ + _).as("proj_n2"))
       .select(col("vec_id"), col("orig_n2"), col("proj_n2"),
         round(col("proj_n2").cast("double") / outDims.toDouble
           / col("orig_n2"), 6).as("norm_ratio"))
