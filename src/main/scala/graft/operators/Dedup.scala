@@ -528,20 +528,27 @@ object Dedup {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), wsTokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= k + w - 1)
-      .withColumn("gs", expr(
-        s"""transform(sequence(0, size(toks) - $k), i ->
-           |  cast(conv(substring(md5(array_join(slice(toks, i + 1, $k), ' ')),
-           |    1, 15), 16, 10) as bigint))""".stripMargin))
-      // one struct per window: (rightmost position attaining the window
-      // min, the min) — array_distinct collapses the runs where
-      // adjacent windows select the same occurrence
+      // LET-BINDING via single-element transform (the TextFunctions
+      // lesson generalized): each stage binds its intermediate — the
+      // token array, the gram hashes, the window minimums — as a LAMBDA
+      // VARIABLE, which interpreted HOF evaluation computes ONCE.
+      // Naming them as chained columns instead lets CollapseProject
+      // inline each definition into every lambda reference, so gs
+      // re-evaluates per window and toks re-splits per gram — measured
+      // minutes-per-task at sf0.01 vs sub-second here.
       .withColumn("fps", expr(
-        s"""array_distinct(transform(sequence(0, size(gs) - $w), j ->
-           |  struct(
-           |    cast(j + array_max(filter(sequence(0, ${w - 1}), i ->
-           |      element_at(gs, j + i + 1) = array_min(slice(gs, j + 1, $w))))
-           |      as bigint) AS pos,
-           |    array_min(slice(gs, j + 1, $w)) AS fp)))""".stripMargin))
+        s"""element_at(transform(array(toks), t ->
+           |  element_at(transform(array(transform(sequence(0, size(t) - $k), i ->
+           |      cast(conv(substring(md5(array_join(slice(t, i + 1, $k), ' ')),
+           |        1, 15), 16, 10) as bigint))), gs ->
+           |    element_at(transform(array(transform(sequence(0, size(gs) - $w), j ->
+           |        array_min(slice(gs, j + 1, $w)))), wm ->
+           |      array_distinct(transform(sequence(0, size(gs) - $w), j ->
+           |        struct(
+           |          cast(j + array_max(filter(sequence(0, ${w - 1}), i ->
+           |            element_at(gs, j + i + 1) = element_at(wm, j + 1)))
+           |            as bigint) AS pos,
+           |          element_at(wm, j + 1) AS fp)))), 1)), 1)), 1)""".stripMargin))
       .select(col("doc_id"), explode(col("fps")).as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
 

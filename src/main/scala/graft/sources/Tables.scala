@@ -22,8 +22,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  /** Spread an under-split scan across the session's parallelism. The
+    * test-sf corpus tables are SINGLE-file, single-row-group parquet
+    * (55 MB at sf10) — below `maxPartitionBytes` they scan as ONE task,
+    * so every heavy per-row stage downstream (shingling, hashing,
+    * higher-order functions over token arrays) ran serial on one core
+    * of 32 regardless of plan shape. Gate on the actual split count:
+    * at production scale the source arrives in thousands of splits and
+    * this is a PASSTHROUGH — no round-robin exchange of the raw corpus
+    * is ever added where the scan already parallelizes.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  def documents(s: SparkSession, d: String): DataFrame =
+    spread(table(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spread(table(s, d, "embeddings"))
 
   /** Raw events with `ts` normalized to Long NANOSECONDS — the internal
     * convention the streaming stagers persist to their landing dirs.

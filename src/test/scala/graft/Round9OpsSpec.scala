@@ -112,12 +112,18 @@ class Round9OpsSpec extends SparkTestBase {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import graft.operators.Similarity
     val df = Similarity.jlProjection(spark, sf())
-    // a narrow per-row transform: the 100 TB shape is ZERO exchanges
+    // a narrow per-row transform: the 100 TB shape is ZERO exchanges.
+    // The ONE allowed exception is the source's small-file spread
+    // (Tables.spread — round-robin, fires only when the scan
+    // under-splits, a passthrough at scale); any KEY exchange means the
+    // operator itself started shuffling.
     val shuffles = df.queryExecution.executedPlan.collect {
       case s: ShuffleExchangeExec => s
     }
-    assert(shuffles.isEmpty,
-      s"JL projection must be exchange-free:\n${df.queryExecution.executedPlan}")
+    assert(shuffles.size <= 1 && shuffles.forall(_.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning]),
+      s"JL projection must add no exchange beyond the source spread:\n" +
+        s"${df.queryExecution.executedPlan}")
     // JL lemma: E[‖Px‖²] = outDims·‖x‖² — the per-corpus mean ratio
     // lands near 1 even at 16 output dims (loose band: ±50%)
     val Seq(mean, sd) = {
