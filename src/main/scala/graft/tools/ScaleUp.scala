@@ -51,6 +51,21 @@ object ScaleUp {
       println(s"SCALEUP reuse $out ($tag)")
       return
     }
+    // per-table resume: a crashed/killed run leaves complete tables
+    // behind — rebuilding a 600 M-row lineitem to regain a missing
+    // documents file wastes half an hour. The start tag says whether
+    // existing outputs belong to THIS (src, factor); anything else is
+    // wiped.
+    val startTag = java.nio.file.Paths.get(out, "_SCALEUP_TAG")
+    val resumable = java.nio.file.Files.exists(startTag) &&
+      new String(java.nio.file.Files.readAllBytes(startTag)) == tag
+    if (!resumable) {
+      val root = java.nio.file.Paths.get(out)
+      if (java.nio.file.Files.exists(root))
+        graft.FsUtil.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      java.nio.file.Files.writeString(startTag, tag)
+    }
     val spark = SparkSession.builder()
       .master("local[16]")
       .appName("graft-scaleup")
@@ -88,6 +103,10 @@ object ScaleUp {
 
     /** Write as ONE file named `<table>.parquet` (stagers file-copy it). */
     def writeFile(df: DataFrame, t: String): Unit = {
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(out, s"$t.parquet"))) {
+        println(s"SCALEUP resume-skip $t"); return
+      }
       val tmp = java.nio.file.Paths.get(out, s"_build_$t")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = graft.FsUtil.singleParquetPart(tmp)
@@ -101,6 +120,10 @@ object ScaleUp {
 
     /** Multi-file directory for the two big facts. */
     def writeDir(df: DataFrame, t: String, files: Int): Unit = {
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(out, s"$t.parquet", "_SUCCESS"))) {
+        println(s"SCALEUP resume-skip $t"); return
+      }
       df.repartition(files).write.mode("overwrite")
         .parquet(s"$out/$t.parquet")
       println(s"SCALEUP wrote $t ($files files)")
@@ -126,7 +149,16 @@ object ScaleUp {
     // Replica r → (a, b) = (coprime[(r/26) % 12], r % 26); i ↦ a·i+b
     // mod 26. a=1 for r<26 reproduces the original Caesar rotation
     // exactly, so existing sf1 markers stay valid.
-    require(factor <= 312, s"affine cipher supports ≤312 replicas, got $factor")
+    // 312 distinct affine maps exist; beyond that the (r/26, r%26)
+    // derivation CYCLES with period 312, so replicas r and r+312 carry
+    // IDENTICAL text — bounded exact-duplicate groups of ⌈factor/312⌉
+    // documents, the realistic kind of duplication (real corpora are
+    // full of exact copies), never manufactured cross-replica NEAR-dup
+    // noise (every colliding pair is a byte-identical clone, which
+    // every dedup operator already models). Surface it rather than cap.
+    if (factor > 312)
+      println(s"SCALEUP note: $factor replicas cycle 312 affine maps — " +
+        s"exact-duplicate groups of ${(factor + 311) / 312} per document")
     val docs = read("documents")
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val coprimes = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
