@@ -35,6 +35,9 @@ object SimilarityQueries {
     // The composed production plan: IVF prunes lists, PQ-ADC scores
     // survivors from stored codes, exact cosine re-ranks the ADC top-50.
     "q_sim_topk_ivf_pq" -> ((s, d) => Similarity.topKIvfPq(s, d)),
+    // Semantic dedup at m-byte cost: PQ-code banding blocks candidates,
+    // SDC (code-to-code table) scores them; raw floats never read.
+    "q_dedup_pq_sdc" -> ((s, d) => Similarity.dedupPqSdc(s, d)),
     "q_pq_error" -> ((s, d) => Similarity.pqQuantError(s, d)),
     "q_jl_project" -> ((s, d) => Similarity.jlProjection(s, d))
   )
@@ -234,6 +237,32 @@ object SimilarityQueries {
         |SELECT vec_id, cid, adc_d2,
         |  CAST(round($qscore, 6) + 0 AS DOUBLE) AS score
         |FROM s ORDER BY $qscore DESC, vec_id LIMIT 10""".stripMargin,
+
+    // PQ-SDC semantic dedup: bands of adjacent code pairs block the
+    // candidates (cluster-equal + one full band shared), the m×k²
+    // inter-centroid table scores them — all exact BIGINTs.
+    "q_dedup_pq_sdc" ->
+      s"""WITH $kmeansCtes, $pqCtes,
+        |sdct AS (SELECT CAST(a.dim // 8 AS INTEGER) AS sub,
+        |    a.code AS code_a, b.code AS code_b,
+        |    sum((a.ci - b.ci) * (a.ci - b.ci)) AS pd2
+        |  FROM pc2 a JOIN pc2 b ON a.dim = b.dim GROUP BY 1, 2, 3),
+        |bnd AS (SELECT x.vec_id, ka.cid, CAST(x.sub // 2 AS INTEGER) AS band,
+        |    x.code AS c1, y.code AS c2
+        |  FROM paf x JOIN paf y ON y.vec_id = x.vec_id AND y.sub = x.sub + 1
+        |    AND x.sub % 2 = 0
+        |  JOIN af ka ON ka.vec_id = x.vec_id),
+        |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb, a.cid
+        |  FROM bnd a JOIN bnd b ON a.cid = b.cid AND a.band = b.band
+        |    AND a.c1 = b.c1 AND a.c2 = b.c2 AND a.vec_id < b.vec_id),
+        |d AS (SELECT c.va, c.vb, c.cid, CAST(sum(t.pd2) AS BIGINT) AS sdc_d2
+        |  FROM cand c JOIN paf pa ON pa.vec_id = c.va
+        |  JOIN paf pb ON pb.vec_id = c.vb AND pb.sub = pa.sub
+        |  JOIN sdct t ON t.sub = pa.sub AND t.code_a = pa.code
+        |    AND t.code_b = pb.code
+        |  GROUP BY 1, 2, 3)
+        |SELECT va AS vec_a, vb AS vec_b, cid, sdc_d2
+        |FROM d ORDER BY sdc_d2, va, vb LIMIT 50""".stripMargin,
 
     // PQ asymmetric-distance top-k: one m×k partial-d² table for the
     // query, then every vector's distance = m exact-BIGINT lookups

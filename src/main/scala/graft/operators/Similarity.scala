@@ -801,6 +801,70 @@ object Similarity {
       af, cent)
   }
 
+  /** Semantic near-dup candidates from the STORED PQ codes alone —
+    * symmetric distance computation (SDC, Jégou et al. TPAMI 2011 §III):
+    * the distance between two vectors is approximated code-to-code
+    * through a precomputed m×k×k table of exact BIGINT inter-centroid
+    * partial d²s, so DEDUPING the corpus touches m bytes per vector —
+    * the raw floats stay cold, which is what makes embedding dedup
+    * affordable at 10⁹ vectors.
+    *
+    * Candidate blocking is PQ-CODE BANDING (the minhash-LSH discipline
+    * applied to the code signature): adjacent code pairs form m/2
+    * band keys with k² values each; two vectors are candidates iff
+    * they share a coarse cluster AND a full band. Band buckets are
+    * (cid, band, k²)-grained, so posting lists stay n/(clusters·k²)
+    * per band — never an all-pairs within a cluster. Candidates are
+    * then SDC-scored exactly (integer table lookups) and the `topN`
+    * closest pairs surface. Both models come from the train-once
+    * stores; every quantity is an exact BIGINT, so pair membership
+    * and order are engine-independent.
+    */
+  def dedupPqSdc(spark: SparkSession, sfDir: String, m: Int = 8,
+      kCodes: Int = 16, kClusters: Int = 8, iters: Int = 2,
+      topN: Int = 50): DataFrame = {
+    val (codes, cb) = pqStored(spark, sfDir, m, kCodes, iters)
+    val (af, _) = kmeansModel(spark, sfDir, kClusters, iters)
+    val subDims = 64 / m
+    // m×k² symmetric code-to-code partial distances (2048 rows at
+    // m=8, k=16) — broadcast everywhere it is used
+    val sdct = cb.as("a").join(cb.as("b"), col("a.dim") === col("b.dim"))
+      .groupBy(expr(s"a.dim div $subDims").cast("int").as("sub"),
+        col("a.code").as("code_a"), col("b.code").as("code_b"))
+      .agg(sum((col("a.ci") - col("b.ci")) * (col("a.ci") - col("b.ci")))
+        .as("pd2"))
+    // band keys: adjacent sub code pairs, clustered — (cid, band, c1, c2)
+    val bands = codes.as("x").join(codes.as("y"),
+        col("x.vec_id") === col("y.vec_id")
+          && col("y.sub") === col("x.sub") + 1
+          && col("x.sub") % 2 === 0)
+      .join(af.select(col("vec_id").as("af_vec"), col("cid")),
+        col("x.vec_id") === col("af_vec"))
+      .select(col("x.vec_id").as("vec_id"), col("cid"),
+        expr("x.sub div 2").as("band"),
+        col("x.code").as("c1"), col("y.code").as("c2"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.cid") === col("b.cid") && col("a.band") === col("b.band")
+          && col("a.c1") === col("b.c1") && col("a.c2") === col("b.c2")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        col("a.cid").as("cid"))
+      .distinct()
+    // exact SDC score of every candidate: m table lookups summed
+    cand.join(codes.as("pa"), col("va") === col("pa.vec_id"))
+      .join(codes.as("pb"),
+        col("vb") === col("pb.vec_id") && col("pa.sub") === col("pb.sub"))
+      .join(broadcast(sdct.withColumnRenamed("sub", "t_sub")),
+        col("pa.sub") === col("t_sub") && col("pa.code") === col("code_a")
+          && col("pb.code") === col("code_b"))
+      .groupBy(col("va"), col("vb"), col("cid"))
+      .agg(sum(col("pd2")).as("sdc_d2"))
+      .orderBy(col("sdc_d2"), col("va"), col("vb"))
+      .limit(topN)
+      .select(col("va").as("vec_a"), col("vb").as("vec_b"),
+        col("cid"), col("sdc_d2"))
+  }
+
   /** The JL ±1 sign matrix as a `+`/`-` string of length outDims×d,
     * entry (j, i) at offset j·d + i. Signs come from bit 17 of a
     * murmur3-style 64-bit avalanche finalizer over the flat index —
