@@ -2,6 +2,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    JvmPrereqs.check() // fail fast, not 2h in at the first Kryo spill
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the documented driver shape (local[32]) — a driver run
     // that doesn't set the env var must measure the same parallelism the

@@ -477,9 +477,11 @@ object SimilarityQueries {
          |FROM reach GROUP BY n""".stripMargin,
 
     // Mirrors the engine's (label, LSH-bucket) blocking — label-only
-    // blocking is the quadratic-per-block anti-pattern at scale.
+    // blocking is the quadratic-per-block anti-pattern at scale. Plane
+    // count mirrors Similarity.adaptivePlanes (same as q_dedup_embedding_lsh)
+    // so the bucket strings match the engine's at every corpus size.
     "q_dedup_embedding" ->
-      s"""WITH ${bucketsCte()},
+      s"""WITH ${bucketsCte(adaptivePlanesSql)},
          |eb AS (SELECT e.vec_id, e.label, e.embedding, b.bucket
          |  FROM embeddings e JOIN buck b ON e.vec_id = b.vec_id),
          |p AS (SELECT a.label, a.vec_id AS va, b.vec_id AS vb,

@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    JvmPrereqs.check() // fail fast, not 2h in at the first Kryo spill
     val Array(sfDir, outDir) = args.take(2)
     // optional extra args: restrict the dump to these query names (dev
     // iteration aid; the driver always calls with exactly two args)

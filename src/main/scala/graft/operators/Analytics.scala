@@ -1872,7 +1872,7 @@ object Analytics {
     * SIZE-GATED (the PartitionedTables routing-gate discipline): the
     * three rank passes cost ~9 jobs of fixed overhead, a 4× regression
     * at sf0.1 where users number 1.5k. Below
-    * `graft.rfm.windowMaxUsers` (default 2 M — a single-task sort that
+    * `graft.rfm.windowMaxEventRows` (default 2 M — a single-task sort
     * still clears in ~1 s) the plan IS the oracle's three ntile
     * windows; above it the distributed rank passes take over. The gate
     * probe is the events row count — a parquet metadata-only count that
@@ -1886,7 +1886,7 @@ object Analytics {
         sum(when(col("event_type") === "purchase",
           (dec("value") * 100).cast("long")).otherwise(lit(0L)))
           .as("monetary_c"))
-    val gate = spark.conf.getOption("graft.rfm.windowMaxUsers")
+    val gate = spark.conf.getOption("graft.rfm.windowMaxEventRows")
       .map(_.toLong).getOrElse(2000000L)
     val eventRows = Tables.events(spark, sfDir).count() // metadata-only
     if (eventRows <= gate) {

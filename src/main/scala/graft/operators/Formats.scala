@@ -295,10 +295,14 @@ object Formats {
     // (re)stage whenever a prior vacuum (or nothing) ran: the audit is
     // idempotent per run, so a second execution restages and re-vacuums.
     // The PartitionedTables staging discipline: ALL generations build
-    // under `$root.build`, finalized by ONE atomic fs.rename — no other
-    // process can observe a half-staged root, and a concurrent finalize
-    // losing the rename race keeps the winner's root. The surrounding
-    // `synchronized` serializes same-process stage/delete sequences.
+    // under `$root.build`, finalized by ONE atomic fs.rename. The old
+    // root is renamed ASIDE (root -> root.old) rather than deleted in
+    // place, so the root path is never absent for longer than the gap
+    // between two renames — an external reader (e.g. the oracle
+    // process) sees either the old layout or the new one, not a
+    // missing path. A concurrent finalize losing the rename race keeps
+    // the winner's root; `synchronized` serializes same-process
+    // stage/delete sequences.
     if (!fs.exists(new org.apache.hadoop.fs.Path(gen1, "_SUCCESS")) ||
         !fs.exists(new org.apache.hadoop.fs.Path(gen2, "_SUCCESS"))) {
       val build = new org.apache.hadoop.fs.Path(root + ".build")
@@ -312,12 +316,15 @@ object Formats {
       fs.delete(
         new org.apache.hadoop.fs.Path(s"$build/gen_3_inflight/_SUCCESS"),
         false)
-      fs.delete(rootPath, true) // the vacuumed remnant of a prior run
+      val old = new org.apache.hadoop.fs.Path(root + ".old")
+      fs.delete(old, true) // a crashed earlier attempt's aside
+      val hadPrior = fs.exists(rootPath) && fs.rename(rootPath, old)
       if (!fs.rename(build, rootPath)) {
         if (!fs.exists(rootPath)) throw new java.io.IOException(
           s"failed to finalize staged vacuum layout $build -> $rootPath")
         fs.delete(build, true)
       }
+      if (hadPrior) fs.delete(old, true) // the vacuumed remnant
     }
     // row accounting BEFORE deletion (exact, engine-checkable)
     def n(p: org.apache.hadoop.fs.Path): Long =

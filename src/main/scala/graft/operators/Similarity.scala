@@ -266,7 +266,13 @@ object Similarity {
     */
   def nearestPairPerLabel(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = lshBuckets(spark, sfDir).truncateLineage()
+    // Adaptive plane count (not the fixed 4-plane default): with fixed
+    // planes, bucket occupancy grows with N and intra-bucket pairs with
+    // N²/2^planes — the round-10 ratio audit measured 28.8× at 10× data.
+    // adaptivePlanes holds occupancy ≈32, so candidate volume stays
+    // linear in N exactly as in nearDupLsh.
+    val planes = adaptivePlanes(Tables.embeddings(spark, sfDir).count())
+    val e = lshBuckets(spark, sfDir, planes).truncateLineage()
     val pairs = e.as("a").join(e.as("b"),
         col("a.label") === col("b.label")
           && col("a.bucket") === col("b.bucket")
@@ -412,28 +418,38 @@ object Similarity {
     (af, cent)
   }
 
-  /** Idempotent per-(model, sfDir) parquet store, `_SUCCESS`-gated and
+  /** Idempotent per-(model, data) parquet store, `_SUCCESS`-gated and
     * finalized by one atomic rename (the PartitionedTables staging
     * discipline — a concurrent builder losing the race keeps the
     * winner's model, and no reader ever sees a partial one).
+    *
+    * The store key includes the TRAINING DATA's FS fingerprint (file
+    * count + bytes + max mtime), not just the path: regenerating the
+    * data in place (ScaleUp wipe/resume with a new factor) changes the
+    * fingerprint and forces a retrain — a stale model trained on the
+    * old corpus can never be silently served against new vec_ids. The
+    * build dir is process-unique (pid + nano), so two PROCESSES racing
+    * the same model never co-write one staging dir; whoever renames
+    * first wins and the loser discards its build.
     */
   private def materializedModel(spark: SparkSession, name: String,
       sfDir: String)(build: => DataFrame): DataFrame = synchronized {
     import org.apache.hadoop.fs.Path
     val f = new java.io.File(sfDir)
+    val (fp, _) = Tables.fsFingerprint(spark, s"$sfDir/embeddings.parquet")
     val tag = f.getName.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
-      Integer.toHexString(f.getAbsolutePath.hashCode)
+      Integer.toHexString((f.getAbsolutePath + "|" + fp).hashCode)
     val dir = new Path(
       s"${sys.props("java.io.tmpdir")}/graft_model_${name}_$tag")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(dir, "_SUCCESS"))) {
-      val buildDir = new Path(dir.toString + ".build")
-      fs.delete(buildDir, true) // a crashed earlier attempt
+      val buildDir = new Path(dir.toString +
+        s".build-${ProcessHandle.current.pid}-${System.nanoTime}")
       build.write.mode("overwrite").parquet(buildDir.toString)
       if (!fs.rename(buildDir, dir)) {
         if (!fs.exists(dir)) throw new java.io.IOException(
           s"failed to finalize model $buildDir -> $dir")
-        fs.delete(buildDir, true)
+        fs.delete(buildDir, true) // lost the race; keep the winner's model
       }
     }
     spark.read.parquet(dir.toString)
@@ -674,7 +690,9 @@ object Similarity {
   def topKPqAdc(spark: SparkSession, sfDir: String, topK: Int = 10,
       m: Int = 8, k: Int = 16, iters: Int = 2): DataFrame = {
     val (codes, cb) = pqStored(spark, sfDir, m, k, iters)
-    val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+    // point lookup: the un-spread reader — one pushed-filter scan, no
+    // corpus exchange for a single row
+    val q = Tables.embeddingsRaw(spark, sfDir).filter(col("vec_id") === 0)
     // the ADC lookup table: m×k exact partial d²s from ONE query row —
     // the stored model means query time touches no training pass at all
     val qd = pqEx(q, m)

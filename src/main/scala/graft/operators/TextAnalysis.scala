@@ -355,8 +355,14 @@ object TextAnalysis {
     new java.util.concurrent.atomic.AtomicReference[(String, DataFrame)]()
   private def driftCounts(spark: SparkSession, sfDir: String): DataFrame =
     driftCountsCache.synchronized {
+      // FS fingerprint in the key: data regenerated in place under the
+      // same sfDir (ScaleUp wipe/resume) retires the pinned counts
+      // instead of serving blocks cached from the old corpus.
+      val (fp, _) = graft.sources.Tables.fsFingerprint(
+        spark, s"$sfDir/documents.parquet")
+      val cacheKey = s"$sfDir|$fp"
       val cur = driftCountsCache.get()
-      if (cur != null && cur._1 == sfDir && (cur._2.sparkSession eq spark)) {
+      if (cur != null && cur._1 == cacheKey && (cur._2.sparkSession eq spark)) {
         cur._2
       } else {
         if (cur != null)
@@ -365,7 +371,7 @@ object TextAnalysis {
           .groupBy(col("n_chars").as("v"), col("source"))
           .agg(count(lit(1)).as("c"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        driftCountsCache.set((sfDir, c))
+        driftCountsCache.set((cacheKey, c))
         c
       }
     }
@@ -936,11 +942,13 @@ object TextAnalysis {
         sum(col("n_bpe")).as("n_bpe_tokens"))
       .withColumn("bpe_per_1000_words",
         expr("n_bpe_tokens * 1000 div n_words"))
-    // materialize before unpersisting the segmentation it depends on
-    val rows = out.collect()
+    // materialize before unpersisting the segmentation it depends on —
+    // lineage truncation keeps the (bounded, |sources|-row) result
+    // distributed instead of round-tripping it through the driver
+    import graft.Checkpoints.TruncateOps
+    val settled = out.truncateLineage()
     toks.unpersist()
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toIndexedSeq), out.schema)
+    settled
   }
 
   /** Rule-based document filter battery in the Gopher/MassiveText style

@@ -31,16 +31,62 @@ object Tables {
     * at production scale the source arrives in thousands of splits and
     * this is a PASSTHROUGH — no round-robin exchange of the raw corpus
     * is ever added where the scan already parallelizes.
+    *
+    * Two costs the naive version paid on EVERY call (the round-10
+    * regression tax on sub-second queries):
+    *  - `df.rdd` instantiates the full physical plan eagerly per call —
+    *    the decision is now memoized per (session, path, FS fingerprint),
+    *    where the fingerprint (file count + bytes + max mtime) also
+    *    invalidates the entry if the data is regenerated in place.
+    *  - tiny tables paid a corpus exchange for stages that finish in
+    *    milliseconds serially — a bytes floor (`graft.spread.minBytes`,
+    *    default 256 KiB) keeps them exchange-free. Deterministic filters
+    *    still push BELOW the Repartition (Catalyst
+    *    PushPredicateThroughNonJoin covers it), so point lookups never
+    *    exchange the full table either way.
     */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  private val spreadDecision =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  /** Cheap FS-metadata fingerprint: file count, total bytes, max mtime.
+    * Shared with model/cache keying (Similarity.materializedModel,
+    * TextAnalysis.driftCounts) so regenerated-in-place data invalidates
+    * every derived artifact, not just the spread decision.
+    */
+  private[graft] def fsFingerprint(spark: SparkSession, path: String): (String, Long) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).filter(_.isFile)
+    val bytes = parts.map(_.getLen).sum
+    val mtime = if (parts.isEmpty) 0L else parts.map(_.getModificationTime).max
+    (s"${parts.length}:$bytes:$mtime", bytes)
+  }
+
+  private def spread(df: DataFrame, path: String): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val (fp, bytes) = fsFingerprint(spark, path)
+    val minBytes = spark.conf.getOption("graft.spread.minBytes")
+      .map(_.toLong).getOrElse(256L << 10)
+    val key = s"${System.identityHashCode(spark)}|$path|$fp"
+    val need = spreadDecision.computeIfAbsent(key, _ =>
+      bytes >= minBytes && df.rdd.getNumPartitions < target)
+    if (need) df.repartition(target) else df
   }
 
   def documents(s: SparkSession, d: String): DataFrame =
-    spread(table(s, d, "documents"))
+    spread(table(s, d, "documents"), s"$d/documents.parquet")
   def embeddings(s: SparkSession, d: String): DataFrame =
-    spread(table(s, d, "embeddings"))
+    spread(table(s, d, "embeddings"), s"$d/embeddings.parquet")
+
+  /** Un-spread readers for consumers whose first stage is NOT
+    * per-row-heavy (point lookups, pure sampling/length scans): they
+    * skip the round-robin exchange entirely no matter the table size.
+    */
+  def documentsRaw(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+  def embeddingsRaw(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
 
   /** Raw events with `ts` normalized to Long NANOSECONDS — the internal
     * convention the streaming stagers persist to their landing dirs.
