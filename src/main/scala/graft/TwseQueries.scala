@@ -191,7 +191,22 @@ object TwseQueries {
 
     // G2 — arity routing.
     "q_branch_arity" -> ((s, _) => TwsePipeline.branchArity(s)
-      .select(col("date").as("dt"), col("branch")))
+      .select(col("date").as("dt"), col("branch"))),
+
+    // G3/E1-E3 composed — the deployable daily driver end-to-end: one
+    // scheduler tick over the golden 3-day window, emitting each day's
+    // TERMINAL route (the DAG's leaf actually taken, where
+    // q_branch_market/q_branch_arity check each split in isolation).
+    // Fresh base dir per run: the tick is checkpoint-idempotent, so a
+    // reused dir would correctly yield an empty second tick.
+    "q_daily_routes" -> ((s, _) => {
+      import s.implicits._
+      val cfg = graft.DailyApp.Config(
+        base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          s"graft_daily_q_${java.util.UUID.randomUUID().toString.take(8)}"),
+        useFixtures = true, sleep = _ => ())
+      graft.DailyApp.runTick(s, cfg).routes.toDF("dt", "route")
+    })
   )
 
   private val goldenRowSql: String = {
@@ -405,6 +420,12 @@ object TwseQueries {
     "q_branch_arity" ->
       """SELECT * FROM (VALUES
         |('20220819', 'insert_data'), ('20100106', 'alert')
-        |) t(dt, branch)""".stripMargin
+        |) t(dt, branch)""".stripMargin,
+
+    "q_daily_routes" ->
+      """SELECT * FROM (VALUES
+        |('20220819', 'insert_data'), ('20100106', 'alert'),
+        |('20220820', 'do_nothing')
+        |) t(dt, route)""".stripMargin
   )
 }

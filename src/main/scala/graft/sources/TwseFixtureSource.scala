@@ -56,6 +56,12 @@ object TwseFixtureSource {
   /** Executor-side GET with bounded timeouts — runs inside the partition
     * reader, one request per (day) partition.
     */
+  /** Driver-side payload fetch for the daily entrypoint
+    * ([[graft.DailyApp]]) — the reference's per-date GET
+    * (`Final_app.py:26-28`).
+    */
+  def fetch(url: String): String = httpGet(url)
+
   private[sources] def httpGet(url: String): String = {
     val conn = new java.net.URI(url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
