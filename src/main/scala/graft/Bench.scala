@@ -3,6 +3,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     JvmPrereqs.check() // fail fast, not 2h in at the first Kryo spill
+    // heavy runs budget /tmp deterministically: sweep stale crashed-run
+    // debris first (opt out with SPARK_GRAFT_RECLAIM=0)
+    if (sys.env.getOrElse("SPARK_GRAFT_RECLAIM", "1") != "0")
+      graft.tools.Reclaim.sweep(): Unit
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the documented driver shape (local[32]) — a driver run
     // that doesn't set the env var must measure the same parallelism the
@@ -46,8 +50,12 @@ object Bench {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
+    // SPARK_GRAFT_BENCH_WARM=0 skips the warm pass — for huge-sf probes
+    // where a query runs minutes, the one-time costs the warm pass
+    // amortizes are noise and doubling every run is the real cost.
+    val doWarm = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") != "0"
     val w0 = System.nanoTime()
-    ordered.foreach { case (_, fn) =>
+    if (doWarm) ordered.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => () }
     }
     val warmSec = (System.nanoTime() - w0) / 1e9
@@ -83,6 +91,27 @@ object Bench {
     // round 4) — persist the complete per-query map alongside it.
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), line + "\n")
+    // The driver keeps only the LAST 2000 stdout chars; the full line
+    // above is ~8 KB, so the captured artifact never parsed (BENCH_rN
+    // "parsed": null since round 4). Print a COMPACT line LAST — total +
+    // the slowest queries + the full map's file/sha pointer — sized to
+    // fit the tail window whole, so BENCH_rN.json parses standalone.
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(line.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val slowest = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"\"" + k + f"\":$v%.3f" }
+    val head =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+        s""""warm_sec":$warmSec,"passes":$passes,""" +
+        s""""n_queries":${results.size},"queries_full":"bench_full.json",""" +
+        s""""queries_sha256":"$sha","slowest":{"""
+    val budget = 1900 - head.length - 2
+    val kept = scala.collection.mutable.ListBuffer.empty[String]
+    var used = 0
+    slowest.foreach { s =>
+      if (used + s.length + 1 <= budget) { kept += s; used += s.length + 1 }
+    }
+    println(head + kept.mkString(",") + "}}")
     spark.stop()
   }
 }

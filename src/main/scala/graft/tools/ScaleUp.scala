@@ -41,6 +41,9 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
 
   def main(args: Array[String]): Unit = {
+    // staging writes tens of GB: reclaim stale crashed-run debris first
+    if (sys.env.getOrElse("SPARK_GRAFT_RECLAIM", "1") != "0")
+      Reclaim.sweep(): Unit
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft-sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
