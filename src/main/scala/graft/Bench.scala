@@ -20,11 +20,18 @@ object Bench {
     // streaming state-store mode: rocksdb (suite default) | heap | session
     // — SPARK_GRAFT_STREAM_STATE=heap is the provider-comparison run
     val streamState = sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE", "rocksdb")
+    // Big-sf spill sizing (the 100 TB discipline scaled down): shuffle
+    // partitions must grow with data so a partition fits in memory —
+    // 32 partitions of sf100's shingle frames are ~6.5 GiB DESERIALIZED
+    // each and 32 concurrent cache materializations OOM any heap.
+    // Default stays the driver shape (= cpus).
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val ckptLevel = sys.env.get("SPARK_GRAFT_CKPT_LEVEL")
     val spark = SparkSession.builder()
       .config("graft.streaming.stateProvider", streamState)
       .master(s"local[$cpus,3]") // G3: retries=2 → 3 task attempts
       .config("spark.task.maxFailures", "3")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       // 81 distinct query plans thrash the default 100-entry generated-
       // class cache; recompiles (~100ms+) then land on later queries
@@ -34,6 +41,7 @@ object Bench {
       // multi-job query is running when GC triggers them
       .config("spark.cleaner.referenceTracking.blocking", "false")
       .getOrCreate()
+    ckptLevel.foreach(l => spark.conf.set(graft.Checkpoints.LevelKey, l))
     spark.sparkContext.setLogLevel("WARN")
     // Steady-state measurement. Phase 1 — prep/warm, untimed per query
     // but reported in aggregate as `warm_sec`: ONE pass over EVERY query

@@ -29,6 +29,15 @@ object Checkpoints {
     */
   val DirKey = "graft.cc.checkpointDir"
 
+  /** Runtime conf key for the localCheckpoint storage level. Default
+    * MEMORY_AND_DISK (deserialized — fastest re-read). At big scale
+    * factors set MEMORY_AND_DISK_SER: 32 tasks concurrently
+    * materializing multi-GiB DESERIALIZED partitions OOM'd the sf100
+    * probe's 48 g heap (q_ngram_jaccard, round-11 notes); serialized
+    * blocks are a fraction of the object-graph size and spill cheaply.
+    */
+  val LevelKey = "graft.checkpoint.storageLevel"
+
   // setCheckpointDir creates a fresh UUID subdirectory per call, so only
   // (re)set it when the configured path actually changes
   private var activeDir: Option[String] = None
@@ -53,7 +62,11 @@ object Checkpoints {
         ensureCheckpointDir(df, dir)
         df.checkpoint() // eager + reliable: blocks on fault-tolerant storage
       case None =>
-        df.localCheckpoint()
+        df.sparkSession.conf.getOption(LevelKey).filter(_.nonEmpty) match {
+          case Some(level) => df.localCheckpoint(eager = true,
+            org.apache.spark.storage.StorageLevel.fromString(level))
+          case None => df.localCheckpoint()
+        }
     }
 
   /** Chain-style syntax: `df.truncateLineage()` ≡ `Checkpoints.truncate(df)`. */
