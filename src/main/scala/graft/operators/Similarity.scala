@@ -265,7 +265,6 @@ object Similarity {
     * where it matters; codegen'd cosine + one window rank on top.
     */
   def nearestPairPerLabel(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // Adaptive plane count (not the fixed 4-plane default): with fixed
     // planes, bucket occupancy grows with N and intra-bucket pairs with
     // N²/2^planes — the round-10 ratio audit measured 28.8× at 10× data.
@@ -283,12 +282,22 @@ object Similarity {
         // on a last-ulp double wobble between engines
         graft.functions.VectorExpressions.quantized_cosine(
           col("a.embedding"), col("b.embedding")).as("raw_score"))
-    val w = Window.partitionBy(col("label"))
-      .orderBy(col("raw_score").desc, col("vec_a"), col("vec_b"))
-    pairs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("label"), col("vec_a"), col("vec_b"),
-        round(col("raw_score"), 6).as("score"))
+    // Per-label ARGMAX as a MAX over an ordering struct, NOT a
+    // row_number window: the window shape shuffles every candidate pair
+    // into |labels| partitions and SORTS each one whole (a handful of
+    // single-threaded multi-GB sorts at sf100 — the round-11 probe
+    // caught it grinding one core for most of an hour). struct max is
+    // partial-aggregable: each map task reduces its pairs to ≤|labels|
+    // rows before the exchange, so the shuffle carries |labels| × tasks
+    // rows no matter the pair volume. Negated tie keys give the same
+    // (score DESC, vec_a ASC, vec_b ASC) order the window used.
+    pairs
+      .groupBy(col("label"))
+      .agg(max(struct(col("raw_score"),
+        (-col("vec_a")).as("na"), (-col("vec_b")).as("nb"))).as("top"))
+      .select(col("label"), (-col("top.na")).as("vec_a"),
+        (-col("top.nb")).as("vec_b"),
+        round(col("top.raw_score"), 6).as("score"))
   }
 
   /** Per-vector int8 scalar quantization — the 4× storage compression an
