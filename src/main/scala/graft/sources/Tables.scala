@@ -40,7 +40,12 @@ object Tables {
     *    invalidates the entry if the data is regenerated in place.
     *  - tiny tables paid a corpus exchange for stages that finish in
     *    milliseconds serially — a bytes floor (`graft.spread.minBytes`,
-    *    default 256 KiB) keeps them exchange-free. Deterministic filters
+    *    default 1 MiB) keeps them exchange-free: at sf0.1 (0.6-0.8 MB
+    *    tables) the exchange cost every light consumer ~0.3-0.6 s for
+    *    sub-second stages (measured r11: the taxed seven ran 11.98 s
+    *    spread-on vs 7.37 s spread-off, 3-pass isolated) while the
+    *    heavy winners only clawed back ~0.4 s; from sf1 up (5.5 MB+)
+    *    the spread win dominates. Deterministic filters
     *    still push BELOW the Repartition (Catalyst
     *    PushPredicateThroughNonJoin covers it), so point lookups never
     *    exchange the full table either way.
@@ -67,7 +72,8 @@ object Tables {
     val target = spark.sparkContext.defaultParallelism
     val (fp, bytes) = fsFingerprint(spark, path)
     val minBytes = spark.conf.getOption("graft.spread.minBytes")
-      .map(_.toLong).getOrElse(256L << 10)
+      .orElse(sys.env.get("SPARK_GRAFT_SPREAD_MINBYTES"))
+      .map(_.toLong).getOrElse(1L << 20)
     val key = s"${System.identityHashCode(spark)}|$path|$fp"
     val need = spreadDecision.computeIfAbsent(key, _ =>
       bytes >= minBytes && df.rdd.getNumPartitions < target)
