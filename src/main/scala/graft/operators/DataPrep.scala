@@ -177,7 +177,10 @@ object DataPrep {
     * per-partition bound even though the real quota is a column.
     */
   def mixtureSample(spark: SparkSession, sfDir: String, budget: Int = 200): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    // raw reader: a 3-small-column projection with window/agg stages —
+    // the first stage is not per-row-heavy, so the spread exchange is
+    // pure tax (measured +0.5 s at sf0.1, round 11)
+    val docs = Tables.documentsRaw(spark, sfDir)
       .select(col("doc_id"), col("source"), col("n_chars"))
     val wts = docs.select(col("source")).distinct()
       .withColumn("wt", lit(1) + substring(col("source"), 4, 10).cast("int") % 3)
@@ -529,7 +532,9 @@ object DataPrep {
       nWorkers: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val workers = (0 until nWorkers).map(i => s"w$i")
-    val scored = Tables.documents(spark, sfDir)
+    // raw reader: only doc_id is read; the md5 work happens AFTER the
+    // ×nWorkers explode, which repartitions at its window shuffle anyway
+    val scored = Tables.documentsRaw(spark, sfDir)
       .select(col("doc_id"),
         explode(array(workers.map(lit(_)): _*)).as("worker"))
       .withColumn("score",

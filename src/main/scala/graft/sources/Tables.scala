@@ -67,23 +67,31 @@ object Tables {
     (s"${parts.length}:$bytes:$mtime", bytes)
   }
 
-  private def spread(df: DataFrame, path: String): DataFrame = {
+  private def spread(df: DataFrame, path: String,
+      defaultMin: Long): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val (fp, bytes) = fsFingerprint(spark, path)
     val minBytes = spark.conf.getOption("graft.spread.minBytes")
       .orElse(sys.env.get("SPARK_GRAFT_SPREAD_MINBYTES"))
-      .map(_.toLong).getOrElse(1L << 20)
+      .map(_.toLong).getOrElse(defaultMin)
     val key = s"${System.identityHashCode(spark)}|$path|$fp"
     val need = spreadDecision.computeIfAbsent(key, _ =>
       bytes >= minBytes && df.rdd.getNumPartitions < target)
     if (need) df.repartition(target) else df
   }
 
+  // Per-table floors, both measured at sf0.1 (round-11 full-suite A/B):
+  // the documents family is shingle/minhash-heavy per byte — un-spreading
+  // the 0.6 MB sf0.1 file cost ~20 doc queries +0.3..0.7 s each (+15 s
+  // suite-wide), so documents spread from 256 KiB up. The embeddings
+  // consumers are lighter per byte and the exchange was a net LOSS at
+  // 0.8 MB (q_dedup_embedding_cc +0.9 s, q_sim_topk_ivf +0.3 s), so
+  // embeddings spread only from 1 MiB (sf1's 7.8 MB file and up).
   def documents(s: SparkSession, d: String): DataFrame =
-    spread(table(s, d, "documents"), s"$d/documents.parquet")
+    spread(table(s, d, "documents"), s"$d/documents.parquet", 256L << 10)
   def embeddings(s: SparkSession, d: String): DataFrame =
-    spread(table(s, d, "embeddings"), s"$d/embeddings.parquet")
+    spread(table(s, d, "embeddings"), s"$d/embeddings.parquet", 1L << 20)
 
   /** Un-spread readers for consumers whose first stage is NOT
     * per-row-heavy (point lookups, pure sampling/length scans): they
