@@ -97,15 +97,17 @@ object Bench {
     println(line)
     // The driver's log tail truncates long lines (53/117 timings lost in
     // round 4) — persist the complete per-query map alongside it.
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"), line + "\n")
+    val fileBytes = (line + "\n").getBytes("UTF-8")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"), fileBytes)
     // The driver keeps only the LAST 2000 stdout chars; the full line
     // above is ~8 KB, so the captured artifact never parsed (BENCH_rN
     // "parsed": null since round 4). Print a COMPACT line LAST — total +
     // the slowest queries + the full map's file/sha pointer — sized to
     // fit the tail window whole, so BENCH_rN.json parses standalone.
+    // hash the EXACT bytes on disk so `sha256sum bench_full.json` matches
     val sha = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(line.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(fileBytes).map("%02x".format(_)).mkString
     val slowest = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"\"" + k + f"\":$v%.3f" }
     val head =

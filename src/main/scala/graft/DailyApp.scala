@@ -26,12 +26,26 @@ import graft.streaming.RetryRunner
   * Execution model: the landed payload files are consumed by a
   * Structured Streaming file source under `Trigger.AvailableNow()` with
   * a persistent checkpoint — the scheduler tick processes exactly the
-  * files that have landed since the last tick, each file exactly once,
-  * across crashes and re-runs (re-running a day is a no-op, the
-  * checkpoint remembers). The whole tick is wrapped in
+  * files that have landed since the last tick (re-running a day is a
+  * no-op, the checkpoint remembers). `foreachBatch` is at-least-once —
+  * a crash between the append and the checkpoint commit replays the
+  * batch — so the append itself is made idempotent: rows whose `dt` is
+  * already present in the table are anti-joined away before writing
+  * (one row per day; ticks are scheduler-serialized, so there is no
+  * concurrent writer to race). The ingest tick is wrapped in
   * [[RetryRunner.withRetries]] (retries=2, 5-min delay) — the DAG's
   * task-retry semantics at application level, on top of Spark's own
   * task-attempt retries inside each job.
+  *
+  * Notifications mirror the reference DAG's task graph, where
+  * `insert_data` and `notice` are SEPARATE tasks (a notify retry never
+  * re-runs the INSERT): the batch body only QUEUES each message as a
+  * durable marker file under `notify_pending/`; the POSTs run as their
+  * own retried step after the streaming query has committed, deleting
+  * each marker on success. A notify failure therefore cannot replay the
+  * append, and a crash between commit and delivery leaves the markers
+  * in place for the next tick. Delivery is at-least-once, the same
+  * semantics as an Airflow task retry of `notice`.
   *
   * At scale this driver is unchanged: the landing dir becomes the
   * object-store prefix the fetcher fleet writes to, the file source
@@ -70,6 +84,7 @@ object DailyApp {
     def landing: Path = base.resolve("landing")
     def table: Path = base.resolve("investment_data")
     def checkpoint: Path = base.resolve("checkpoint")
+    def notifyPending: Path = base.resolve("notify_pending")
   }
 
   def main(args: Array[String]): Unit = {
@@ -134,13 +149,15 @@ object DailyApp {
   }
 
   /** Steps 2-5 — one scheduler tick: stream the landed payloads through
-    * the parse→B1→B2 splits into the three terminal sinks. Returns the
-    * per-day routing summary. Retries the WHOLE tick per the DAG's
-    * retry policy; the checkpoint makes re-attempts exactly-once on the
-    * append side (already-committed files are not replayed).
+    * the parse→B1→B2 splits into the three terminal sinks, then deliver
+    * queued notifications as a separate retried step. Returns the
+    * per-day routing summary. The append is idempotent under batch
+    * replay (anti-join on dates already in the table), so the tick-level
+    * retry can never duplicate `investment_data` rows.
     */
-  def runTick(spark: SparkSession, cfg: Config): TickSummary =
-    RetryRunner.withRetries(cfg.retries, cfg.retryDelayMs, cfg.sleep) { _ =>
+  def runTick(spark: SparkSession, cfg: Config): TickSummary = {
+    val summary = RetryRunner.withRetries(
+        cfg.retries, cfg.retryDelayMs, cfg.sleep) { _ =>
       fetchAndLand(cfg)
       val inserted = scala.collection.mutable.ListBuffer.empty[String]
       val alerted = scala.collection.mutable.ListBuffer.empty[String]
@@ -162,9 +179,16 @@ object DailyApp {
           val validated = TwsePipeline.validatedFrom(batch)
           val wide = TwsePipeline.pivotWide(
             validated.filter(col("arity_ok"))).cache()
-          // E1 — insert_data: idempotent-per-tick append (the
-          // PostgresOperator INSERT; parquet here, JDBC in production)
-          wide.write.mode("append").parquet(cfg.table.toString)
+          // E1 — insert_data: foreachBatch is at-least-once, so drop
+          // dates the table already holds before appending — a replayed
+          // batch re-appends nothing (the PostgresOperator INSERT with
+          // an ON CONFLICT DO NOTHING key; parquet here, JDBC in prod)
+          val fresh =
+            if (Files.exists(cfg.table))
+              wide.join(spark.read.parquet(cfg.table.toString)
+                .select(col("dt")).distinct(), Seq("dt"), "left_anti")
+            else wide
+          fresh.write.mode("append").parquet(cfg.table.toString)
           val okDates = wide.select(col("dt")).collect().map(_.getString(0))
           wide.unpersist()
           inserted ++= okDates
@@ -172,20 +196,63 @@ object DailyApp {
           val badDates = validated.filter(!col("arity_ok"))
             .select(col("date")).collect().map(_.getString(0))
           alerted ++= badDates
-          // E2/E3 — the Telegram POSTs, executor-side, when configured
-          cfg.notifyUrl.foreach { url =>
-            import spark.implicits._
-            if (okDates.nonEmpty) NotifySink.post(
-              okDates.toSeq.toDF("date").select(col("date"),
-                concat(col("date"), lit(TwseFixtures.successMsgSuffix))
-                  .as("message")), url, cfg.chatId)
-            if (badDates.nonEmpty) NotifySink.post(
-              badDates.toSeq.toDF("date").select(col("date"),
-                lit(TwseFixtures.alertMsg).as("message")), url, cfg.chatId)
+          // E2/E3 — QUEUE the Telegram messages durably; the POSTs run
+          // after the streaming commit as their own task (see Scaladoc)
+          cfg.notifyUrl.foreach { _ =>
+            okDates.foreach(d => queueNotification(cfg, d, "success",
+              d + TwseFixtures.successMsgSuffix))
+            badDates.foreach(d => queueNotification(cfg, d, "alert",
+              TwseFixtures.alertMsg))
           }
         }
         .start()
       q.awaitTermination()
       TickSummary(inserted.toList, alerted.toList, skipped.toList)
     }
+    // E2/E3 — notice/alert as their OWN retried task, after the ingest
+    // has committed: a notify failure can only re-run delivery, never
+    // the append (Final_app.py:144-149 keeps insert_data → notice as
+    // separate DAG tasks with independent retries).
+    cfg.notifyUrl.foreach { url =>
+      RetryRunner.withRetries(cfg.retries, cfg.retryDelayMs, cfg.sleep) {
+        _ => deliverPending(spark, cfg, url)
+      }
+    }
+    summary
+  }
+
+  /** Durably queue one notification as `notify_pending/<date>.<kind>.msg`
+    * (tmp + atomic move; replayed batches overwrite the same marker, so
+    * queueing is idempotent).
+    */
+  private[graft] def queueNotification(cfg: Config, date: String,
+      kind: String, message: String): Unit = {
+    Files.createDirectories(cfg.notifyPending)
+    val tmp = cfg.notifyPending.resolve(s".$date.$kind.msg.tmp")
+    Files.write(tmp, message.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, cfg.notifyPending.resolve(s"$date.$kind.msg"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Deliver every queued notification, deleting each marker only after
+    * the whole POST job succeeds. At-least-once: a failure mid-job
+    * leaves all markers for the retry (some messages may re-send — the
+    * same semantics as retrying the reference's `notice` task).
+    */
+  private[graft] def deliverPending(spark: SparkSession, cfg: Config,
+      url: String): Unit = {
+    if (!Files.exists(cfg.notifyPending)) return
+    import scala.jdk.CollectionConverters._
+    val pending = Files.list(cfg.notifyPending).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".msg"))
+      .toList.sortBy(_.getFileName.toString)
+    if (pending.isEmpty) return
+    import spark.implicits._
+    val msgs = pending.map { p =>
+      (p.getFileName.toString.takeWhile(_ != '.'),
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    }
+    NotifySink.post(msgs.toDF("date", "message"), url, cfg.chatId)
+    pending.foreach(Files.deleteIfExists(_))
+  }
 }

@@ -318,7 +318,16 @@ object Formats {
         false)
       val old = new org.apache.hadoop.fs.Path(root + ".old")
       fs.delete(old, true) // a crashed earlier attempt's aside
-      val hadPrior = fs.exists(rootPath) && fs.rename(rootPath, old)
+      val hadPrior = fs.exists(rootPath) && {
+        val moved = fs.rename(rootPath, old)
+        // a failed aside-rename that LEAVES the root in place must stop
+        // here: falling through would fail the build->root rename, take
+        // the lost-race cleanup path, and silently serve the stale
+        // vacuumed root the caller asked to restage
+        if (!moved && fs.exists(rootPath)) throw new java.io.IOException(
+          s"failed to move prior layout aside: $rootPath -> $old")
+        moved
+      }
       if (!fs.rename(build, rootPath)) {
         if (!fs.exists(rootPath)) throw new java.io.IOException(
           s"failed to finalize staged vacuum layout $build -> $rootPath")

@@ -53,6 +53,17 @@ object Tables {
   private val spreadDecision =
     new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
 
+  /** Stable per-session id for cache keys: weak-keyed so a GC'd session's
+    * id (and thus its entries' reachability from a fresh lookup) can never
+    * be reused the way `System.identityHashCode` could.
+    */
+  private val sessionIds =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+  private def sessionId(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark,
+      _ => java.util.UUID.randomUUID().toString)
+
   /** Cheap FS-metadata fingerprint: file count, total bytes, max mtime.
     * Shared with model/cache keying (Similarity.materializedModel,
     * TextAnalysis.driftCounts) so regenerated-in-place data invalidates
@@ -75,7 +86,12 @@ object Tables {
     val minBytes = spark.conf.getOption("graft.spread.minBytes")
       .orElse(sys.env.get("SPARK_GRAFT_SPREAD_MINBYTES"))
       .map(_.toLong).getOrElse(defaultMin)
-    val key = s"${System.identityHashCode(spark)}|$path|$fp"
+    // keyed on a per-session UUID, not identityHashCode: identity hashes
+    // can be reused after a GC'd session, serving a stale decision
+    val key = s"${sessionId(spark)}|$path|$fp"
+    // decisions are cheap to recompute — bound the map instead of letting
+    // long-lived processes (test suites) accumulate dead-session entries
+    if (spreadDecision.size() > 1024) spreadDecision.clear()
     val need = spreadDecision.computeIfAbsent(key, _ =>
       bytes >= minBytes && df.rdd.getNumPartitions < target)
     if (need) df.repartition(target) else df

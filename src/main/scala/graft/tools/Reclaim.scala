@@ -12,35 +12,75 @@ import java.io.File
   * disk. Sweeping STALE debris first makes the heavy run's budget
   * deterministic.
   *
-  * Safety: a directory is deleted only when NOTHING under it (walked
-  * fully, early-exit on the first fresh entry) was modified within
-  * `ageHours` — a live JVM touches its scratch dirs continuously, so
-  * freshness is liveness. Scaled data dirs (`graft-sf*`), models, and
-  * bucketed/backfill tables are NOT swept: they are inputs keyed by
-  * fingerprint, not debris.
+  * Safety: staleness alone is NOT liveness for Spark scratch — shuffle
+  * blocks under `blockmgr-*` are written once and read hours later with
+  * no mtime refresh, so a long-running probe's live data can look
+  * "stale" mid-flight. Deletion is therefore gated twice:
+  *
+  *  1. Spark scratch (`blockmgr-*`, `spark-*`) is swept ONLY when no
+  *     other JVM is alive on the box (single-tenant proxy for
+  *     ownership: scratch can only be live if some java process owns
+  *     it). With another JVM running, those dirs are skipped entirely.
+  *  2. Everything still considered is deleted only when NOTHING under
+  *     it (walked fully, early-exit on the first fresh entry) was
+  *     modified within `ageHours` — with a floor of [[minSparkScratchAgeHours]]
+  *     for Spark scratch, well above the longest observed run.
+  *
+  * Scaled data dirs (`graft-sf*`), models, and bucketed/backfill tables
+  * are NOT swept: they are inputs keyed by fingerprint, not debris.
   */
 object Reclaim {
 
-  private val debrisPrefixes = Seq(
-    "blockmgr-", "spark-", // Spark scratch (crashed runs)
+  private val sparkScratchPrefixes = Seq("blockmgr-", "spark-")
+  private val graftStagingPrefixes = Seq(
     "graft_twse_stream_", "graft_stream_", "graft_daily_q_",
     "graft_daily_spec_", "graft_cc_reliable")
+
+  /** Longest observed heavy run is ~3 h (sf100 probe slices); Spark
+    * scratch younger than this is never touched even when mtime-stale.
+    */
+  val minSparkScratchAgeHours: Int = 36
+
+  /** True when any java process other than this one is running — the
+    * ownership proxy that keeps a concurrent probe's shuffle data safe.
+    */
+  private[tools] def otherJvmsLive(): Boolean = {
+    val self = ProcessHandle.current().pid()
+    ProcessHandle.allProcesses().anyMatch { h =>
+      h.pid() != self && h.info().command().map[Boolean] { c =>
+        val base = c.substring(c.lastIndexOf('/') + 1)
+        base == "java" || base == "java.exe"
+      }.orElse(false)
+    }
+  }
 
   /** Sweep stale debris under `tmpDir`; returns bytes reclaimed. */
   def sweep(tmpDir: String = sys.props("java.io.tmpdir"),
       ageHours: Int = 6): Long = {
-    val cutoff = System.currentTimeMillis() - ageHours * 3600L * 1000L
     val root = new File(tmpDir)
-    val candidates = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => debrisPrefixes.exists(f.getName.startsWith))
+    val skipScratch = otherJvmsLive()
+    if (skipScratch)
+      System.err.println("[reclaim] another JVM is live — leaving Spark " +
+        "scratch (blockmgr-*/spark-*) untouched")
+    val all = Option(root.listFiles()).getOrElse(Array.empty)
       // never sweep the shared spark-local dir some setups pin
       .filterNot(_.getName == "spark-local")
+    def cutoffFor(hours: Int) =
+      System.currentTimeMillis() - hours * 3600L * 1000L
     var reclaimed = 0L
-    candidates.foreach { dir =>
-      val (stale, bytes) = walk(dir, cutoff)
-      if (stale) {
-        delete(dir)
-        reclaimed += bytes
+    all.foreach { dir =>
+      val isScratch = sparkScratchPrefixes.exists(dir.getName.startsWith)
+      val isStaging = graftStagingPrefixes.exists(dir.getName.startsWith)
+      val cutoff =
+        if (isScratch)
+          cutoffFor(math.max(ageHours, minSparkScratchAgeHours))
+        else cutoffFor(ageHours)
+      if ((isStaging || (isScratch && !skipScratch))) {
+        val (stale, bytes) = walk(dir, cutoff)
+        if (stale) {
+          delete(dir)
+          reclaimed += bytes
+        }
       }
     }
     if (reclaimed > 0)

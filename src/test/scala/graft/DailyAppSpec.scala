@@ -85,6 +85,59 @@ class DailyAppSpec extends SparkTestBase {
     assert(spark.read.parquet(cfg.table.toString).count() === 1)
   }
 
+  test("batch replay does not duplicate the append: dt anti-join dedupes") {
+    // foreachBatch is at-least-once — simulate the replay a crash between
+    // append and checkpoint-commit causes by wiping the checkpoint so the
+    // next tick re-processes every landed file against a populated table.
+    val cfg = freshCfg(None)
+    DailyApp.runTick(spark, cfg)
+    org.apache.commons.io.FileUtils.deleteDirectory(cfg.checkpoint.toFile)
+    val replay = DailyApp.runTick(spark, cfg)
+    // the replayed batch still ROUTES the day (summary reports it) ...
+    assert(replay.inserted === Seq("20220819"))
+    // ... but appends nothing: exactly one golden row survives the replay
+    assert(spark.read.parquet(cfg.table.toString).count() === 1)
+  }
+
+  test("notify failure cannot replay the append; its own retry delivers") {
+    // a server that 500s the first POST then accepts: the ingest commit
+    // happens before any delivery attempt, so the failed notify only
+    // re-runs deliverPending — never the insert.
+    val failures = new java.util.concurrent.atomic.AtomicInteger(1)
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val posts = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    server.createContext("/bot/sendMessage", (ex: HttpExchange) => {
+      val raw = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      if (failures.getAndDecrement() > 0) {
+        ex.sendResponseHeaders(500, -1)
+      } else {
+        posts.add(URLDecoder.decode(raw.split("&text=", 2)(1), "UTF-8"))
+        val ok = "{\"ok\":true}".getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, ok.length)
+        ex.getResponseBody.write(ok)
+      }
+      ex.close()
+    })
+    server.start()
+    try {
+      val cfg = freshCfg(Some(
+        s"http://127.0.0.1:${server.getAddress.getPort}/bot/sendMessage"))
+      val s = DailyApp.runTick(spark, cfg)
+      assert(s.inserted === Seq("20220819"))
+      // the table holds exactly one row despite the notify retry
+      assert(spark.read.parquet(cfg.table.toString).count() === 1)
+      // both messages eventually delivered (at-least-once is acceptable)
+      import scala.jdk.CollectionConverters._
+      val delivered = posts.asScala.toSet
+      assert(delivered.contains("20220819" + TwseFixtures.successMsgSuffix))
+      assert(delivered.contains(TwseFixtures.alertMsg))
+      // and the pending ledger drained
+      assert(!Files.exists(cfg.notifyPending) ||
+        Files.list(cfg.notifyPending).count() === 0)
+    } finally server.stop(0)
+  }
+
   test("tick-level retry: two failures then success, 5-min delays observed") {
     val delays = scala.collection.mutable.ListBuffer.empty[Long]
     var attempts = 0
