@@ -100,6 +100,9 @@ object TextQueries {
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_containment" -> ((s, d) => Dedup.containment(s, d)),
     "q_jaccard_prefix" -> ((s, d) => Dedup.jaccardPrefix(s, d)),
+    // band-first forms: LSH bands generate, exact arithmetic only scores
+    "q_ngram_jaccard_banded" -> ((s, d) => Dedup.ngramJaccardBanded(s, d)),
+    "q_containment_banded" -> ((s, d) => Dedup.containmentBanded(s, d)),
     "q_dedup_verify_pairs" -> ((s, d) => Dedup.verifyPairs(s, d)),
     "q_jaccard_calibration" -> ((s, d) => Dedup.jaccardCalibration(s, d)),
     "q_dedup_components" -> ((s, d) => Dedup.components(s, d)),
@@ -1398,6 +1401,45 @@ object TextQueries {
          |JOIN szs sb ON doc_big = sb.doc_id
          |WHERE (sa.sz < sb.sz OR (sa.sz = sb.sz AND doc_small < doc_big))
          |  AND n_inter * 10 >= sa.sz * 9""".stripMargin,
+
+    // Banded recall contract, restated: exactly the band-colliding pairs
+    // are scored — the oracle generates candidates from the SAME band
+    // keys and runs the same exact shingle arithmetic on them.
+    "q_ngram_jaccard_banded" ->
+      s"""$bandsCte,
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band_id = b.band_id
+         |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |docs AS (SELECT doc_id, list_distinct(s) AS ds FROM sh),
+         |sc AS (SELECT p.doc_a, p.doc_b,
+         |    CAST(len(list_intersect(a.ds, b.ds)) AS INTEGER) AS n_inter,
+         |    CAST(len(a.ds) + len(b.ds)
+         |      - len(list_intersect(a.ds, b.ds)) AS INTEGER) AS n_union
+         |  FROM pairs p JOIN docs a ON p.doc_a = a.doc_id
+         |  JOIN docs b ON p.doc_b = b.doc_id)
+         |SELECT doc_a, doc_b, n_inter, n_union,
+         |  n_inter * 10 >= n_union * 8 AS near_dup
+         |FROM sc""".stripMargin,
+
+    "q_containment_banded" ->
+      s"""$bandsCte,
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band_id = b.band_id
+         |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |docs AS (SELECT doc_id, list_distinct(s) AS ds FROM sh),
+         |sc AS (SELECT
+         |    CASE WHEN len(a.ds) <= len(b.ds) THEN p.doc_a ELSE p.doc_b END
+         |      AS doc_small,
+         |    CASE WHEN len(a.ds) <= len(b.ds) THEN p.doc_b ELSE p.doc_a END
+         |      AS doc_big,
+         |    CAST(len(list_intersect(a.ds, b.ds)) AS INTEGER) AS n_inter,
+         |    CAST(least(len(a.ds), len(b.ds)) AS INTEGER) AS sz_small,
+         |    CAST(greatest(len(a.ds), len(b.ds)) AS INTEGER) AS sz_big
+         |  FROM pairs p JOIN docs a ON p.doc_a = a.doc_id
+         |  JOIN docs b ON p.doc_b = b.doc_id)
+         |SELECT doc_small, doc_big, n_inter, sz_small, sz_big,
+         |  CAST(n_inter * 10000 // sz_small AS BIGINT) AS containment_bp
+         |FROM sc WHERE n_inter * 10 >= sz_small * 9""".stripMargin,
 
     // Brute-force threshold join within source — the prefix filter must
     // lose NOTHING above the 0.8 threshold (its exactness guarantee).

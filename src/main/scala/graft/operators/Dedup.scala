@@ -748,6 +748,96 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
   }
 
+  /** Shared candidate→shingle-array scaffold for the BANDED scoring
+    * family: minhash band-collision pairs, each side joined to its
+    * distinct-shingle array. The jaccardCalibration discipline — shingle
+    * arrays are computed ONLY for pair participants (broadcast semi-join
+    * before the per-row array projection), so the corpus is scanned once
+    * and the shuffle carries |participants| arrays, not |corpus|. At
+    * warehouse scale the broadcast becomes a shuffled semi-join on
+    * doc_id; either way the heavy per-row shingling never runs for
+    * documents no candidate pair references.
+    */
+  private def bandedPairsWithShingles(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val pairs = minhashPairs(spark, sfDir).truncateLineage()
+    val pairIds = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val docs = Tables.documents(spark, sfDir)
+      .join(broadcast(pairIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array_distinct(shingles3(col("text"))).as("ds"))
+      .truncateLineage() // one shingling pass feeds both join sides
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("ds").as("ds_a")),
+        "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("ds").as("ds_b")),
+        "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("ds_a"), col("ds_b"))))
+  }
+
+  /** Band-first n-gram Jaccard — the 100 TB form of [[ngramJaccard]].
+    * The postings self-join generator is superlinear on replicated
+    * corpora (candidates = Σ_shingle df², which a df stop-cap only
+    * bounds as maxDf·Σdf — measured 28.5× for 10× data at the sf100
+    * probe); band-LSH candidate generation is linear in documents
+    * (15.6× at the same probe), so here the bands GENERATE and the
+    * exact shingle arithmetic only SCORES the banded candidate set —
+    * the [[verifyPairs]] shape generalized.
+    *
+    * Recall contract (restated by the oracle): a pair is scored iff its
+    * 16-row minhash signatures collide on ≥1 of 4 bands — the standard
+    * LSH S-curve, ~96% at Jaccard 0.8 for (4,4); pairs that never
+    * band-collide are absent by design. Corpus-wide (no source
+    * blocking): the bands already bound the candidate volume, which is
+    * what the per-source blocking in [[ngramJaccard]] was for.
+    */
+  def ngramJaccardBanded(spark: SparkSession, sfDir: String): DataFrame =
+    bandedPairsWithShingles(spark, sfDir)
+      .withColumn("n_union",
+        size(col("ds_a")) + size(col("ds_b")) - col("n_inter"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+        (col("n_inter") * 10 >= col("n_union") * 8).as("near_dup"))
+
+  /** Band-first asymmetric containment — the scale form of
+    * [[containment]], whose corpus-wide postings join ABORTED the sf100
+    * probe (>50 GB shuffle+spill). Bands generate the candidate set;
+    * containment is scored exactly on each banded pair from its smaller
+    * side (C = n_inter/sz_small ≥ 0.9 by cross-multiplication).
+    *
+    * Recall contract (restated by the oracle): banded. Minhash collision
+    * probability tracks JACCARD, not containment, so this surfaces
+    * contained pairs whose sizes are comparable (an excerpt that IS most
+    * of the big doc) and misses strongly asymmetric ones (50 shingles
+    * inside 5000 → Jaccard 0.01 never bands) — the honest envelope of a
+    * symmetric-LSH generator. The production path for asymmetric
+    * containment search at scale is size-partitioned LSH (LSH Ensemble,
+    * Zhu et al., VLDB 2016): partition the corpus by set size and pick
+    * per-partition band thresholds from the containment→Jaccard bound
+    * J ≥ t·|A|/(|A|+|B|−t·|A|) — same band machinery, size-aware keys.
+    * [[containment]] remains the exact generator below the scale where
+    * its postings join fits.
+    */
+  def containmentBanded(spark: SparkSession, sfDir: String): DataFrame =
+    bandedPairsWithShingles(spark, sfDir)
+      .withColumn("sz_a", size(col("ds_a")))
+      .withColumn("sz_b", size(col("ds_b")))
+      // orient each pair to score from its smaller side (doc_id ties
+      // break on the a-side, which minhashPairs already orders first)
+      .select(
+        when(col("sz_a") <= col("sz_b"), col("doc_a")).otherwise(col("doc_b"))
+          .as("doc_small"),
+        when(col("sz_a") <= col("sz_b"), col("doc_b")).otherwise(col("doc_a"))
+          .as("doc_big"),
+        col("n_inter"),
+        least(col("sz_a"), col("sz_b")).as("sz_small"),
+        greatest(col("sz_a"), col("sz_b")).as("sz_big"))
+      .filter(col("n_inter") * 10 >= col("sz_small") * 9)
+      .select(col("doc_small"), col("doc_big"), col("n_inter"),
+        col("sz_small"), col("sz_big"),
+        expr("n_inter * 10000 div sz_small").as("containment_bp"))
+
   /** Fuzzy entity resolution by edit distance — the typo/near-miss name
     * matcher, via FastSS deletion-neighborhood blocking (Bocek et al.,
     * "Fast Similarity Search in Large Dictionaries", 2007): two strings
