@@ -29,6 +29,7 @@ object SimilarityQueries {
     "q_dedup_embedding" -> ((s, d) => Similarity.nearestPairPerLabel(s, d)),
     "q_dedup_embedding_lsh" -> ((s, d) => Similarity.nearDupLsh(s, d)),
     "q_dedup_embedding_cc" -> ((s, d) => Similarity.semanticDedup(s, d)),
+    "q_dedup_pair_budget" -> ((s, d) => Similarity.pairBudget(s, d)),
     "q_kmeans" -> ((s, d) => Similarity.kmeans(s, d)),
     "q_sim_topk_ivf_kmeans" -> ((s, d) => Similarity.topKIvfKmeans(s, d)),
     "q_sim_topk_pq" -> ((s, d) => Similarity.topKPqAdc(s, d)),
@@ -434,11 +435,17 @@ object SimilarityQueries {
         |  CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) + 0 AS DOUBLE) AS score
         |FROM j""".stripMargin,
 
+    // Candidate pairs carry the per-vector successor cap (rank within
+    // bucket by vec_id, pair with the next ≤32) — mirrors
+    // Similarity.cappedBlockPairs, the mega-dup-family output guard.
     "q_dedup_embedding_lsh" ->
       s"""WITH ${bucketsCte(adaptivePlanesSql)},
+         |rk AS (SELECT vec_id, bucket,
+         |  row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+         |  FROM buck),
          |cand AS (SELECT ba.bucket, ba.vec_id AS va, bb.vec_id AS vb
-         |  FROM buck ba JOIN buck bb ON ba.bucket = bb.bucket
-         |    AND ba.vec_id < bb.vec_id),
+         |  FROM rk ba JOIN rk bb ON ba.bucket = bb.bucket
+         |    AND bb.rn > ba.rn AND bb.rn <= ba.rn + 32),
          |d AS (SELECT c.bucket, c.va, c.vb,
          |  ${qsum("ea.embedding[i]", "eb.embedding[i]")} AS dot,
          |  ${qsum("ea.embedding[i]", "ea.embedding[i]")} AS na,
@@ -454,9 +461,12 @@ object SimilarityQueries {
     // recursive CTE stands in for the engine's label-propagation loop.
     "q_dedup_embedding_cc" ->
       s"""WITH RECURSIVE ${bucketsCte(adaptivePlanesSql)},
+         |rk AS (SELECT vec_id, bucket,
+         |  row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+         |  FROM buck),
          |cand AS (SELECT ba.vec_id AS va, bb.vec_id AS vb
-         |  FROM buck ba JOIN buck bb ON ba.bucket = bb.bucket
-         |    AND ba.vec_id < bb.vec_id),
+         |  FROM rk ba JOIN rk bb ON ba.bucket = bb.bucket
+         |    AND bb.rn > ba.rn AND bb.rn <= ba.rn + 32),
          |d AS (SELECT c.va, c.vb,
          |  ${qsum("ea.embedding[i]", "eb.embedding[i]")} AS dot,
          |  ${qsum("ea.embedding[i]", "ea.embedding[i]")} AS na,
@@ -482,7 +492,9 @@ object SimilarityQueries {
     // so the bucket strings match the engine's at every corpus size.
     "q_dedup_embedding" ->
       s"""WITH ${bucketsCte(adaptivePlanesSql)},
-         |eb AS (SELECT e.vec_id, e.label, e.embedding, b.bucket
+         |eb AS (SELECT e.vec_id, e.label, e.embedding, b.bucket,
+         |  row_number() OVER (PARTITION BY e.label, b.bucket
+         |    ORDER BY e.vec_id) AS rn
          |  FROM embeddings e JOIN buck b ON e.vec_id = b.vec_id),
          |p AS (SELECT a.label, a.vec_id AS va, b.vec_id AS vb,
          |  ${qsum("a.embedding[i]", "b.embedding[i]")} AS dot,
@@ -490,12 +502,28 @@ object SimilarityQueries {
          |  ${qsum("b.embedding[i]", "b.embedding[i]")} AS nb
          |  FROM eb a JOIN eb b
          |    ON a.label = b.label AND a.bucket = b.bucket
-         |    AND a.vec_id < b.vec_id, range(1, 65) r(i)
+         |    AND b.rn > a.rn AND b.rn <= a.rn + 32, range(1, 65) r(i)
          |  GROUP BY 1, 2, 3)
          |SELECT label, va AS vec_a, vb AS vec_b,
          |  CAST(round($qscore, 6) + 0 AS DOUBLE) AS score
          |FROM (SELECT *, row_number() OVER (PARTITION BY label
-         |    ORDER BY $qscore DESC, va, vb) AS rn FROM p)
-         |WHERE rn = 1""".stripMargin
+         |    ORDER BY $qscore DESC, va, vb) AS rnk FROM p)
+         |WHERE rnk = 1""".stripMargin,
+
+    // Closed-form successor-cap accounting from bucket sizes (m=32):
+    // emitted = C(g,2) when g-1 <= m else m*g - m(m+1)/2.
+    "q_dedup_pair_budget" ->
+      s"""WITH ${bucketsCte(adaptivePlanesSql)},
+         |gs AS (SELECT bucket, count(*) AS g FROM buck GROUP BY 1),
+         |p AS (SELECT g, g * (g - 1) // 2 AS full_pairs,
+         |  CASE WHEN g - 1 <= 32 THEN g * (g - 1) // 2
+         |    ELSE 32 * g - 528 END AS emitted_pairs FROM gs)
+         |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(sum(CASE WHEN g - 1 > 32 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_mega_buckets,
+         |  CAST(sum(full_pairs) AS BIGINT) AS full_pairs,
+         |  CAST(sum(emitted_pairs) AS BIGINT) AS emitted_pairs,
+         |  CAST(sum(full_pairs - emitted_pairs) AS BIGINT) AS dropped_pairs
+         |FROM p""".stripMargin
   )
 }

@@ -212,27 +212,90 @@ object Similarity {
   private[graft] def adaptivePlanes(n: Long): Int =
     math.max(4, java.lang.Long.toBinaryString(n / 32).length)
 
+  /** Per-vector successor cap over LSH blocks — the guard that keeps
+    * PAIR OUTPUT linear when a block is one mega dup-family.
+    * [[adaptivePlanes]] holds EXPECTED occupancy ≈32, but replicated
+    * corpora concentrate: a ~1000-replica family lands in ONE bucket
+    * regardless of plane count, and all-pairs inside it is C(1000,2) —
+    * the round-11 sf100 probe sat 105 min in exactly that. The cap:
+    * rank each block by vec_id and pair every vector only with its
+    * `maxSucc` rank-successors — ≤ N·maxSucc pairs total, all-pairs
+    * preserved for blocks of ≤ maxSucc+1 members (the designed
+    * occupancy), and a mega-family stays CONNECTED through its
+    * rank-adjacent chain (what downstream components need).
+    *
+    * Plan shape: one row_number window over the block key (one shuffle
+    * + sort of N rows — linear), then each vector EXPLODES its maxSucc
+    * successor SLOTS and equi-joins (block, slot = rn). The range
+    * predicate becomes the join key itself, so the join materializes
+    * exactly the capped pairs — never g² rows with a post-filter.
+    */
+  private def cappedBlockPairs(b: DataFrame, blockCols: Seq[String],
+      maxSucc: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = b
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(blockCols.map(col): _*).orderBy(col("vec_id"))))
+      .truncateLineage() // one ranking pass feeds both join sides
+    val left = ranked
+      .withColumn("slot", explode(sequence(col("rn") + 1, col("rn") + maxSucc)))
+      .select(blockCols.map(col) ++ Seq(col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"), col("slot")): _*)
+    val right = ranked.select(blockCols.map(col) ++ Seq(
+      col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      col("rn").as("slot")): _*)
+    left.join(right, blockCols :+ "slot").drop("slot")
+  }
+
   /** Embedding near-dup via LSH blocking — the scale path: candidate
     * pairs come from sign-bucket collisions under [[adaptivePlanes]]
     * hyperplanes (bucket count tracks corpus size, occupancy stays ≈32,
     * candidate volume stays linear in N), then exact cosine on
-    * candidates only. Output keeps every bucketed pair with its score; a
-    * dedup pipeline thresholds downstream. More planes trade recall for
-    * cost exactly like any LSH family; the minhash band construction is
-    * the recall-tunable alternative when that knob matters.
+    * candidates only. Pair emission is bounded by the per-vector
+    * successor cap ([[cappedBlockPairs]], default 32 = the designed
+    * occupancy, so ordinary buckets still emit all pairs and only mega
+    * dup-families are trimmed to their linear successor band);
+    * [[pairBudget]] accounts for exactly what the cap dropped. Output
+    * keeps every capped pair with its score; a dedup pipeline
+    * thresholds downstream. More planes trade recall for cost exactly
+    * like any LSH family; the minhash band construction is the
+    * recall-tunable alternative when that knob matters.
     */
-  def nearDupLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def nearDupLsh(spark: SparkSession, sfDir: String,
+      maxSucc: Int = 32): DataFrame = {
     val planes = adaptivePlanes(Tables.embeddings(spark, sfDir).count())
-    val b = lshBuckets(spark, sfDir, planes).truncateLineage()
-    b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket")
-          && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.bucket").as("bucket"),
-        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+    cappedBlockPairs(lshBuckets(spark, sfDir, planes), Seq("bucket"), maxSucc)
+      .select(col("bucket"), col("vec_a"), col("vec_b"),
         // pair SCORING (vs retrieval ranking) uses the quantized-integer
         // cosine: exact long accumulation, engine-portable bit-for-bit
         round(graft.functions.VectorExpressions.quantized_cosine(
-          col("a.embedding"), col("b.embedding")), 6).as("score"))
+          col("emb_a"), col("emb_b")), 6).as("score"))
+  }
+
+  /** Dropped-pair accounting for the successor cap: per-corpus totals of
+    * bucket count, mega buckets (those the cap trims), full all-pairs
+    * volume, emitted capped volume, and the dropped remainder — the
+    * numbers a pipeline owner reads before trusting capped dedup output.
+    * Closed-form from bucket sizes (for size g, cap m: emitted =
+    * C(g,2) when g−1 ≤ m else m·g − m(m+1)/2), so the audit costs one
+    * bucket aggregate, never a pair materialization.
+    */
+  def pairBudget(spark: SparkSession, sfDir: String,
+      maxSucc: Int = 32): DataFrame = {
+    val planes = adaptivePlanes(Tables.embeddings(spark, sfDir).count())
+    val m = maxSucc.toLong
+    val tri = m * (m + 1) / 2 // Σ 1..m, the capped tail's triangle
+    lshBuckets(spark, sfDir, planes)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("g"))
+      .select(col("g"),
+        expr("g * (g - 1) div 2").as("full_pairs"),
+        when(col("g") - 1 <= m, expr("g * (g - 1) div 2"))
+          .otherwise(lit(m) * col("g") - lit(tri)).as("emitted_pairs"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("g") - 1 > m, 1L).otherwise(0L)).as("n_mega_buckets"),
+        sum(col("full_pairs")).as("full_pairs"),
+        sum(col("emitted_pairs")).as("emitted_pairs"),
+        sum(col("full_pairs") - col("emitted_pairs")).as("dropped_pairs"))
   }
 
   /** Semantic dedup terminal: connected components over the thresholded
@@ -264,24 +327,25 @@ object Similarity {
     * high probability (sign-LSH), so the per-label winner is preserved
     * where it matters; codegen'd cosine + one window rank on top.
     */
-  def nearestPairPerLabel(spark: SparkSession, sfDir: String): DataFrame = {
+  def nearestPairPerLabel(spark: SparkSession, sfDir: String,
+      maxSucc: Int = 32): DataFrame = {
     // Adaptive plane count (not the fixed 4-plane default): with fixed
     // planes, bucket occupancy grows with N and intra-bucket pairs with
     // N²/2^planes — the round-10 ratio audit measured 28.8× at 10× data.
-    // adaptivePlanes holds occupancy ≈32, so candidate volume stays
-    // linear in N exactly as in nearDupLsh.
+    // adaptivePlanes holds EXPECTED occupancy ≈32; replicated mega-
+    // families still concentrate in one (label, bucket) block, so the
+    // successor cap bounds scored pairs at N·maxSucc (the sf100 killer).
+    // Contract: the argmax ranges over the capped candidate set — for a
+    // mega dup-family the rank-adjacent candidates include its
+    // near-identical members, which is where the winner lives anyway.
     val planes = adaptivePlanes(Tables.embeddings(spark, sfDir).count())
-    val e = lshBuckets(spark, sfDir, planes).truncateLineage()
-    val pairs = e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label")
-          && col("a.bucket") === col("b.bucket")
-          && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.label").as("label"),
-        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+    val pairs = cappedBlockPairs(
+        lshBuckets(spark, sfDir, planes), Seq("label", "bucket"), maxSucc)
+      .select(col("label"), col("vec_a"), col("vec_b"),
         // quantized-integer cosine: the per-label ARGMAX must not hinge
         // on a last-ulp double wobble between engines
         graft.functions.VectorExpressions.quantized_cosine(
-          col("a.embedding"), col("b.embedding")).as("raw_score"))
+          col("emb_a"), col("emb_b")).as("raw_score"))
     // Per-label ARGMAX as a MAX over an ordering struct, NOT a
     // row_number window: the window shape shuffles every candidate pair
     // into |labels| partitions and SORTS each one whole (a handful of
