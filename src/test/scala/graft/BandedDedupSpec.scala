@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Round-12 scale guards: the band-first postings scorers
+  * (candidates from minhash bands, exact arithmetic on candidates only)
+  * and the per-vector successor cap that bounds pair emission from
+  * mega dup-family LSH buckets.
+  */
+class BandedDedupSpec extends SparkTestBase {
+
+  test("banded jaccard scores exactly the band candidate set") {
+    val pairs = Dedup.minhashPairs(spark, sf()).select("doc_a", "doc_b")
+    val banded = Dedup.ngramJaccardBanded(spark, sf()).select("doc_a", "doc_b")
+    assert(banded.count() === pairs.count())
+    assert(banded.except(pairs).count() === 0)
+  }
+
+  test("banded jaccard arithmetic agrees with the exact postings scorer") {
+    // on pairs both relations surface (the fixture's stop-cap never
+    // binds), (n_inter, n_union, near_dup) must be identical — the
+    // banded form changes the GENERATOR, never the score
+    val exact = Dedup.ngramJaccard(spark, sf())
+      .select(col("doc_a"), col("doc_b"), col("n_inter").as("ei"),
+        col("n_union").as("eu"), col("near_dup").as("en"))
+    val banded = Dedup.ngramJaccardBanded(spark, sf())
+    val joined = banded.join(exact, Seq("doc_a", "doc_b"))
+    assert(joined.count() > 0)
+    assert(joined.filter(col("n_inter") =!= col("ei")
+      || col("n_union") =!= col("eu")
+      || col("near_dup") =!= col("en")).count() === 0)
+  }
+
+  test("banded containment scores from the smaller side at >= 0.9") {
+    val c = Dedup.containmentBanded(spark, sf())
+    assert(c.filter(col("sz_small") > col("sz_big")).count() === 0)
+    assert(c.filter(col("n_inter") * 10 < col("sz_small") * 9).count() === 0)
+    assert(c.filter(col("containment_bp") < 9000
+      || col("containment_bp") > 10000).count() === 0)
+  }
+
+  test("successor cap bounds per-vector out-degree and nests by cap") {
+    val two = Similarity.nearDupLsh(spark, sf(), maxSucc = 2)
+    val all = Similarity.nearDupLsh(spark, sf(), maxSucc = 1 << 20)
+    val maxDeg = two.groupBy(col("bucket"), col("vec_a"))
+      .agg(count(lit(1)).as("d")).agg(max(col("d"))).head().getLong(0)
+    assert(maxDeg <= 2)
+    // capped edges are a subset of the uncapped all-pairs relation
+    assert(two.select("bucket", "vec_a", "vec_b")
+      .except(all.select("bucket", "vec_a", "vec_b")).count() === 0)
+    // and the uncapped relation IS all-pairs: sum of C(g,2) over buckets
+    val g = Similarity.lshBuckets(spark, sf(),
+        Similarity.adaptivePlanes(
+          graft.sources.Tables.embeddings(spark, sf()).count()))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("g"))
+      .agg(sum(expr("g * (g - 1) div 2"))).head().getLong(0)
+    assert(all.count() === g)
+  }
+
+  test("pairBudget accounting matches materialized pair counts") {
+    for (m <- Seq(1, 2, 32)) {
+      val budget = Similarity.pairBudget(spark, sf(), maxSucc = m).head()
+      val emitted = Similarity.nearDupLsh(spark, sf(), maxSucc = m).count()
+      val full = Similarity.nearDupLsh(spark, sf(), maxSucc = 1 << 20).count()
+      assert(budget.getAs[Long]("emitted_pairs") === emitted,
+        s"emitted mismatch at m=$m")
+      assert(budget.getAs[Long]("full_pairs") === full)
+      assert(budget.getAs[Long]("dropped_pairs") === full - emitted)
+    }
+  }
+}
