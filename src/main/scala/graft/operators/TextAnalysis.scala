@@ -620,7 +620,7 @@ object TextAnalysis {
     */
   def vocab(spark: SparkSession, sfDir: String, minCount: Int = 5, k: Int = 500): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = Tables.documents(spark, sfDir)
+    val counts = Tables.documentsLight(spark, sfDir)
       .select(explode(wsTokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
@@ -643,7 +643,7 @@ object TextAnalysis {
   def oovRate(spark: SparkSession, sfDir: String): DataFrame = {
     val v = broadcast(vocab(spark, sfDir).select(col("token"))
       .withColumn("in_vocab", lit(1)))
-    Tables.documents(spark, sfDir)
+    Tables.documentsLight(spark, sfDir)
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
       .join(v, Seq("token"), "left")
       .groupBy(col("doc_id"))
@@ -668,7 +668,7 @@ object TextAnalysis {
     */
   def zipfFit(spark: SparkSession, sfDir: String, topK: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = Tables.documents(spark, sfDir)
+    val counts = Tables.documentsLight(spark, sfDir)
       .select(explode(wsTokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(topK)
@@ -742,7 +742,7 @@ object TextAnalysis {
   def bm25Top(spark: SparkSession, sfDir: String,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, sfDir)
+    val docs = Tables.documentsLight(spark, sfDir)
     val toks = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
     val dl = docs.select(col("doc_id"), size(wsTokens(col("text"))).as("dl"))
     val stats = broadcast(dl.agg(

@@ -118,6 +118,20 @@ object Tables {
   def embeddingsRaw(s: SparkSession, d: String): DataFrame =
     table(s, d, "embeddings")
 
+  /** LIGHT-consumer documents reader — for queries whose per-byte work
+    * is one tokenize + aggregate (vocab builds, token-frequency fits,
+    * OOV audits): real, but ~10× lighter than the shingle/minhash
+    * family the 256 KiB floor was tuned for. At sf0.1 (0.6 MB) the
+    * round-robin exchange costs these queries more than serial
+    * tokenization does (round-11 A/B: the taxed light set ran 11.98 s
+    * spread-on vs 7.37 s spread-off), so the floor here is 4 MiB:
+    * exchange-free through sf0.1, spread resumes from sf1 (5.5 MB)
+    * where parallel tokenization wins and keeps winning at every
+    * larger scale.
+    */
+  def documentsLight(s: SparkSession, d: String): DataFrame =
+    spread(table(s, d, "documents"), s"$d/documents.parquet", 4L << 20)
+
   /** Raw events with `ts` normalized to Long NANOSECONDS — the internal
     * convention the streaming stagers persist to their landing dirs.
     *
