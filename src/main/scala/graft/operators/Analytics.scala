@@ -2506,26 +2506,33 @@ object Analytics {
     * broadcasts for the name.
     */
   def q21WaitingSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    // EXISTS other-supplier ∧ NOT-EXISTS other-LATE-supplier is, per
+    // order, a statement about two cardinalities: |suppliers| ≥ 2 and
+    // |late suppliers| = 1 (blame the lone late one). The semi+anti
+    // self-join form pays a corpus-wide distinct plus two orderkey
+    // joins over skewed per-order supplier lists — measured 25× for
+    // 10× data at the sf100 probe. The grouped form pays ONE li⋈o
+    // shuffle; both aggregates then reuse its orderkey partitioning
+    // (hash(orderkey) satisfies the (orderkey, suppkey) clustering),
+    // so nothing re-exchanges until the |blamed|-sized tail.
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
     val o = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_orderdate"))
-    val late = li
+    val perSupp = li
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .filter(col("l_shipdate") > col("o_orderdate") + expr("interval 90 days"))
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val others = li.select(col("l_orderkey").as("o2_orderkey"),
-      col("l_suppkey").as("o2_suppkey")).distinct()
-    val lateOthers = late.select(col("l_orderkey").as("l3_orderkey"),
-      col("l_suppkey").as("l3_suppkey"))
-    val blamed = late
-      .join(others, col("o2_orderkey") === col("l_orderkey")
-        && col("o2_suppkey") =!= col("l_suppkey"), "left_semi")
-      .join(lateOthers, col("l3_orderkey") === col("l_orderkey")
-        && col("l3_suppkey") =!= col("l_suppkey"), "left_anti")
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max((col("l_shipdate") >
+        col("o_orderdate") + expr("interval 90 days")).cast("int"))
+        .as("is_late"))
+    val blamed = perSupp
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("is_late")).as("n_late"),
+        max(when(col("is_late") === 1, col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
     blamed
       .join(broadcast(Tables.supplier(spark, sfDir)),
-        col("l_suppkey") === col("s_suppkey"))
+        col("late_supp") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
   }
