@@ -71,13 +71,27 @@ class Round6OpsSpec extends SparkTestBase {
       s"NOT IN must stay a hash join on this non-null key:\n$plan")
   }
 
-  test("q21 plans both quantifiers as semi/anti hash joins on the order key") {
+  test("q21 plans the quantifiers as one grouped pass, no self-joins") {
+    // round-12 rewrite: EXISTS/NOT-EXISTS other (late) supplier is a
+    // per-order cardinality aggregate — the plan must carry NO semi or
+    // anti self-join and at most ONE mid-plan hash exchange (the
+    // orderkey shuffle both aggregation levels reuse); the supplier
+    // probe broadcasts
     val plan = Analytics.q21WaitingSuppliers(spark, sf())
       .queryExecution.executedPlan.toString
-    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
-      s"expected semi + anti quantifier joins:\n$plan")
-    assert(!plan.contains("CartesianProduct"),
-      s"the supplier inequality must ride the equi join as a residual:\n$plan")
+    assert(!plan.contains("LeftSemi") && !plan.contains("LeftAnti"),
+      s"the quantifiers must be aggregated, not self-joined:\n$plan")
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no product joins:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // at broadcast scale: (orderkey,suppkey) + orderkey + the
+    // |suppliers|-sized s_name rollup = 3. At SMJ scale the join's
+    // orderkey partitioning satisfies BOTH aggregate clusterings
+    // (subset-hash co-location), so the aggregates add none. Either
+    // way: never a corpus re-exchange per quantifier like the old
+    // semi+anti form's five.
+    assert(exchanges <= 3, s"expected <=3 hash exchanges, got $exchanges:\n$plan")
   }
 
   test("domainCap kept-branch pre-limits per map task (WindowGroupLimit)") {
