@@ -97,6 +97,9 @@ object TextQueries {
     "q_dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "q_dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    // successor-capped generators: the mega-dup-family output guards
+    "q_dedup_minhash_pairs_capped" -> ((s, d) => Dedup.minhashPairsCapped(s, d)),
+    "q_dedup_simhash_pairs_capped" -> ((s, d) => Dedup.simhashPairsCapped(s, d)),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_containment" -> ((s, d) => Dedup.containment(s, d)),
     "q_jaccard_prefix" -> ((s, d) => Dedup.jaccardPrefix(s, d)),
@@ -1274,6 +1277,50 @@ object TextQueries {
         |     = substr(b.simhash, 1,
         |       (SELECT greatest(8, length(bin(count(*) // 32))) FROM documents))
         |  AND a.doc_id < b.doc_id""".stripMargin,
+
+    // The successor cap restated: rank each band bucket by doc_id, keep
+    // a pair iff it is within 32 rank-successors in SOME shared band.
+    "q_dedup_minhash_pairs_capped" ->
+      s"""$bandsCte,
+         |rk AS (SELECT doc_id, band_id, band_key,
+         |  row_number() OVER (PARTITION BY band_id, band_key
+         |    ORDER BY doc_id) AS rn FROM bands)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM rk a JOIN rk b ON a.band_id = b.band_id
+         |  AND a.band_key = b.band_key
+         |  AND b.rn > a.rn AND b.rn <= a.rn + 32""".stripMargin,
+
+    "q_dedup_simhash_pairs_capped" ->
+      """WITH h AS (SELECT doc_id,
+        |  list_transform(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    w -> md5(w)) AS hs
+        |  FROM documents),
+        |sim AS (SELECT doc_id, array_to_string(
+        |  list_transform(range(64), b -> CASE WHEN list_sum(
+        |    list_transform(hs, x ->
+        |      (((strpos('0123456789abcdef', substr(x, CAST(b//4 AS INTEGER)+1, 1)) - 1
+        |         >> CAST(b%4 AS INTEGER)) & 1) * 2 - 1))) > 0
+        |    THEN '1' ELSE '0' END), '') AS simhash
+        |  FROM h),
+        |rk AS (SELECT doc_id, simhash,
+        |  substr(simhash, 1,
+        |    (SELECT greatest(8, length(bin(count(*) // 32))) FROM documents))
+        |    AS bucket,
+        |  row_number() OVER (PARTITION BY substr(simhash, 1,
+        |    (SELECT greatest(8, length(bin(count(*) // 32))) FROM documents))
+        |    ORDER BY doc_id) AS rn
+        |  FROM sim)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(list_sum(list_transform(range(64), i ->
+        |    CASE WHEN substr(a.simhash, CAST(i AS INTEGER) + 1, 1)
+        |      != substr(b.simhash, CAST(i AS INTEGER) + 1, 1)
+        |    THEN 1 ELSE 0 END)) AS INTEGER) AS hamming,
+        |  list_sum(list_transform(range(64), i ->
+        |    CASE WHEN substr(a.simhash, CAST(i AS INTEGER) + 1, 1)
+        |      != substr(b.simhash, CAST(i AS INTEGER) + 1, 1)
+        |    THEN 1 ELSE 0 END)) <= 8 AS near_dup
+        |FROM rk a JOIN rk b ON a.bucket = b.bucket
+        |  AND b.rn > a.rn AND b.rn <= a.rn + 32""".stripMargin,
 
     "q_dedup_verify_pairs" ->
       s"""$bandsCte,

@@ -72,6 +72,38 @@ object Dedup {
       .distinct()
   }
 
+  /** [[minhashPairs]] with the per-document SUCCESSOR CAP — the text
+    * twin of the embedding family's mega-dup-family guard
+    * ([[Similarity.cappedBlockPairs]]): rank each band bucket by doc_id
+    * and pair every document only with its ≤ `maxSucc` rank-successors,
+    * via exploded slot keys so the join materializes exactly the capped
+    * pairs (never bucket² rows with a post-filter). A pair survives if
+    * it is within the cap in ANY shared band. Ordinary ≲32-occupancy
+    * buckets emit all pairs unchanged; a replicated mega-family's
+    * emission drops from C(g,2) to g·maxSucc while staying CONNECTED
+    * through the rank-adjacent chain (what components consume). The
+    * uncapped [[minhashPairs]] remains the exact generator the graph
+    * family builds on through sf10.
+    */
+  def minhashPairsCapped(spark: SparkSession, sfDir: String,
+      maxSucc: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = minhashBands(spark, sfDir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("band_id"), col("band_key"))
+          .orderBy(col("doc_id"))))
+      .truncateLineage()
+    val left = ranked
+      .withColumn("slot",
+        explode(sequence(col("rn") + 1, col("rn") + maxSucc)))
+      .select(col("band_id"), col("band_key"),
+        col("doc_id").as("doc_a"), col("slot"))
+    val right = ranked.select(col("band_id"), col("band_key"),
+      col("doc_id").as("doc_b"), col("rn").as("slot"))
+    left.join(right, Seq("band_id", "band_key", "slot"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
   /** I2c — simhash: 64-bit signature string + 16-bit prefix bucket.
     * Near-dups differ in O(1) bits; bucketing the prefix (or rotations,
     * at scale) turns Hamming search into a hash join.
@@ -120,6 +152,42 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         ham.cast("int").as("hamming"))
+      .withColumn("near_dup", col("hamming") <= maxHamming)
+  }
+
+  /** [[simhashPairs]] with the per-document successor cap over the
+    * adaptive prefix blocks — same guard, same contract: exact Hamming
+    * on every emitted pair, emission bounded at N·maxSucc, mega blocks
+    * trimmed to their rank-adjacent band (near-identical replicas are
+    * rank-neighbors' neighbors, so dup detection keeps its signal).
+    */
+  def simhashPairsCapped(spark: SparkSession, sfDir: String,
+      maxHamming: Int = 8, maxSucc: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val prefixBits =
+      math.max(8, java.lang.Long.toBinaryString(nDocs / 32).length)
+    val ranked = simhash(spark, sfDir)
+      .select(col("doc_id"), col("simhash"),
+        substring(col("simhash"), 1, prefixBits).as("bucket"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
+      .truncateLineage()
+    val left = ranked
+      .withColumn("slot",
+        explode(sequence(col("rn") + 1, col("rn") + maxSucc)))
+      .select(col("bucket"), col("doc_id").as("doc_a"),
+        col("simhash").as("sim_a"), col("slot"))
+    val right = ranked.select(col("bucket"), col("doc_id").as("doc_b"),
+      col("simhash").as("sim_b"), col("rn").as("slot"))
+    val ham = (0 until 8).map { c =>
+      bit_count(
+        conv(substring(col("sim_a"), c * 8 + 1, 8), 2, 10).cast("long")
+          .bitwiseXOR(
+            conv(substring(col("sim_b"), c * 8 + 1, 8), 2, 10).cast("long")))
+    }.reduce(_ + _)
+    left.join(right, Seq("bucket", "slot"))
+      .select(col("doc_a"), col("doc_b"), ham.cast("int").as("hamming"))
       .withColumn("near_dup", col("hamming") <= maxHamming)
   }
 
