@@ -750,8 +750,12 @@ object Analytics {
       .filter(col("l_ship_month") >= "1998-06"
         && col("l_shipdate") > lit(cutoff))
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(cust, col("o_custkey") === col("c_custkey"))
+    // broadcast-prune orders by segment BEFORE the fact-fact shuffle:
+    // the customer join is a narrow map-side filter, so only the
+    // BUILDING fifth of orders pays the orderkey exchange (sf100
+    // measured the unpruned order shuffling 5x the rows it needed)
+    li.join(ord.join(cust, col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
         .as("rev_dec"))
