@@ -279,7 +279,14 @@ object Analytics {
         && col("o_orderdate") >= lit("1996-01-01")
         && col("o_orderdate") < lit("1996-04-01"))
       .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-    val li = Tables.lineitem(spark, sfDir)
+    // the residual implies l_shipdate > min(o_orderdate) + 45 d =
+    // 1996-02-15 — a lossless derived bound the partition layout can
+    // prune on (the optimizer cannot derive cross-column bounds across
+    // the join itself), cutting every pre-Feb-1996 ship month from the
+    // 600 M-row probe side before it shuffles
+    val li = graft.sources.PartitionedTables.lineitemByShipMonth(spark, sfDir)
+      .filter(col("l_ship_month") >= "1996-02"
+        && col("l_shipdate") > lit("1996-02-15"))
       .select(col("l_orderkey"), col("l_shipdate"))
     o.join(li, col("l_orderkey") === col("o_orderkey")
         && col("l_shipdate") > col("o_orderdate") + expr("interval 45 days"),
