@@ -182,7 +182,15 @@ object DailyApp {
           // E1 — insert_data: foreachBatch is at-least-once, so drop
           // dates the table already holds before appending — a replayed
           // batch re-appends nothing (the PostgresOperator INSERT with
-          // an ON CONFLICT DO NOTHING key; parquet here, JDBC in prod)
+          // an ON CONFLICT DO NOTHING key; parquet here, JDBC in prod).
+          // EXACTLY-ONCE ENVELOPE: the dt-granular anti-join assumes a
+          // day's append is ATOMIC — true here by construction (one row
+          // per dt ⇒ one task, one file, committed or absent). A sink
+          // where one day spans several files/tasks (partitioned
+          // parquet, JDBC without the ON CONFLICT key) can crash with a
+          // day PARTIALLY committed, and replay would anti-join the
+          // whole dt away instead of repairing it — such a sink needs
+          // row-granular dedup or stage-then-rename, not this guard.
           val fresh =
             if (Files.exists(cfg.table))
               wide.join(spark.read.parquet(cfg.table.toString)
@@ -242,8 +250,7 @@ object DailyApp {
   private[graft] def deliverPending(spark: SparkSession, cfg: Config,
       url: String): Unit = {
     if (!Files.exists(cfg.notifyPending)) return
-    import scala.jdk.CollectionConverters._
-    val pending = Files.list(cfg.notifyPending).iterator().asScala
+    val pending = graft.FsUtil.listDir(cfg.notifyPending)
       .filter(_.getFileName.toString.endsWith(".msg"))
       .toList.sortBy(_.getFileName.toString)
     if (pending.isEmpty) return

@@ -106,6 +106,12 @@ object TextQueries {
     // band-first forms: LSH bands generate, exact arithmetic only scores
     "q_ngram_jaccard_banded" -> ((s, d) => Dedup.ngramJaccardBanded(s, d)),
     "q_containment_banded" -> ((s, d) => Dedup.containmentBanded(s, d)),
+    // prefix postings with the per-posting successor cap — the scale
+    // twin of q_jaccard_prefix
+    "q_jaccard_prefix_capped" -> ((s, d) => Dedup.jaccardPrefixCapped(s, d)),
+    // min-wise inclusion probes: asymmetric containment, recall-complete
+    // at any size ratio — the scale twin of q_containment
+    "q_containment_ensemble" -> ((s, d) => Dedup.containmentEnsemble(s, d)),
     "q_dedup_verify_pairs" -> ((s, d) => Dedup.verifyPairs(s, d)),
     "q_jaccard_calibration" -> ((s, d) => Dedup.jaccardCalibration(s, d)),
     "q_dedup_components" -> ((s, d) => Dedup.components(s, d)),
@@ -1502,6 +1508,75 @@ object TextQueries {
          |FROM inter JOIN szs sa ON doc_a = sa.doc_id
          |JOIN szs sb ON doc_b = sb.doc_id
          |WHERE n_inter * 10 >= (sa.sz + sb.sz - n_inter) * 8""".stripMargin,
+
+    // Mirrors the CAPPED prefix generator (not the brute-force join):
+    // same df-ascending prefix, same per-(source, shingle) doc_id rank,
+    // candidates within 32 rank positions, exact verification on top.
+    "q_jaccard_prefix_capped" ->
+      s"""WITH $baseCte, $shinglesCte,
+         |ex AS (SELECT doc_id, source, unnest(list_distinct(s)) AS shingle FROM sh),
+         |szs AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1),
+         |dfs AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1),
+         |pref AS (SELECT doc_id, source, shingle FROM (
+         |  SELECT e.doc_id, e.source, e.shingle, z.sz,
+         |    row_number() OVER (PARTITION BY e.doc_id
+         |      ORDER BY d.df, e.shingle) AS rnk
+         |  FROM ex e JOIN dfs d USING (shingle) JOIN szs z USING (doc_id))
+         |  WHERE rnk <= sz - (8 * sz + 9) // 10 + 1),
+         |rk AS (SELECT doc_id, source, shingle,
+         |  row_number() OVER (PARTITION BY source, shingle
+         |    ORDER BY doc_id) AS rn FROM pref),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM rk a JOIN rk b ON a.source = b.source
+         |    AND a.shingle = b.shingle
+         |    AND b.rn > a.rn AND b.rn <= a.rn + 32),
+         |docs AS (SELECT doc_id, list_distinct(s) AS ds FROM sh),
+         |sc AS (SELECT c.doc_a, c.doc_b,
+         |    CAST(len(list_intersect(a.ds, b.ds)) AS INTEGER) AS n_inter,
+         |    CAST(len(a.ds) + len(b.ds)
+         |      - len(list_intersect(a.ds, b.ds)) AS INTEGER) AS n_union
+         |  FROM cand c JOIN docs a ON c.doc_a = a.doc_id
+         |  JOIN docs b ON c.doc_b = b.doc_id)
+         |SELECT doc_a, doc_b, n_inter, n_union FROM sc
+         |WHERE n_inter * 10 >= n_union * 8""".stripMargin,
+
+    // Min-wise inclusion ensemble: 8 argmin-shingle probes per doc
+    // (min over (md5, shingle) — the fixed-width md5 prefix makes the
+    // concatenated string min identical to the engine's struct min),
+    // joined against the kept postings; exact containment scoring on
+    // the surfaced pairs, from each pair's smaller side.
+    "q_containment_ensemble" ->
+      s"""WITH $baseCte, $shinglesCte,
+         |ex AS (SELECT doc_id, unnest(list_distinct(s)) AS shingle FROM sh),
+         |stop AS (SELECT shingle FROM (
+         |  SELECT shingle, count(*) AS df FROM ex GROUP BY 1) WHERE df > 100),
+         |kept AS (SELECT ex.* FROM ex ANTI JOIN stop USING (shingle)),
+         |szs AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS sz
+         |  FROM kept GROUP BY 1),
+         |qm AS (SELECT DISTINCT doc_id,
+         |    substr(min(md5(CAST(i AS VARCHAR) || '|' || shingle)
+         |      || shingle), 33) AS shingle
+         |  FROM kept, range(8) r(i) GROUP BY doc_id, i),
+         |cand AS (SELECT DISTINCT least(q.doc_id, p.doc_id) AS doc_a,
+         |    greatest(q.doc_id, p.doc_id) AS doc_b
+         |  FROM qm q JOIN kept p ON q.shingle = p.shingle
+         |    AND q.doc_id <> p.doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b,
+         |    CAST(count(*) AS INTEGER) AS n_inter
+         |  FROM cand c JOIN kept ka ON ka.doc_id = c.doc_a
+         |  JOIN kept kb ON kb.doc_id = c.doc_b AND kb.shingle = ka.shingle
+         |  GROUP BY 1, 2)
+         |SELECT
+         |  CASE WHEN sa.sz <= sb.sz THEN i.doc_a ELSE i.doc_b END AS doc_small,
+         |  CASE WHEN sa.sz <= sb.sz THEN i.doc_b ELSE i.doc_a END AS doc_big,
+         |  i.n_inter,
+         |  least(sa.sz, sb.sz) AS sz_small,
+         |  greatest(sa.sz, sb.sz) AS sz_big,
+         |  CAST(i.n_inter * 10000 // least(sa.sz, sb.sz) AS BIGINT)
+         |    AS containment_bp
+         |FROM inter i JOIN szs sa ON i.doc_a = sa.doc_id
+         |JOIN szs sb ON i.doc_b = sb.doc_id
+         |WHERE i.n_inter * 10 >= least(sa.sz, sb.sz) * 9""".stripMargin,
 
     "q_gopher_rules" ->
       s"""WITH $baseCte,

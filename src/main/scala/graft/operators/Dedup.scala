@@ -542,32 +542,46 @@ object Dedup {
     * documents, and is the standard pre-training diagnostic for "how
     * much of this corpus is repeated text".
     *
-    * Inverted-index shape, with the dedup kept NARROW: per-document
-    * distinct shingles come from `array_distinct` INSIDE the row
-    * (zero exchange — the round-9 plan's corpus-wide
-    * `distinct()` shuffled every (doc_id, shingle) instance, twice,
-    * because the un-persisted subtree fed both consumers; measured
-    * 16× sf1→sf10). What remains: one map-side-combined aggregate to
-    * the |distinct shingles|-bounded df table, one shuffle of the
-    * distinct pairs to join it, one partially-aggregated rollup to
-    * doc_id. Heavy keys (boilerplate shingles!) are exactly the ones
-    * AQE's skew split handles; nothing materializes per-pair like a
-    * doc×doc comparison would.
+    * Plan shape — ONE postings shuffle, no join-back. The naive
+    * inverted-index form (aggregate postings to a df table, join the
+    * postings AGAINST it, roll up to doc_id) shuffles the full postings
+    * relation twice more after the df aggregate; at the sf100 probe
+    * that was the whole cost — 201.7 s, 20.0× for 10× data, all of it
+    * shuffle spill on a structurally LINEAR query. The identity
+    * `n_dup = n_shingles − n_uniq` removes both extra shuffles:
+    *
+    *   - `n_shingles` is `size(array_distinct(...))` INSIDE the row —
+    *     zero exchange;
+    *   - a shingle with corpus df = 1 belongs to exactly ONE document,
+    *     so `min(doc_id)` in the SAME df aggregate already names its
+    *     owner: filter df = 1, count per owner, and that is `n_uniq`
+    *     per doc — a ≤|docs|-row shuffle, not a postings shuffle.
+    *
+    * What remains: the unavoidable map-side-combined postings aggregate
+    * (partial agg collapses replica-shared shingles before the
+    * exchange) and two |docs|-sized doc-keyed relations joined at the
+    * end. Docs whose every shingle is shared simply have no df=1 row —
+    * the left join coalesces them to n_uniq = 0.
     */
   def dupNgrams(spark: SparkSession, sfDir: String): DataFrame = {
-    // one cleaner-owned materialization feeds BOTH consumers (the df
-    // aggregate and the join probe) — recomputing the explode per
-    // consumer re-reads and re-shingles the full text twice
-    val pairs = Tables.documents(spark, sfDir)
+    // one shingling pass (regex-heavy) feeds BOTH the narrow per-doc
+    // count and the postings explode
+    val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        explode(array_distinct(shingles3(col("text")))).as("shingle"))
+        array_distinct(shingles3(col("text"))).as("ds"))
+      .filter(size(col("ds")) > 0)
       .truncateLineage()
-    val df = pairs.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
-    pairs.join(df, "shingle")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_shingles"))
+    val perDoc = docs.select(col("doc_id"),
+      size(col("ds")).cast("long").as("n_shingles"))
+    val uniqPerDoc = docs
+      .select(col("doc_id"), explode(col("ds")).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("owner"))
+      .filter(col("df") === 1)
+      .groupBy(col("owner")).agg(count(lit(1)).as("n_uniq"))
+    perDoc.join(uniqPerDoc, col("doc_id") === col("owner"), "left")
+      .withColumn("n_dup_shingles",
+        col("n_shingles") - coalesce(col("n_uniq"), lit(0L)))
       .select(col("doc_id"), col("n_shingles"), col("n_dup_shingles"),
         expr("n_dup_shingles * 10000 div n_shingles").as("dup_bp"))
   }
@@ -687,6 +701,8 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, sfDir: String, maxDf: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    gateExactGenerator(spark, sfDir, "ngramJaccard (q_ngram_jaccard)",
+      "ngramJaccardBanded (q_ngram_jaccard_banded)")
     // Inverted-index shape: explode distinct shingles to (source, shingle,
     // doc) postings and equi-join postings with themselves — only pairs
     // that actually share a shingle ever materialize, and the group-count
@@ -741,6 +757,8 @@ object Dedup {
     */
   def containment(spark: SparkSession, sfDir: String, maxDf: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    gateExactGenerator(spark, sfDir, "containment (q_containment)",
+      "containmentEnsemble (q_containment_ensemble)")
     val sh = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         explode(array_distinct(shingles3(col("text")))).as("shingle"))
@@ -784,6 +802,24 @@ object Dedup {
     * Integer prefix-length arithmetic: L = sz − ⌈8·sz/10⌉ + 1.
     */
   def jaccardPrefix(spark: SparkSession, sfDir: String): DataFrame = {
+    gateExactGenerator(spark, sfDir, "jaccardPrefix (q_jaccard_prefix)",
+      "jaccardPrefixCapped (q_jaccard_prefix_capped)")
+    val (docsArr, prefix) = prefixIndex(spark, sfDir)
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.source") === col("b.source")
+          && col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    scorePrefixCandidates(cand, docsArr)
+  }
+
+  /** The shared prefix-filter scaffold: (per-doc distinct-shingle
+    * arrays with sizes, the df-ascending prefix postings index) — see
+    * [[jaccardPrefix]] for the construction's exactness argument.
+    */
+  private def prefixIndex(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val docsArr = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
@@ -799,16 +835,24 @@ object Dedup {
       .filter(col("rnk") <= col("sz") - expr("(8 * sz + 9) div 10") + 1)
       .select(col("doc_id"), col("source"), col("shingle"))
       .truncateLineage()
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.source") === col("b.source")
-          && col("a.shingle") === col("b.shingle")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    (docsArr, prefix)
+  }
+
+  /** Exact verification shared by the prefix family: candidates joined
+    * to their shingle arrays (pruned to pair participants first — the
+    * [[pruneToParticipants]] discipline, so only candidate docs' arrays
+    * ever shuffle), Jaccard ≥ 0.8 by cross-multiplication.
+    */
+  private def scorePrefixCandidates(candRaw: DataFrame,
+      docsArr: DataFrame): DataFrame = {
+    // checkpoint: the gating count and the two verification joins below
+    // would otherwise each recompute the candidate self-join
+    val cand = candRaw.truncateLineage()
+    val docs = pruneToParticipants(cand.sparkSession, docsArr, cand)
     cand
-      .join(docsArr.select(col("doc_id").as("doc_a"),
+      .join(docs.select(col("doc_id").as("doc_a"),
         col("ds").as("ds_a"), col("sz").as("sz_a")), "doc_a")
-      .join(docsArr.select(col("doc_id").as("doc_b"),
+      .join(docs.select(col("doc_id").as("doc_b"),
         col("ds").as("ds_b"), col("sz").as("sz_b")), "doc_b")
       .withColumn("n_inter", size(array_intersect(col("ds_a"), col("ds_b"))))
       .withColumn("n_union", col("sz_a") + col("sz_b") - col("n_inter"))
@@ -816,23 +860,109 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
   }
 
+  /** [[jaccardPrefix]] with the per-posting SUCCESSOR CAP — the 100 TB
+    * form of the prefix-filter join, completing the capped/banded
+    * treatment of the postings generators (the sf100 ledger measured
+    * the uncapped form at 29.6× for 10× data — the Σdf² candidate
+    * blowup concentrated in replicated prefix tokens). Each
+    * (source, shingle) prefix-posting list is ranked by doc_id and
+    * every document pairs only with its ≤ `maxSucc` rank-successors,
+    * via exploded slot keys so the join materializes exactly the capped
+    * pairs (the [[minhashPairsCapped]] recipe — never bucket² rows with
+    * a post-filter). Candidate volume is bounded by
+    * |prefix postings|·maxSucc — linear in documents at fixed shingle
+    * density.
+    *
+    * Recall contract (restated by the oracle, which mirrors the capped
+    * generator rather than the brute-force join): a qualifying pair is
+    * scored iff the two documents sit within `maxSucc` rank positions
+    * in SOME shared prefix token's posting list. Prefix postings stay
+    * df-ascending-rare by construction, so ordinary lists are far
+    * smaller than the cap and emit all pairs unchanged — only
+    * replicated mega-lists are trimmed to their rank-adjacent band
+    * (where near-identical replicas cluster). Verification is exact
+    * ([[scorePrefixCandidates]]): precision never degrades, only the
+    * trimmed tail of mega-list recall.
+    */
+  def jaccardPrefixCapped(spark: SparkSession, sfDir: String,
+      maxSucc: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (docsArr, prefix) = prefixIndex(spark, sfDir)
+    val ranked = prefix
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"), col("shingle"))
+          .orderBy(col("doc_id"))))
+      .truncateLineage() // one ranking pass feeds both join sides
+    val left = ranked
+      .withColumn("slot",
+        explode(sequence(col("rn") + 1, col("rn") + maxSucc)))
+      .select(col("source"), col("shingle"),
+        col("doc_id").as("doc_a"), col("slot"))
+    val right = ranked.select(col("source"), col("shingle"),
+      col("doc_id").as("doc_b"), col("rn").as("slot"))
+    val cand = left.join(right, Seq("source", "shingle", "slot"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    scorePrefixCandidates(cand, docsArr)
+  }
+
+  /** SIZE-GATED participant prune: semi-join `docs` to the ids named by
+    * `pairs` before any heavy per-row projection runs. Below
+    * `graft.dedup.broadcastIdLimit` pairs (default 2 M ⇒ ≤4 M ids, tens
+    * of MB) the id set broadcasts, so the prune is map-side and free of
+    * exchanges; above it — a dup-heavy corpus at warehouse scale, where
+    * a corpus-dependent broadcast would blow the driver/executor limits
+    * — the prune degrades to a shuffled left-semi: one extra linear
+    * shuffle instead of a hard failure. `pairs` is checkpointed by every
+    * caller, so the gating count re-reads materialized data.
+    */
+  private def pruneToParticipants(spark: SparkSession, docs: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val ids = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val limit =
+      spark.conf.getOption("graft.dedup.broadcastIdLimit")
+        .getOrElse("2000000").toLong
+    if (pairs.count() <= limit)
+      docs.join(broadcast(ids), Seq("doc_id"), "left_semi")
+    else
+      docs.join(ids, Seq("doc_id"), "left_semi")
+  }
+
+  /** Fail-fast gate on the exact sub-sf10 pair generators: their
+    * postings self-joins are superlinear on replicated corpora
+    * (measured 28.5× for 10× data / disk-abort at the sf100 probe), so
+    * above `graft.dedup.exactGenLimit` documents (default 1 M — above
+    * sf10's corpus, below sf100's) the call refuses with the scale
+    * twin's name instead of grinding a cluster. The twins generate with
+    * bands / capped postings / min-wise probes and score exactly.
+    */
+  private def gateExactGenerator(spark: SparkSession, sfDir: String,
+      name: String, scaleTwin: String): Unit = {
+    val limit = spark.conf.getOption("graft.dedup.exactGenLimit")
+      .getOrElse("1000000").toLong
+    val n = Tables.documents(spark, sfDir).count()
+    if (n > limit) throw new IllegalStateException(
+      s"$name is the exact sub-sf10 generator — its postings self-join " +
+        s"is superlinear on replicated corpora, and the corpus has $n " +
+        s"documents (> graft.dedup.exactGenLimit=$limit). Run " +
+        s"$scaleTwin (the measured scale path) instead, or raise the " +
+        "limit explicitly to accept the cost.")
+  }
+
   /** Shared candidate→shingle-array scaffold for the BANDED scoring
     * family: minhash band-collision pairs, each side joined to its
     * distinct-shingle array. The jaccardCalibration discipline — shingle
-    * arrays are computed ONLY for pair participants (broadcast semi-join
-    * before the per-row array projection), so the corpus is scanned once
-    * and the shuffle carries |participants| arrays, not |corpus|. At
-    * warehouse scale the broadcast becomes a shuffled semi-join on
-    * doc_id; either way the heavy per-row shingling never runs for
+    * arrays are computed ONLY for pair participants (size-gated semi-join
+    * [[pruneToParticipants]] before the per-row array projection), so the
+    * corpus is scanned once and the shuffle carries |participants|
+    * arrays, not |corpus|; the heavy per-row shingling never runs for
     * documents no candidate pair references.
     */
   private def bandedPairsWithShingles(spark: SparkSession,
       sfDir: String): DataFrame = {
     val pairs = minhashPairs(spark, sfDir).truncateLineage()
-    val pairIds = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val docs = Tables.documents(spark, sfDir)
-      .join(broadcast(pairIds), Seq("doc_id"), "left_semi")
+    val docs = pruneToParticipants(spark,
+        Tables.documents(spark, sfDir), pairs)
       .select(col("doc_id"),
         array_distinct(shingles3(col("text"))).as("ds"))
       .truncateLineage() // one shingling pass feeds both join sides
@@ -879,13 +1009,11 @@ object Dedup {
     * contained pairs whose sizes are comparable (an excerpt that IS most
     * of the big doc) and misses strongly asymmetric ones (50 shingles
     * inside 5000 → Jaccard 0.01 never bands) — the honest envelope of a
-    * symmetric-LSH generator. The production path for asymmetric
-    * containment search at scale is size-partitioned LSH (LSH Ensemble,
-    * Zhu et al., VLDB 2016): partition the corpus by set size and pick
-    * per-partition band thresholds from the containment→Jaccard bound
-    * J ≥ t·|A|/(|A|+|B|−t·|A|) — same band machinery, size-aware keys.
-    * [[containment]] remains the exact generator below the scale where
-    * its postings join fits.
+    * symmetric-LSH generator. [[containmentEnsemble]] is the scale form
+    * WITHOUT that envelope: min-wise inclusion probes whose collision
+    * probability is the containment score itself, recall-complete at
+    * any asymmetry. [[containment]] remains the exact generator below
+    * the scale where its postings join fits (size-gated).
     */
   def containmentBanded(spark: SparkSession, sfDir: String): DataFrame =
     bandedPairsWithShingles(spark, sfDir)
@@ -905,6 +1033,98 @@ object Dedup {
       .select(col("doc_small"), col("doc_big"), col("n_inter"),
         col("sz_small"), col("sz_big"),
         expr("n_inter * 10000 div sz_small").as("containment_bp"))
+
+  /** Asymmetric containment at scale — the MIN-WISE INCLUSION ENSEMBLE,
+    * closing the recall gap [[containmentBanded]] honestly declares
+    * (symmetric minhash-LSH tracks Jaccard, so a 50-shingle excerpt
+    * inside a 5000-shingle host — Jaccard ≈ 0.01 — never band-collides;
+    * the exact [[containment]] postings join that catches it disk-aborts
+    * at sf100).
+    *
+    * Candidate generation uses the min-wise sampling identity (Broder,
+    * "On the resemblance and containment of documents", SEQUENCES 1997):
+    * under a random permutation π of the shingle universe, argmin_π(A)
+    * is a UNIFORM sample of A, so P(argmin_π(A) ∈ B) = |A∩B|/|A| =
+    * C(A,B) — the collision probability IS the containment score,
+    * independent of |B| and therefore of asymmetry. Each document emits
+    * `numProbes` argmin shingles (one per independent permutation,
+    * π_i = md5(i ∥ "|" ∥ ·), the corpus's standard minhash family) as
+    * its QUERY rows; the INDEX side is the plain kept-postings relation
+    * the corpus already materializes. A qualifying pair (C ≥ 0.9) is
+    * missed only if all probes miss: (1−C)^numProbes ≤ 10⁻⁸ at the
+    * default 8 — recall is effectively exact at ANY asymmetry, the
+    * property the named production design for this gap (LSH Ensemble,
+    * Zhu et al., VLDB 2016: size-partitioned corpora with per-partition
+    * band thresholds from J ≥ t·|A|/(|A|+|B|−t·|A|)) only approaches
+    * with hundreds of hashes. The ensemble-of-partitions machinery is
+    * deliberately NOT reproduced: its index side multiplies postings by
+    * the band count (a ~K× shuffle at 100 TB), while the inclusion
+    * probe keeps the index at |postings| rows exactly.
+    *
+    * Scale shape: stop-capped postings (df ≤ `maxDf`, the same
+    * corpus-wide cap and therefore the same shingle universe as the
+    * exact form) bound every probe's fan-out at maxDf candidates, so
+    * candidate volume ≤ numProbes·maxDf·N — linear in documents.
+    * Verification is exact on participant-only kept arrays; precision
+    * never degrades. One postings shuffle (candidates), one participant
+    * array shuffle — no df² term anywhere.
+    */
+  def containmentEnsemble(spark: SparkSession, sfDir: String,
+      maxDf: Int = 100, numProbes: Int = 8): DataFrame = {
+    val docsArr = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        array_distinct(shingles3(col("text"))).as("ds"))
+      .truncateLineage() // one shingling pass feeds stop-df and kept
+    // corpus-wide stop shingles as ONE tiny array, applied narrowly
+    // per row (array_except) — no postings-sized anti-join shuffle
+    val stopArr = docsArr
+      .select(col("doc_id"), explode(col("ds")).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .agg(collect_list(col("shingle")).as("stop_arr"))
+    val kept = docsArr.crossJoin(broadcast(stopArr))
+      .select(col("doc_id"),
+        array_except(col("ds"), col("stop_arr")).as("ks"))
+      .filter(size(col("ks")) > 0)
+      .truncateLineage() // feeds probes, postings, and verification
+    // query side: numProbes argmin shingles per doc; struct min orders
+    // by (md5, shingle) so any tie would break identically everywhere
+    val probes = (0 until numProbes).map { i =>
+      array_min(transform(col("ks"),
+        x => struct(md5(concat(lit(i + "|"), x)).as("h"), x.as("s"))))("s")
+    }
+    val qmins = kept.select(col("doc_id").as("qdoc"),
+      explode(array_distinct(array(probes: _*))).as("shingle"))
+    val postings = kept.select(col("doc_id").as("pdoc"),
+      explode(col("ks")).as("shingle"))
+    val cand = qmins.join(postings, "shingle")
+      .filter(col("qdoc") =!= col("pdoc"))
+      .select(least(col("qdoc"), col("pdoc")).as("doc_a"),
+        greatest(col("qdoc"), col("pdoc")).as("doc_b"))
+      .distinct()
+      .truncateLineage()
+    val docs = pruneToParticipants(spark, kept, cand)
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("ks").as("ks_a")),
+        "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("ks").as("ks_b")),
+        "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("ks_a"), col("ks_b"))))
+      .withColumn("sz_a", size(col("ks_a")))
+      .withColumn("sz_b", size(col("ks_b")))
+      .select(
+        when(col("sz_a") <= col("sz_b"), col("doc_a")).otherwise(col("doc_b"))
+          .as("doc_small"),
+        when(col("sz_a") <= col("sz_b"), col("doc_b")).otherwise(col("doc_a"))
+          .as("doc_big"),
+        col("n_inter"),
+        least(col("sz_a"), col("sz_b")).as("sz_small"),
+        greatest(col("sz_a"), col("sz_b")).as("sz_big"))
+      .filter(col("n_inter") * 10 >= col("sz_small") * 9)
+      .select(col("doc_small"), col("doc_big"), col("n_inter"),
+        col("sz_small"), col("sz_big"),
+        expr("n_inter * 10000 div sz_small").as("containment_bp"))
+  }
 
   /** Fuzzy entity resolution by edit distance — the typo/near-miss name
     * matcher, via FastSS deletion-neighborhood blocking (Bocek et al.,

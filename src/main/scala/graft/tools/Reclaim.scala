@@ -43,16 +43,46 @@ object Reclaim {
 
   /** True when any java process other than this one is running — the
     * ownership proxy that keeps a concurrent probe's shuffle data safe.
+    *
+    * `ProcessHandle.info().command()` is frequently EMPTY (other users'
+    * processes, restricted /proc), and a live probe invisible here would
+    * get its blockmgr scratch swept with only the 36 h mtime floor left
+    * guarding it. So an empty command() falls back to reading
+    * /proc/<pid>/cmdline directly: non-empty → a userland process whose
+    * argv[0] we check for a JVM; UNREADABLE → treated as possibly-a-JVM
+    * (fail safe toward skipping scratch); empty → a kernel thread, never
+    * a JVM (without this case the fail-safe would fire on every box,
+    * since kernel threads always have no command).
     */
   private[tools] def otherJvmsLive(): Boolean = {
     val self = ProcessHandle.current().pid()
     ProcessHandle.allProcesses().anyMatch { h =>
-      h.pid() != self && h.info().command().map[Boolean] { c =>
-        val base = c.substring(c.lastIndexOf('/') + 1)
-        base == "java" || base == "java.exe"
-      }.orElse(false)
+      h.pid() != self && {
+        val cmd = h.info().command()
+        if (cmd.isPresent) {
+          val c = cmd.get
+          val base = c.substring(c.lastIndexOf('/') + 1)
+          base == "java" || base == "java.exe"
+        } else possiblyJvm(h.pid())
+      }
     }
   }
+
+  /** Fallback JVM sniff for pids whose ProcessHandle command is hidden:
+    * argv[0] from /proc/<pid>/cmdline (NUL-separated), erring toward
+    * `true` when /proc denies us — see [[otherJvmsLive]].
+    */
+  private def possiblyJvm(pid: Long): Boolean =
+    try {
+      val raw = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"/proc/$pid/cmdline"))
+      if (raw.isEmpty) false // kernel thread
+      else {
+        val argv0 = new String(raw.takeWhile(_ != 0), "UTF-8")
+        val base = argv0.substring(argv0.lastIndexOf('/') + 1)
+        base == "java" || base == "java.exe" || argv0.contains("/jvm/")
+      }
+    } catch { case _: Exception => true }
 
   /** Sweep stale debris under `tmpDir`; returns bytes reclaimed. */
   def sweep(tmpDir: String = sys.props("java.io.tmpdir"),
