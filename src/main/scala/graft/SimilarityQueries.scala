@@ -69,6 +69,21 @@ object SimilarityQueries {
   private val adaptivePlanesSql =
     "(SELECT greatest(4, length(bin(count(*) // 32))) FROM embeddings)"
 
+  /** Mirrors Similarity.bucketsWithSubkey: signs under P + 8 planes,
+    * `bucket` = the first P bits (the block key), `subkey` = the full
+    * string (the similarity-locality rank order inside a block).
+    */
+  private def cappedBucketsCte(planesExpr: String) =
+    s"""${planesCte(s"($planesExpr + 8)")},
+       |sig AS (SELECT e.vec_id, p.p,
+       |  CASE WHEN sum(p.w * CAST(e.embedding[p.i + 1] AS DOUBLE)) > 0
+       |    THEN '1' ELSE '0' END AS bit
+       |  FROM embeddings e, planes p GROUP BY e.vec_id, p.p),
+       |buck AS (SELECT vec_id,
+       |  substr(string_agg(bit, '' ORDER BY p), 1, $planesExpr) AS bucket,
+       |  string_agg(bit, '' ORDER BY p) AS subkey
+       |  FROM sig GROUP BY vec_id)""".stripMargin
+
   /** floor(x·2²⁰) BIGINT component quantization — mirrors the engine's
     * QuantizedCosine exactly: integer dot/norm sums are order-exempt,
     * and the final sqrt/divide on identical integers is bit-identical
@@ -436,14 +451,17 @@ object SimilarityQueries {
         |FROM j""".stripMargin,
 
     // Candidate pairs carry the per-vector successor cap (rank within
-    // bucket by vec_id, pair with the next ≤32) — mirrors
-    // Similarity.cappedBlockPairs, the mega-dup-family output guard.
+    // bucket by the finer-signature subkey then vec_id, pair with the
+    // next ≤32) — mirrors Similarity.cappedBlockPairs, the
+    // mega-dup-family output guard with its similarity-locality order.
     "q_dedup_embedding_lsh" ->
-      s"""WITH ${bucketsCte(adaptivePlanesSql)},
+      s"""WITH ${cappedBucketsCte(adaptivePlanesSql)},
          |rk AS (SELECT vec_id, bucket,
-         |  row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+         |  row_number() OVER (PARTITION BY bucket
+         |    ORDER BY subkey, vec_id) AS rn
          |  FROM buck),
-         |cand AS (SELECT ba.bucket, ba.vec_id AS va, bb.vec_id AS vb
+         |cand AS (SELECT ba.bucket, least(ba.vec_id, bb.vec_id) AS va,
+         |    greatest(ba.vec_id, bb.vec_id) AS vb
          |  FROM rk ba JOIN rk bb ON ba.bucket = bb.bucket
          |    AND bb.rn > ba.rn AND bb.rn <= ba.rn + 32),
          |d AS (SELECT c.bucket, c.va, c.vb,
@@ -460,11 +478,13 @@ object SimilarityQueries {
     // Transitive closure over the thresholded LSH candidate graph —
     // recursive CTE stands in for the engine's label-propagation loop.
     "q_dedup_embedding_cc" ->
-      s"""WITH RECURSIVE ${bucketsCte(adaptivePlanesSql)},
+      s"""WITH RECURSIVE ${cappedBucketsCte(adaptivePlanesSql)},
          |rk AS (SELECT vec_id, bucket,
-         |  row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+         |  row_number() OVER (PARTITION BY bucket
+         |    ORDER BY subkey, vec_id) AS rn
          |  FROM buck),
-         |cand AS (SELECT ba.vec_id AS va, bb.vec_id AS vb
+         |cand AS (SELECT least(ba.vec_id, bb.vec_id) AS va,
+         |    greatest(ba.vec_id, bb.vec_id) AS vb
          |  FROM rk ba JOIN rk bb ON ba.bucket = bb.bucket
          |    AND bb.rn > ba.rn AND bb.rn <= ba.rn + 32),
          |d AS (SELECT c.va, c.vb,
@@ -491,12 +511,13 @@ object SimilarityQueries {
     // count mirrors Similarity.adaptivePlanes (same as q_dedup_embedding_lsh)
     // so the bucket strings match the engine's at every corpus size.
     "q_dedup_embedding" ->
-      s"""WITH ${bucketsCte(adaptivePlanesSql)},
+      s"""WITH ${cappedBucketsCte(adaptivePlanesSql)},
          |eb AS (SELECT e.vec_id, e.label, e.embedding, b.bucket,
          |  row_number() OVER (PARTITION BY e.label, b.bucket
-         |    ORDER BY e.vec_id) AS rn
+         |    ORDER BY b.subkey, e.vec_id) AS rn
          |  FROM embeddings e JOIN buck b ON e.vec_id = b.vec_id),
-         |p AS (SELECT a.label, a.vec_id AS va, b.vec_id AS vb,
+         |p AS (SELECT a.label, least(a.vec_id, b.vec_id) AS va,
+         |  greatest(a.vec_id, b.vec_id) AS vb,
          |  ${qsum("a.embedding[i]", "b.embedding[i]")} AS dot,
          |  ${qsum("a.embedding[i]", "a.embedding[i]")} AS na,
          |  ${qsum("b.embedding[i]", "b.embedding[i]")} AS nb

@@ -915,7 +915,7 @@ object Dedup {
     * shuffle instead of a hard failure. `pairs` is checkpointed by every
     * caller, so the gating count re-reads materialized data.
     */
-  private def pruneToParticipants(spark: SparkSession, docs: DataFrame,
+  private[graft] def pruneToParticipants(spark: SparkSession, docs: DataFrame,
       pairs: DataFrame): DataFrame = {
     val ids = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()

@@ -218,11 +218,22 @@ object Similarity {
     * corpora concentrate: a ~1000-replica family lands in ONE bucket
     * regardless of plane count, and all-pairs inside it is C(1000,2) —
     * the round-11 sf100 probe sat 105 min in exactly that. The cap:
-    * rank each block by vec_id and pair every vector only with its
+    * rank each block by `orderCols` and pair every vector only with its
     * `maxSucc` rank-successors — ≤ N·maxSucc pairs total, all-pairs
     * preserved for blocks of ≤ maxSucc+1 members (the designed
-    * occupancy), and a mega-family stays CONNECTED through its
-    * rank-adjacent chain (what downstream components need).
+    * occupancy).
+    *
+    * The rank order is a SIMILARITY-LOCALITY key, not bare vec_id: the
+    * callers order by 8 finer hyperplane sign bits (`subkey` — the
+    * block key's own signature extended) before the vec_id tie-break,
+    * so a mega block holding several interleaved dup-families is sorted
+    * family-by-family and each vector's rank-successors are its
+    * near-identical neighbors — the pairs the downstream score
+    * threshold KEEPS. (Bare vec_id order made cross-family successor
+    * pairs possible, which the threshold would drop; the emitted graph
+    * is connected through the rank-adjacent chain PRE-threshold by
+    * construction, and the locality order is what keeps it connected
+    * post-threshold in the replicated-corpus case.)
     *
     * Plan shape: one row_number window over the block key (one shuffle
     * + sort of N rows — linear), then each vector EXPLODES its maxSucc
@@ -231,11 +242,12 @@ object Similarity {
     * exactly the capped pairs — never g² rows with a post-filter.
     */
   private def cappedBlockPairs(b: DataFrame, blockCols: Seq[String],
-      maxSucc: Int): DataFrame = {
+      maxSucc: Int, orderCols: Seq[String] = Seq("vec_id")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ranked = b
       .withColumn("rn", row_number().over(
-        Window.partitionBy(blockCols.map(col): _*).orderBy(col("vec_id"))))
+        Window.partitionBy(blockCols.map(col): _*)
+          .orderBy(orderCols.map(col): _*)))
       .truncateLineage() // one ranking pass feeds both join sides
     val left = ranked
       .withColumn("slot", explode(sequence(col("rn") + 1, col("rn") + maxSucc)))
@@ -244,8 +256,31 @@ object Similarity {
     val right = ranked.select(blockCols.map(col) ++ Seq(
       col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
       col("rn").as("slot")): _*)
+    // canonical orientation (vec_a < vec_b): under the locality order a
+    // rank-successor may carry a SMALLER vec_id, and consumers key
+    // unordered pairs by the sorted id pair
+    val swap = col("vec_a") > col("vec_b")
     left.join(right, blockCols :+ "slot").drop("slot")
+      .select(blockCols.map(col) ++ Seq(
+        when(swap, col("vec_b")).otherwise(col("vec_a")).as("va"),
+        when(swap, col("vec_a")).otherwise(col("vec_b")).as("vb"),
+        when(swap, col("emb_b")).otherwise(col("emb_a")).as("ea"),
+        when(swap, col("emb_a")).otherwise(col("emb_b")).as("eb")): _*)
+      .withColumnRenamed("va", "vec_a").withColumnRenamed("vb", "vec_b")
+      .withColumnRenamed("ea", "emb_a").withColumnRenamed("eb", "emb_b")
   }
+
+  /** Coarse block key + the finer locality key [[cappedBlockPairs]]
+    * orders by: signs under `planes` + 8 hyperplanes, split so `bucket`
+    * (first `planes` bits) blocks and `subkey` (the full string — its
+    * last 8 bits are what vary inside a block) orders. Near-identical
+    * replicas agree on the extra bits with the same probability they
+    * agree on the block bits, so families sort adjacently.
+    */
+  private def bucketsWithSubkey(emb: DataFrame, planes: Int): DataFrame =
+    lshBucketsFrom(emb, planes + 8)
+      .withColumnRenamed("bucket", "subkey")
+      .withColumn("bucket", substring(col("subkey"), 1, planes))
 
   /** Embedding near-dup via LSH blocking — the scale path: candidate
     * pairs come from sign-bucket collisions under [[adaptivePlanes]]
@@ -264,7 +299,9 @@ object Similarity {
   def nearDupLsh(spark: SparkSession, sfDir: String,
       maxSucc: Int = 32): DataFrame = {
     val planes = adaptivePlanes(Tables.embeddings(spark, sfDir).count())
-    cappedBlockPairs(lshBuckets(spark, sfDir, planes), Seq("bucket"), maxSucc)
+    cappedBlockPairs(
+        bucketsWithSubkey(Tables.embeddings(spark, sfDir), planes),
+        Seq("bucket"), maxSucc, Seq("subkey", "vec_id"))
       .select(col("bucket"), col("vec_a"), col("vec_b"),
         // pair SCORING (vs retrieval ranking) uses the quantized-integer
         // cosine: exact long accumulation, engine-portable bit-for-bit
@@ -335,12 +372,14 @@ object Similarity {
     // adaptivePlanes holds EXPECTED occupancy ≈32; replicated mega-
     // families still concentrate in one (label, bucket) block, so the
     // successor cap bounds scored pairs at N·maxSucc (the sf100 killer).
-    // Contract: the argmax ranges over the capped candidate set — for a
-    // mega dup-family the rank-adjacent candidates include its
-    // near-identical members, which is where the winner lives anyway.
+    // Contract: the argmax ranges over the capped candidate set — the
+    // subkey locality order sorts a mega dup-family's near-identical
+    // members adjacently, so the rank-successor candidates are exactly
+    // where the per-label winner lives.
     val planes = adaptivePlanes(Tables.embeddings(spark, sfDir).count())
     val pairs = cappedBlockPairs(
-        lshBuckets(spark, sfDir, planes), Seq("label", "bucket"), maxSucc)
+        bucketsWithSubkey(Tables.embeddings(spark, sfDir), planes),
+        Seq("label", "bucket"), maxSucc, Seq("subkey", "vec_id"))
       .select(col("label"), col("vec_a"), col("vec_b"),
         // quantized-integer cosine: the per-label ARGMAX must not hinge
         // on a last-ulp double wobble between engines

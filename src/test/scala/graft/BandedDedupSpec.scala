@@ -11,6 +11,17 @@ import graft.operators.{Dedup, Similarity}
   */
 class BandedDedupSpec extends SparkTestBase {
 
+  /** Fixture-derived "uncapped" successor cap: the largest LSH-bucket
+    * occupancy, so maxSucc ≥ g−1 holds for every bucket (all pairs
+    * emitted) without exploding a 2²⁰-slot sequence per vector.
+    */
+  private lazy val uncapped: Int =
+    Similarity.lshBuckets(spark, sf(),
+        Similarity.adaptivePlanes(
+          graft.sources.Tables.embeddings(spark, sf()).count()))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("g"))
+      .agg(max(col("g"))).head().getLong(0).toInt
+
   test("banded jaccard scores exactly the band candidate set") {
     val pairs = Dedup.minhashPairs(spark, sf()).select("doc_a", "doc_b")
     val banded = Dedup.ngramJaccardBanded(spark, sf()).select("doc_a", "doc_b")
@@ -43,10 +54,16 @@ class BandedDedupSpec extends SparkTestBase {
 
   test("successor cap bounds per-vector out-degree and nests by cap") {
     val two = Similarity.nearDupLsh(spark, sf(), maxSucc = 2)
-    val all = Similarity.nearDupLsh(spark, sf(), maxSucc = 1 << 20)
-    val maxDeg = two.groupBy(col("bucket"), col("vec_a"))
+    val all = Similarity.nearDupLsh(spark, sf(), maxSucc = uncapped)
+    // each vector pairs with ≤ maxSucc rank-successors and is targeted
+    // by ≤ maxSucc rank-predecessors (pairs are emitted in canonical
+    // vec_a < vec_b orientation, so the capped quantity is the
+    // INCIDENT degree, bounded by 2·maxSucc)
+    val maxDeg = two
+      .select(col("bucket"), explode(array(col("vec_a"), col("vec_b"))).as("v"))
+      .groupBy(col("bucket"), col("v"))
       .agg(count(lit(1)).as("d")).agg(max(col("d"))).head().getLong(0)
-    assert(maxDeg <= 2)
+    assert(maxDeg <= 4)
     // capped edges are a subset of the uncapped all-pairs relation
     assert(two.select("bucket", "vec_a", "vec_b")
       .except(all.select("bucket", "vec_a", "vec_b")).count() === 0)
@@ -63,7 +80,7 @@ class BandedDedupSpec extends SparkTestBase {
     for (m <- Seq(1, 2, 32)) {
       val budget = Similarity.pairBudget(spark, sf(), maxSucc = m).head()
       val emitted = Similarity.nearDupLsh(spark, sf(), maxSucc = m).count()
-      val full = Similarity.nearDupLsh(spark, sf(), maxSucc = 1 << 20).count()
+      val full = Similarity.nearDupLsh(spark, sf(), maxSucc = uncapped).count()
       assert(budget.getAs[Long]("emitted_pairs") === emitted,
         s"emitted mismatch at m=$m")
       assert(budget.getAs[Long]("full_pairs") === full)
