@@ -1553,14 +1553,17 @@ object TextQueries {
          |kept AS (SELECT ex.* FROM ex ANTI JOIN stop USING (shingle)),
          |szs AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS sz
          |  FROM kept GROUP BY 1),
-         |qm AS (SELECT DISTINCT doc_id,
+         |qm AS (SELECT doc_id, i,
          |    substr(min(md5(CAST(i AS VARCHAR) || '|' || shingle)
          |      || shingle), 33) AS shingle
          |  FROM kept, range(8) r(i) GROUP BY doc_id, i),
-         |cand AS (SELECT DISTINCT least(q.doc_id, p.doc_id) AS doc_a,
-         |    greatest(q.doc_id, p.doc_id) AS doc_b
+         |hits AS (SELECT q.doc_id AS qdoc, p.doc_id AS pdoc,
+         |    count(*) AS hits
          |  FROM qm q JOIN kept p ON q.shingle = p.shingle
-         |    AND q.doc_id <> p.doc_id),
+         |    AND q.doc_id <> p.doc_id GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT least(qdoc, pdoc) AS doc_a,
+         |    greatest(qdoc, pdoc) AS doc_b
+         |  FROM hits WHERE hits >= 2),
          |inter AS (SELECT c.doc_a, c.doc_b,
          |    CAST(count(*) AS INTEGER) AS n_inter
          |  FROM cand c JOIN kept ka ON ka.doc_id = c.doc_a

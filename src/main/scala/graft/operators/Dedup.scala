@@ -92,10 +92,17 @@ object Dedup {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("band_id"), col("band_key"))
           .orderBy(col("doc_id"))))
+      // bucket size, same exchange (no extra sort: unordered frame)
+      .withColumn("g", count(lit(1)).over(
+        Window.partitionBy(col("band_id"), col("band_key"))))
       .truncateLineage()
     val left = ranked
       .withColumn("slot",
         explode(sequence(col("rn") + 1, col("rn") + maxSucc)))
+      // drop dangling slots (rank past the bucket end) BEFORE the
+      // exchange — otherwise every posting ships maxSucc rows into the
+      // join shuffle no matter how small its bucket is
+      .filter(col("slot") <= col("g"))
       .select(col("band_id"), col("band_key"),
         col("doc_id").as("doc_a"), col("slot"))
     val right = ranked.select(col("band_id"), col("band_key"),
@@ -172,10 +179,12 @@ object Dedup {
         substring(col("simhash"), 1, prefixBits).as("bucket"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
+      .withColumn("g", count(lit(1)).over(Window.partitionBy(col("bucket"))))
       .truncateLineage()
     val left = ranked
       .withColumn("slot",
         explode(sequence(col("rn") + 1, col("rn") + maxSucc)))
+      .filter(col("slot") <= col("g")) // no dangling slots in the shuffle
       .select(col("bucket"), col("doc_id").as("doc_a"),
         col("simhash").as("sim_a"), col("slot"))
     val right = ranked.select(col("bucket"), col("doc_id").as("doc_b"),
@@ -565,11 +574,17 @@ object Dedup {
     */
   def dupNgrams(spark: SparkSession, sfDir: String): DataFrame = {
     // one shingling pass (regex-heavy) feeds BOTH the narrow per-doc
-    // count and the postings explode
+    // count and the postings explode. NO size filter before the
+    // checkpoint: shingles3 always yields ≥1 element (the <3-token
+    // fallback), and a filter here would push the whole shingling chain
+    // into an interpreted Filter condition — FilterExec with a
+    // higher-order-function predicate drops out of codegen and
+    // InterpretedPredicate has no subexpression elimination, so the
+    // chain re-evaluates per conjunct (measured 11× on this exact
+    // projection at sf10: 48 s filtered vs 4.4 s without).
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         array_distinct(shingles3(col("text"))).as("ds"))
-      .filter(size(col("ds")) > 0)
       .truncateLineage()
     val perDoc = docs.select(col("doc_id"),
       size(col("ds")).cast("long").as("n_shingles"))
@@ -892,10 +907,16 @@ object Dedup {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("source"), col("shingle"))
           .orderBy(col("doc_id"))))
+      .withColumn("g", count(lit(1)).over(
+        Window.partitionBy(col("source"), col("shingle"))))
       .truncateLineage() // one ranking pass feeds both join sides
     val left = ranked
       .withColumn("slot",
         explode(sequence(col("rn") + 1, col("rn") + maxSucc)))
+      // posting lists are df-ascending-rare: almost every list is far
+      // shorter than the cap, so dropping dangling slots here shrinks
+      // the join shuffle by ~maxSucc×
+      .filter(col("slot") <= col("g"))
       .select(col("source"), col("shingle"),
         col("doc_id").as("doc_a"), col("slot"))
     val right = ranked.select(col("source"), col("shingle"),
@@ -1050,27 +1071,40 @@ object Dedup {
     * `numProbes` argmin shingles (one per independent permutation,
     * π_i = md5(i ∥ "|" ∥ ·), the corpus's standard minhash family) as
     * its QUERY rows; the INDEX side is the plain kept-postings relation
-    * the corpus already materializes. A qualifying pair (C ≥ 0.9) is
-    * missed only if all probes miss: (1−C)^numProbes ≤ 10⁻⁸ at the
-    * default 8 — recall is effectively exact at ANY asymmetry, the
-    * property the named production design for this gap (LSH Ensemble,
-    * Zhu et al., VLDB 2016: size-partitioned corpora with per-partition
-    * band thresholds from J ≥ t·|A|/(|A|+|B|−t·|A|)) only approaches
-    * with hundreds of hashes. The ensemble-of-partitions machinery is
-    * deliberately NOT reproduced: its index side multiplies postings by
-    * the band count (a ~K× shuffle at 100 TB), while the inclusion
-    * probe keeps the index at |postings| rows exactly.
+    * the corpus already materializes. Hits are AND-amplified: a pair is
+    * verified only when ≥ `minHits` of the small side's probes land in
+    * the big side — hits ~ Binomial(numProbes, C), so at the defaults
+    * (8, 2) a qualifying pair (C ≥ 0.9) is missed with probability
+    * (1−C)⁸ + 8·C·(1−C)⁷ ≈ 7×10⁻⁷ — effectively exact at ANY
+    * asymmetry, the property the named production design for this gap
+    * (LSH Ensemble, Zhu et al., VLDB 2016: size-partitioned corpora
+    * with per-partition band thresholds from
+    * J ≥ t·|A|/(|A|+|B|−t·|A|)) only approaches with hundreds of
+    * hashes. The ensemble-of-partitions machinery is deliberately NOT
+    * reproduced: its index side multiplies postings by the band count
+    * (a ~K× shuffle at 100 TB), while the inclusion probe keeps the
+    * index at |postings| rows exactly.
+    *
+    * Why minHits = 2 and not 1: one inclusion hit surfaces every pair
+    * sharing ANY sampled shingle — junk pairs with C ≈ a few percent,
+    * measured 25.9 M candidates at sf10 whose exact verification (array
+    * shuffles + intersects) dwarfed the probe cost, and whose volume
+    * grows with replica df at larger scale. Requiring a SECOND
+    * independent hit multiplies junk survival by ~28·C² (binomial tail)
+    * while costing the 7×10⁻⁷ above. Probes are counted per probe
+    * index, not per distinct shingle, so a tiny doc whose argmins
+    * coincide still reaches the threshold through repeat hits.
     *
     * Scale shape: stop-capped postings (df ≤ `maxDf`, the same
     * corpus-wide cap and therefore the same shingle universe as the
     * exact form) bound every probe's fan-out at maxDf candidates, so
-    * candidate volume ≤ numProbes·maxDf·N — linear in documents.
-    * Verification is exact on participant-only kept arrays; precision
-    * never degrades. One postings shuffle (candidates), one participant
-    * array shuffle — no df² term anywhere.
+    * pre-amplification hit volume ≤ numProbes·maxDf·N — linear in
+    * documents — and it collapses in a partial-aggregated pair count
+    * before anything wide moves. Verification is exact on
+    * participant-only kept arrays; precision never degrades.
     */
   def containmentEnsemble(spark: SparkSession, sfDir: String,
-      maxDf: Int = 100, numProbes: Int = 8): DataFrame = {
+      maxDf: Int = 100, numProbes: Int = 8, minHits: Int = 2): DataFrame = {
     val docsArr = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         array_distinct(shingles3(col("text"))).as("ds"))
@@ -1085,8 +1119,11 @@ object Dedup {
     val kept = docsArr.crossJoin(broadcast(stopArr))
       .select(col("doc_id"),
         array_except(col("ds"), col("stop_arr")).as("ks"))
-      .filter(size(col("ks")) > 0)
       .truncateLineage() // feeds probes, postings, and verification
+      // all-stopped docs drop AFTER materialization: a filter before
+      // the checkpoint would re-evaluate array_except per interpreted
+      // predicate conjunct (see dupNgrams — the codegen-fallback trap)
+      .filter(size(col("ks")) > 0)
     // query side: numProbes argmin shingles per doc; struct min orders
     // by (md5, shingle) so any tie would break identically everywhere
     val probes = (0 until numProbes).map { i =>
@@ -1094,11 +1131,14 @@ object Dedup {
         x => struct(md5(concat(lit(i + "|"), x)).as("h"), x.as("s"))))("s")
     }
     val qmins = kept.select(col("doc_id").as("qdoc"),
-      explode(array_distinct(array(probes: _*))).as("shingle"))
+      explode(array(probes: _*)).as("shingle"))
     val postings = kept.select(col("doc_id").as("pdoc"),
       explode(col("ks")).as("shingle"))
     val cand = qmins.join(postings, "shingle")
       .filter(col("qdoc") =!= col("pdoc"))
+      .groupBy(col("qdoc"), col("pdoc"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
       .select(least(col("qdoc"), col("pdoc")).as("doc_a"),
         greatest(col("qdoc"), col("pdoc")).as("doc_b"))
       .distinct()

@@ -248,9 +248,12 @@ object Similarity {
       .withColumn("rn", row_number().over(
         Window.partitionBy(blockCols.map(col): _*)
           .orderBy(orderCols.map(col): _*)))
+      .withColumn("g", count(lit(1)).over(
+        Window.partitionBy(blockCols.map(col): _*)))
       .truncateLineage() // one ranking pass feeds both join sides
     val left = ranked
       .withColumn("slot", explode(sequence(col("rn") + 1, col("rn") + maxSucc)))
+      .filter(col("slot") <= col("g")) // no dangling slots in the shuffle
       .select(blockCols.map(col) ++ Seq(col("vec_id").as("vec_a"),
         col("embedding").as("emb_a"), col("slot")): _*)
     val right = ranked.select(blockCols.map(col) ++ Seq(
