@@ -32,11 +32,13 @@ import org.apache.spark.sql.functions._
   * parquet ns timestamps); Tables.events reads both encodings
   * identically via nanosAsLong + `ts div 1000`.
   *
-  * Output layout matches TESTDATA.md: single FILES named
-  * `<table>.parquet` for every table the streaming stagers file-copy
-  * (events, documents) and all small tables; multi-file directories
-  * (same name) only for lineitem/orders, which DuckDB and Spark both
-  * read transparently.
+  * Output layout: single FILES named `<table>.parquet` for small
+  * tables and events; multi-file directories (same name) for
+  * lineitem/orders always and for documents/embeddings from factor 60
+  * up (~30 replicas per file — the production split shape; see the
+  * inline note at the documents writer). Spark, DuckDB, and the
+  * streaming stagers (hadoop `FileUtil.copy` recurses) all read both
+  * shapes transparently.
   */
 object ScaleUp {
 
@@ -179,7 +181,19 @@ object ScaleUp {
       docs.select((col("doc_id") + lit(r * docS)).as("doc_id"),
         text.as("text"), col("lang"), col("source"), col("n_chars"))
     }
-    writeFile(docReps.reduce(_ unionByName _), "documents")
+    // PRODUCTION SPLIT SHAPE (the round-12 probe lesson): a parquet scan
+    // parallelizes at most one task per row group, and a coalesce(1)
+    // single file carries only a handful of them — the sf100 one-file
+    // documents fixture fed 32 cores from a ≤5-task scan and inflated
+    // every doc-family ratio until it was restaged as a 33-file dir
+    // (gopher 54.2→16.9 s, same code). A real 100 TB corpus arrives in
+    // thousands of files; stage the scaled twins the same way. ~30
+    // replicas per file keeps files tens-of-MB-sized at any factor.
+    val corpusFiles = math.max(1, factor / 30)
+    def writeCorpus(df: DataFrame, t: String): Unit =
+      if (corpusFiles > 1) writeDir(df, t, corpusFiles)
+      else writeFile(df, t)
+    writeCorpus(docReps.reduce(_ unionByName _), "documents")
 
     // embeddings: small deterministic per-replica offset
     val emb = read("embeddings")
@@ -192,7 +206,7 @@ object ScaleUp {
             - lit(3.0)) * lit(r * 0.0005)).cast("float"))
       emb.select(vid, vec.as("embedding"), col("label"))
     }
-    writeFile(embReps.reduce(_ unionByName _), "embeddings")
+    writeCorpus(embReps.reduce(_ unionByName _), "embeddings")
 
     java.nio.file.Files.write(marker.toPath, tag.getBytes)
     println(s"SCALEUP done: $out ($tag)")
