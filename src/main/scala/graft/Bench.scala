@@ -27,7 +27,10 @@ object Bench {
     // Default stays the driver shape (= cpus).
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val ckptLevel = sys.env.get("SPARK_GRAFT_CKPT_LEVEL")
-    val spark = SparkSession.builder()
+    // streaming twin of SPARK_GRAFT_SHUFFLE: state partitions must
+    // shard wider with data (see withStreamPartitions)
+    val streamShuffle = sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE")
+    val builder = SparkSession.builder()
       .config("graft.streaming.stateProvider", streamState)
       .master(s"local[$cpus,3]") // G3: retries=2 → 3 task attempts
       .config("spark.task.maxFailures", "3")
@@ -40,6 +43,8 @@ object Bench {
       // blocking ContextCleaner storms otherwise stall whichever
       // multi-job query is running when GC triggers them
       .config("spark.cleaner.referenceTracking.blocking", "false")
+    val spark = streamShuffle
+      .fold(builder)(v => builder.config("graft.streaming.statePartitions", v))
       .getOrCreate()
     ckptLevel.foreach(l => spark.conf.set(graft.Checkpoints.LevelKey, l))
     spark.sparkContext.setLogLevel("WARN")

@@ -298,6 +298,19 @@ object EventsStreaming {
     "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
 
   private[streaming] def withStreamPartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    // Each query names its DESIGNED state-partition count `n` (the
+    // sf0.1 shape, where 8 keeps per-partition state files small and
+    // the fixed per-partition provider overhead off the critical
+    // path). State must shard WIDER with data — a 100 M-key dedup in 8
+    // RocksDB instances is 12.5 M keys per store, all compaction — so
+    // big-sf runs override it via `graft.streaming.statePartitions`
+    // (Bench: SPARK_GRAFT_STREAM_SHUFFLE), the streaming twin of the
+    // SPARK_GRAFT_SHUFFLE spill-sizing discipline. NOTE unlike batch
+    // shuffle partitions this is a STATEFUL choice: the checkpoint pins
+    // it at first run, so the override only applies to fresh streams —
+    // exactly how a production resharding works (new checkpoint).
+    val eff = spark.conf.getOption("graft.streaming.statePartitions")
+      .map(_.toInt).getOrElse(n)
     val key = "spark.sql.shuffle.partitions"
     val pKey = "spark.sql.streaming.stateStore.providerClass"
     val old = spark.conf.get(key)
@@ -312,7 +325,7 @@ object EventsStreaming {
       case other => throw new IllegalArgumentException(
         s"graft.streaming.stateProvider must be rocksdb|heap|session, got '$other'")
     }
-    spark.conf.set(key, n.toString)
+    spark.conf.set(key, eff.toString)
     desired.foreach(spark.conf.set(pKey, _))
     try body finally {
       spark.conf.set(key, old)

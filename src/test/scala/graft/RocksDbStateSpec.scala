@@ -42,4 +42,22 @@ class RocksDbStateSpec extends SparkTestBase {
     assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
       s"no rocksdb metrics in state-operator progress — the default-mode run did not engage RocksDB (saw: ${metrics.distinct.take(5).mkString(",")})")
   }
+
+  test("statePartitions override reshards state without changing results") {
+    // Each query names its designed sf0.1 state-partition count; at
+    // big sf the probe protocol overrides it (state must shard wider
+    // with data). The override must change ONLY state placement.
+    val base = canon(EventsStreaming.sessionWindowStream(spark, sf()))
+    val pKey = "graft.streaming.statePartitions"
+    spark.conf.set(pKey, "3")
+    val sharded =
+      try canon(EventsStreaming.sessionWindowStream(spark, sf()))
+      finally spark.conf.unset(pKey)
+    assert(sharded == base,
+      "resharding state partitions changed query RESULTS")
+    val parts = EventsStreaming.lastProgressFor("graft_stream_swnative_")
+      .flatMap(_.stateOperators).map(_.numShufflePartitions)
+    assert(parts.contains(3L),
+      s"override did not reach the state operator (saw partitions: ${parts.distinct.mkString(",")})")
+  }
 }
