@@ -95,9 +95,20 @@ object ScaleUp {
     val docS = maxOf(read("documents"), "doc_id")
     val vecS = maxOf(read("embeddings"), "vec_id")
 
-    /** factor× explode with stride remaps; original column types kept. */
-    def replicated(df: DataFrame, remaps: (String, Long)*): DataFrame = {
-      val withRep = df.withColumn("rep",
+    /** factor× explode with stride remaps; original column types kept.
+      *
+      * `spread` pre-shuffles the (tiny) base table across that many
+      * tasks BEFORE the explode: the source fixtures are single-row-
+      * group files, so a parquet scan of one is ONE task and without
+      * the spread the whole factor× row generation runs single-
+      * threaded (measured: the entire sf100 staging wall — 600 M
+      * lineitem rows through one core). Shuffling base rows costs ~MBs;
+      * the generated rows then never shuffle ([[writeDir]] with
+      * preSpread writes the explode's own partitioning straight out).
+      */
+    def replicated(df: DataFrame, spread: Int,
+        remaps: (String, Long)*): DataFrame = {
+      val withRep = df.repartition(spread).withColumn("rep",
         explode(sequence(lit(0L), lit(factor - 1L))))
       remaps.foldLeft(withRep) { case (d, (c, stride)) =>
         d.withColumn(c,
@@ -106,14 +117,22 @@ object ScaleUp {
       }.drop("rep")
     }
 
-    /** Write as ONE file named `<table>.parquet` (stagers file-copy it). */
-    def writeFile(df: DataFrame, t: String): Unit = {
+    /** Write as ONE file named `<table>.parquet` (stagers file-copy it).
+      * `viaShuffle` funnels through repartition(1) instead of
+      * coalesce(1): coalesce collapses the UPSTREAM stage to one task
+      * (un-doing a [[replicated]] spread), while repartition keeps the
+      * explode parallel and single-threads only the final write — use
+      * it for any replicated table big enough for generation to matter.
+      */
+    def writeFile(df: DataFrame, t: String,
+        viaShuffle: Boolean = false): Unit = {
       if (java.nio.file.Files.exists(
           java.nio.file.Paths.get(out, s"$t.parquet"))) {
         println(s"SCALEUP resume-skip $t"); return
       }
       val tmp = java.nio.file.Paths.get(out, s"_build_$t")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val one = if (viaShuffle) df.repartition(1) else df.coalesce(1)
+      one.write.mode("overwrite").parquet(tmp.toString)
       val part = graft.FsUtil.singleParquetPart(tmp)
       val dst = java.nio.file.Paths.get(out, s"$t.parquet")
       java.nio.file.Files.deleteIfExists(dst)
@@ -123,14 +142,19 @@ object ScaleUp {
       println(s"SCALEUP wrote $t (single file)")
     }
 
-    /** Multi-file directory for the two big facts. */
-    def writeDir(df: DataFrame, t: String, files: Int): Unit = {
+    /** Multi-file directory. `preSpread` writes the frame's existing
+      * partitioning as-is (a [[replicated]] frame already carries
+      * `files` partitions from its base spread — re-repartitioning
+      * would shuffle the GENERATED rows, tens of GB at factor 1000).
+      */
+    def writeDir(df: DataFrame, t: String, files: Int,
+        preSpread: Boolean = false): Unit = {
       if (java.nio.file.Files.exists(
           java.nio.file.Paths.get(out, s"$t.parquet", "_SUCCESS"))) {
         println(s"SCALEUP resume-skip $t"); return
       }
-      df.repartition(files).write.mode("overwrite")
-        .parquet(s"$out/$t.parquet")
+      val shaped = if (preSpread) df else df.repartition(files)
+      shaped.write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"SCALEUP wrote $t ($files files)")
     }
 
@@ -138,17 +162,23 @@ object ScaleUp {
     writeFile(read("region"), "region")
     writeFile(read("nation"), "nation")
 
-    writeFile(replicated(read("customer"), "c_custkey" -> custS), "customer")
-    writeFile(replicated(read("supplier"), "s_suppkey" -> suppS), "supplier")
-    writeFile(replicated(read("part"), "p_partkey" -> partS), "part")
-    writeDir(replicated(read("orders"),
+    writeFile(replicated(read("customer"), 16, "c_custkey" -> custS),
+      "customer", viaShuffle = true)
+    writeFile(replicated(read("supplier"), 16, "s_suppkey" -> suppS),
+      "supplier", viaShuffle = true)
+    writeFile(replicated(read("part"), 16, "p_partkey" -> partS),
+      "part", viaShuffle = true)
+    val ordersFiles = math.max(4, 4 * factor / 10)
+    writeDir(replicated(read("orders"), ordersFiles,
       "o_orderkey" -> orderS, "o_custkey" -> custS), "orders",
-      math.max(4, 4 * factor / 10))
-    writeDir(replicated(read("lineitem"),
+      ordersFiles, preSpread = true)
+    val liFiles = math.max(8, 8 * factor / 10)
+    writeDir(replicated(read("lineitem"), liFiles,
       "l_orderkey" -> orderS, "l_partkey" -> partS, "l_suppkey" -> suppS),
-      "lineitem", math.max(8, 8 * factor / 10))
-    writeFile(replicated(read("events"),
-      "event_id" -> eventS, "user_id" -> userS), "events")
+      "lineitem", liFiles, preSpread = true)
+    writeFile(replicated(read("events"), 16,
+      "event_id" -> eventS, "user_id" -> userS), "events",
+      viaShuffle = true)
 
     // documents: per-replica affine cipher (bijective char map).
     // Replica r → (a, b) = (coprime[(r/26) % 12], r % 26); i ↦ a·i+b
