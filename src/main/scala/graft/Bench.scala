@@ -102,9 +102,17 @@ object Bench {
     println(line)
     // The driver's log tail truncates long lines (53/117 timings lost in
     // round 4) — persist the complete per-query map alongside it.
+    // bench_full.json is the sha-chained full-suite artifact BASELINE.md
+    // cites: a filtered probe (BENCH_ONLY) or a non-default sfDir must
+    // NOT overwrite it (a round-13 sf100 probe clobbered the 294-query
+    // map and broke the BENCH_r13 queries_sha256 pointer) — those runs
+    // land in bench_probe.json unless SPARK_GRAFT_BENCH_OUT names a file.
+    val isFullDefault = only.isEmpty && sfDir == "/root/testdata/sf0.1"
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (isFullDefault) "bench_full.json" else "bench_probe.json")
     val fileBytes = (line + "\n").getBytes("UTF-8")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_full.json"), fileBytes)
+      java.nio.file.Paths.get(outFile), fileBytes)
     // The driver keeps only the LAST 2000 stdout chars; the full line
     // above is ~8 KB, so the captured artifact never parsed (BENCH_rN
     // "parsed": null since round 4). Print a COMPACT line LAST — total +
@@ -118,7 +126,7 @@ object Bench {
     val head =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
         s""""warm_sec":$warmSec,"passes":$passes,""" +
-        s""""n_queries":${results.size},"queries_full":"bench_full.json",""" +
+        s""""n_queries":${results.size},"queries_full":"$outFile",""" +
         s""""queries_sha256":"$sha","slowest":{"""
     val budget = 1900 - head.length - 2
     val kept = scala.collection.mutable.ListBuffer.empty[String]

@@ -174,6 +174,18 @@ object TextQueries {
       |    ELSE [norm] END AS s
       |  FROM base)""".stripMargin
 
+  /** 60-bit shingle fingerprints over `sh.s` — mirrors
+    * `TextFunctions.shingleFps3` (first 15 hex md5 chars as BIGINT,
+    * distinct applied to the fingerprints), the representation the
+    * heavy postings operators shuffle at scale.
+    */
+  private val fpsCte =
+    """shf AS (SELECT doc_id, source,
+      |  list_distinct(list_transform(s, x ->
+      |    CAST(CAST(('0x' || substr(md5(x), 1, 15)) AS UBIGINT) AS BIGINT)))
+      |    AS fps
+      |  FROM sh)""".stripMargin
+
   private[graft] val bandsCte =
     s"""WITH $baseCte, $shinglesCte,
        |sig AS (SELECT doc_id,
@@ -1510,27 +1522,28 @@ object TextQueries {
          |WHERE n_inter * 10 >= (sa.sz + sb.sz - n_inter) * 8""".stripMargin,
 
     // Mirrors the CAPPED prefix generator (not the brute-force join):
-    // same df-ascending prefix, same per-(source, shingle) doc_id rank,
+    // same 60-bit shingle fingerprints (fp60), same df-ascending
+    // (df, fp) prefix order, same per-(source, fp) doc_id rank,
     // candidates within 32 rank positions, exact verification on top.
     "q_jaccard_prefix_capped" ->
-      s"""WITH $baseCte, $shinglesCte,
-         |ex AS (SELECT doc_id, source, unnest(list_distinct(s)) AS shingle FROM sh),
+      s"""WITH $baseCte, $shinglesCte, $fpsCte,
+         |ex AS (SELECT doc_id, source, unnest(fps) AS fp FROM shf),
          |szs AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1),
-         |dfs AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1),
-         |pref AS (SELECT doc_id, source, shingle FROM (
-         |  SELECT e.doc_id, e.source, e.shingle, z.sz,
+         |dfs AS (SELECT fp, count(*) AS df FROM ex GROUP BY 1),
+         |pref AS (SELECT doc_id, source, fp FROM (
+         |  SELECT e.doc_id, e.source, e.fp, z.sz,
          |    row_number() OVER (PARTITION BY e.doc_id
-         |      ORDER BY d.df, e.shingle) AS rnk
-         |  FROM ex e JOIN dfs d USING (shingle) JOIN szs z USING (doc_id))
+         |      ORDER BY d.df, e.fp) AS rnk
+         |  FROM ex e JOIN dfs d USING (fp) JOIN szs z USING (doc_id))
          |  WHERE rnk <= sz - (8 * sz + 9) // 10 + 1),
-         |rk AS (SELECT doc_id, source, shingle,
-         |  row_number() OVER (PARTITION BY source, shingle
+         |rk AS (SELECT doc_id, source, fp,
+         |  row_number() OVER (PARTITION BY source, fp
          |    ORDER BY doc_id) AS rn FROM pref),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM rk a JOIN rk b ON a.source = b.source
-         |    AND a.shingle = b.shingle
+         |    AND a.fp = b.fp
          |    AND b.rn > a.rn AND b.rn <= a.rn + 32),
-         |docs AS (SELECT doc_id, list_distinct(s) AS ds FROM sh),
+         |docs AS (SELECT doc_id, fps AS ds FROM shf),
          |sc AS (SELECT c.doc_a, c.doc_b,
          |    CAST(len(list_intersect(a.ds, b.ds)) AS INTEGER) AS n_inter,
          |    CAST(len(a.ds) + len(b.ds)
@@ -1540,26 +1553,28 @@ object TextQueries {
          |SELECT doc_a, doc_b, n_inter, n_union FROM sc
          |WHERE n_inter * 10 >= n_union * 8""".stripMargin,
 
-    // Min-wise inclusion ensemble: 8 argmin-shingle probes per doc
-    // (min over (md5, shingle) — the fixed-width md5 prefix makes the
-    // concatenated string min identical to the engine's struct min),
-    // joined against the kept postings; exact containment scoring on
-    // the surfaced pairs, from each pair's smaller side.
+    // Min-wise inclusion ensemble on 60-bit fingerprints: 8 argmin-fp
+    // probes per doc (min over (md5 of the fp's decimal string, fp) —
+    // the fixed-width md5 prefix makes the concatenated string min
+    // identical to the engine's struct min), joined against the kept
+    // postings; exact containment scoring on the surfaced pairs, from
+    // each pair's smaller side.
     "q_containment_ensemble" ->
-      s"""WITH $baseCte, $shinglesCte,
-         |ex AS (SELECT doc_id, unnest(list_distinct(s)) AS shingle FROM sh),
-         |stop AS (SELECT shingle FROM (
-         |  SELECT shingle, count(*) AS df FROM ex GROUP BY 1) WHERE df > 100),
-         |kept AS (SELECT ex.* FROM ex ANTI JOIN stop USING (shingle)),
+      s"""WITH $baseCte, $shinglesCte, $fpsCte,
+         |ex AS (SELECT doc_id, unnest(fps) AS fp FROM shf),
+         |stop AS (SELECT fp FROM (
+         |  SELECT fp, count(*) AS df FROM ex GROUP BY 1) WHERE df > 100),
+         |kept AS (SELECT ex.* FROM ex ANTI JOIN stop USING (fp)),
          |szs AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS sz
          |  FROM kept GROUP BY 1),
          |qm AS (SELECT doc_id, i,
-         |    substr(min(md5(CAST(i AS VARCHAR) || '|' || shingle)
-         |      || shingle), 33) AS shingle
+         |    CAST(substr(min(md5(CAST(i AS VARCHAR) || '|'
+         |        || CAST(fp AS VARCHAR)) || CAST(fp AS VARCHAR)), 33)
+         |      AS BIGINT) AS fp
          |  FROM kept, range(8) r(i) GROUP BY doc_id, i),
          |hits AS (SELECT q.doc_id AS qdoc, p.doc_id AS pdoc,
          |    count(*) AS hits
-         |  FROM qm q JOIN kept p ON q.shingle = p.shingle
+         |  FROM qm q JOIN kept p ON q.fp = p.fp
          |    AND q.doc_id <> p.doc_id GROUP BY 1, 2),
          |cand AS (SELECT DISTINCT least(qdoc, pdoc) AS doc_a,
          |    greatest(qdoc, pdoc) AS doc_b
@@ -1567,7 +1582,7 @@ object TextQueries {
          |inter AS (SELECT c.doc_a, c.doc_b,
          |    CAST(count(*) AS INTEGER) AS n_inter
          |  FROM cand c JOIN kept ka ON ka.doc_id = c.doc_a
-         |  JOIN kept kb ON kb.doc_id = c.doc_b AND kb.shingle = ka.shingle
+         |  JOIN kept kb ON kb.doc_id = c.doc_b AND kb.fp = ka.fp
          |  GROUP BY 1, 2)
          |SELECT
          |  CASE WHEN sa.sz <= sb.sz THEN i.doc_a ELSE i.doc_b END AS doc_small,

@@ -39,6 +39,33 @@ object TextFunctions {
     when(n >= 3, tri).otherwise(array(normText(c)))
   }
 
+  /** 60-bit shingle fingerprint: the first 15 hex chars of md5, as a
+    * non-negative BIGINT (the [[graft.operators.Dedup.winnow]] gram-hash
+    * construction, promoted to the postings dedup family). The heavy
+    * postings operators shuffle/checkpoint every shingle occurrence;
+    * as UTF8 strings that is ~40-60 bytes per posting and ~50 GB of
+    * deserialized checkpoint at the 5 M-doc probe scale — as 8-byte
+    * fingerprints the same relations are ~6× smaller, which is the
+    * difference between in-memory aggregation and the disk-spill cliff
+    * the sf100 probes measured. Collision math: 60 bits ⇒ expected
+    * colliding pairs ≈ n²/2⁶¹, under 10⁻⁴ at 10⁸ distinct shingles —
+    * none at any tested scale; at true warehouse scale (10¹²) a
+    * handful of merged shingle identities shift dup COUNTS by ~10⁻⁹
+    * relative, immaterial for dedup decisions. Engine-portable:
+    * DuckDB mirror is
+    * `CAST(CAST(('0x' || substr(md5(s),1,15)) AS UBIGINT) AS BIGINT)`.
+    */
+  def fp60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Distinct 60-bit fingerprints of a document's 3-word shingles — the
+    * postings-family representation of a document's shingle set.
+    * `array_distinct` runs on the fingerprints (not the strings), so a
+    * within-document collision cannot double-count an element.
+    */
+  def shingleFps3(c: Column): Column =
+    array_distinct(transform(shingles3(c), x => fp60(x)))
+
   /** MinHash signature: 16 portable hash functions h_i(s) = md5(i ∥ '|' ∥ s),
     * minimized lexicographically over the shingle set. Hex md5 is ASCII, so
     * lexicographic min agrees byte-for-byte across engines. Per-row only —

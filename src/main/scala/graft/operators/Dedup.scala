@@ -571,6 +571,16 @@ object Dedup {
     * exchange) and two |docs|-sized doc-keyed relations joined at the
     * end. Docs whose every shingle is shared simply have no df=1 row —
     * the left join coalesces them to n_uniq = 0.
+    *
+    * Shingles travel as 60-bit fingerprints ([[TextFunctions.fp60]],
+    * exactly Lee et al.'s hashed-ngram representation): the checkpoint
+    * and the one postings exchange carry 8-byte longs instead of
+    * ~50-byte strings. The sf100 half-slice adjudication measured the
+    * string form 5.96× for a 1.94× data step — the hash aggregate
+    * crossing its spill cliff — and byte width, not partition count,
+    * was the lever (a 256-partition re-probe was slower). Counts are
+    * fingerprint-exact (see fp60's collision math), so the DuckDB
+    * oracle keeps the plain string formulation.
     */
   def dupNgrams(spark: SparkSession, sfDir: String): DataFrame = {
     // one shingling pass (regex-heavy) feeds BOTH the narrow per-doc
@@ -583,8 +593,7 @@ object Dedup {
     // chain re-evaluates per conjunct (measured 11× on this exact
     // projection at sf10: 48 s filtered vs 4.4 s without).
     val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        array_distinct(shingles3(col("text"))).as("ds"))
+      .select(col("doc_id"), shingleFps3(col("text")).as("ds"))
       .truncateLineage()
     val perDoc = docs.select(col("doc_id"),
       size(col("ds")).cast("long").as("n_shingles"))
@@ -774,19 +783,23 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     gateExactGenerator(spark, sfDir, "containment (q_containment)",
       "containmentEnsemble (q_containment_ensemble)")
+    // postings travel as 60-bit fingerprints (fp60): df counts, stop
+    // membership, and intersection counts are identical on fingerprints
+    // (collision math at fp60), and every shuffle below carries 8-byte
+    // longs instead of shingle strings — the oracle keeps plain strings
     val sh = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        explode(array_distinct(shingles3(col("text")))).as("shingle"))
+        explode(shingleFps3(col("text"))).as("fp"))
       .truncateLineage()
-    val stop = sh.groupBy(col("shingle"))
+    val stop = sh.groupBy(col("fp"))
       .agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
-      .select(col("shingle"))
-    val postings = sh.join(broadcast(stop), Seq("shingle"), "left_anti")
+      .select(col("fp"))
+    val postings = sh.join(broadcast(stop), Seq("fp"), "left_anti")
       .withColumn("sz",
         count(lit(1)).over(Window.partitionBy(col("doc_id"))).cast("int"))
       .truncateLineage()
     postings.as("a").join(postings.as("b"),
-        col("a.shingle") === col("b.shingle")
+        col("a.fp") === col("b.fp")
           && col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_small"), col("b.doc_id").as("doc_big"),
         col("a.sz").as("sz_small"), col("b.sz").as("sz_big"))
@@ -822,33 +835,41 @@ object Dedup {
     val (docsArr, prefix) = prefixIndex(spark, sfDir)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.source") === col("b.source")
-          && col("a.shingle") === col("b.shingle")
+          && col("a.fp") === col("b.fp")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     scorePrefixCandidates(cand, docsArr)
   }
 
-  /** The shared prefix-filter scaffold: (per-doc distinct-shingle
+  /** The shared prefix-filter scaffold: (per-doc distinct-fingerprint
     * arrays with sizes, the df-ascending prefix postings index) — see
     * [[jaccardPrefix]] for the construction's exactness argument.
+    * Shingles travel as 60-bit fingerprints ([[TextFunctions.fp60]]) —
+    * this index is the byte-heaviest relation in the engine (every
+    * shuffle below touches all postings: the df aggregate, the df
+    * join-back, the per-doc rank window, and two checkpoints), and the
+    * prefix-filter theorem holds under ANY fixed global order, so the
+    * (df, fp) order is as exact as (df, string). Only the CAPPED twin's
+    * result set depends on the tie-break choice, and its oracle mirrors
+    * the fingerprint order.
     */
   private def prefixIndex(spark: SparkSession,
       sfDir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val docsArr = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
-        array_distinct(shingles3(col("text"))).as("ds"))
+        shingleFps3(col("text")).as("ds"))
       .withColumn("sz", size(col("ds")))
       .truncateLineage()
     val sh = docsArr.select(col("doc_id"), col("source"),
-      col("sz"), explode(col("ds")).as("shingle"))
-    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val prefix = sh.join(df, "shingle")
+      col("sz"), explode(col("ds")).as("fp"))
+    val df = sh.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val prefix = sh.join(df, "fp")
       .withColumn("rnk", row_number().over(Window.partitionBy(col("doc_id"))
-        .orderBy(col("df"), col("shingle"))))
+        .orderBy(col("df"), col("fp"))))
       .filter(col("rnk") <= col("sz") - expr("(8 * sz + 9) div 10") + 1)
-      .select(col("doc_id"), col("source"), col("shingle"))
+      .select(col("doc_id"), col("source"), col("fp"))
       .truncateLineage()
     (docsArr, prefix)
   }
@@ -905,10 +926,10 @@ object Dedup {
     val (docsArr, prefix) = prefixIndex(spark, sfDir)
     val ranked = prefix
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("source"), col("shingle"))
+        Window.partitionBy(col("source"), col("fp"))
           .orderBy(col("doc_id"))))
       .withColumn("g", count(lit(1)).over(
-        Window.partitionBy(col("source"), col("shingle"))))
+        Window.partitionBy(col("source"), col("fp"))))
       .truncateLineage() // one ranking pass feeds both join sides
     val left = ranked
       .withColumn("slot",
@@ -917,11 +938,11 @@ object Dedup {
       // shorter than the cap, so dropping dangling slots here shrinks
       // the join shuffle by ~maxSucc×
       .filter(col("slot") <= col("g"))
-      .select(col("source"), col("shingle"),
+      .select(col("source"), col("fp"),
         col("doc_id").as("doc_a"), col("slot"))
-    val right = ranked.select(col("source"), col("shingle"),
+    val right = ranked.select(col("source"), col("fp"),
       col("doc_id").as("doc_b"), col("rn").as("slot"))
-    val cand = left.join(right, Seq("source", "shingle", "slot"))
+    val cand = left.join(right, Seq("source", "fp", "slot"))
       .select(col("doc_a"), col("doc_b")).distinct()
     scorePrefixCandidates(cand, docsArr)
   }
@@ -1105,36 +1126,64 @@ object Dedup {
     */
   def containmentEnsemble(spark: SparkSession, sfDir: String,
       maxDf: Int = 100, numProbes: Int = 8, minHits: Int = 2): DataFrame = {
+    // shingles travel as 60-bit fingerprints (fp60): the two corpus-wide
+    // array checkpoints below were ~50 GB each DESERIALIZED as strings
+    // at the 5 M-doc probe (the measured disk-full spiller) and are ~6×
+    // smaller as longs; probe selection, df counts, and intersection
+    // counts are representation-exact (the oracle mirrors the
+    // fingerprint probes)
     val docsArr = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        array_distinct(shingles3(col("text"))).as("ds"))
+      .select(col("doc_id"), shingleFps3(col("text")).as("ds"))
       .truncateLineage() // one shingling pass feeds stop-df and kept
-    // corpus-wide stop shingles as ONE tiny array, applied narrowly
-    // per row (array_except) — no postings-sized anti-join shuffle
-    val stopArr = docsArr
-      .select(col("doc_id"), explode(col("ds")).as("shingle"))
-      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val stopDf = docsArr
+      .select(explode(col("ds")).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
-      .agg(collect_list(col("shingle")).as("stop_arr"))
-    val kept = docsArr.crossJoin(broadcast(stopArr))
-      .select(col("doc_id"),
-        array_except(col("ds"), col("stop_arr")).as("ks"))
+      .select(col("fp"))
+      .truncateLineage() // the size gate's count re-reads materialized rows
+    // SIZE-GATED stop strategy (the pruneToParticipants discipline): the
+    // df>maxDf set grows with DISTINCT text, so on a diverse warehouse
+    // corpus a single-row collect_list array would blow the driver and
+    // broadcast limits long before the postings math does. Below the
+    // limit (default 1 M fps = 8 MB of longs) keep the one-row broadcast
+    // + narrow per-row array_except; above it degrade to the exploded
+    // anti-join the exact containment (:containment) already uses — one
+    // extra linear shuffle plus a collect back to arrays, never a
+    // corpus-dependent broadcast.
+    val stopLimit = spark.conf.getOption("graft.dedup.stopBroadcastLimit")
+      .getOrElse("1000000").toLong
+    val keptRaw =
+      if (stopDf.count() <= stopLimit) {
+        val stopArr = stopDf.agg(collect_list(col("fp")).as("stop_arr"))
+        docsArr.crossJoin(broadcast(stopArr))
+          .select(col("doc_id"),
+            array_except(col("ds"), col("stop_arr")).as("ks"))
+      } else {
+        // collect_list order is nondeterministic, but every consumer of
+        // `ks` is order-invariant (array_min over transform, explode,
+        // array_intersect sizes) — the strategy-identity spec pins it
+        docsArr.select(col("doc_id"), explode(col("ds")).as("fp"))
+          .join(stopDf, Seq("fp"), "left_anti")
+          .groupBy(col("doc_id")).agg(collect_list(col("fp")).as("ks"))
+      }
+    val kept = keptRaw
       .truncateLineage() // feeds probes, postings, and verification
       // all-stopped docs drop AFTER materialization: a filter before
       // the checkpoint would re-evaluate array_except per interpreted
       // predicate conjunct (see dupNgrams — the codegen-fallback trap)
       .filter(size(col("ks")) > 0)
-    // query side: numProbes argmin shingles per doc; struct min orders
-    // by (md5, shingle) so any tie would break identically everywhere
+    // query side: numProbes argmin fingerprints per doc; struct min
+    // orders by (md5, fp) so any tie would break identically everywhere
     val probes = (0 until numProbes).map { i =>
       array_min(transform(col("ks"),
-        x => struct(md5(concat(lit(i + "|"), x)).as("h"), x.as("s"))))("s")
+        x => struct(md5(concat(lit(i + "|"), x.cast("string"))).as("h"),
+          x.as("s"))))("s")
     }
     val qmins = kept.select(col("doc_id").as("qdoc"),
-      explode(array(probes: _*)).as("shingle"))
+      explode(array(probes: _*)).as("fp"))
     val postings = kept.select(col("doc_id").as("pdoc"),
-      explode(col("ks")).as("shingle"))
-    val cand = qmins.join(postings, "shingle")
+      explode(col("ks")).as("fp"))
+    val cand = qmins.join(postings, "fp")
       .filter(col("qdoc") =!= col("pdoc"))
       .groupBy(col("qdoc"), col("pdoc"))
       .agg(count(lit(1)).as("hits"))

@@ -309,8 +309,14 @@ object EventsStreaming {
     // shuffle partitions this is a STATEFUL choice: the checkpoint pins
     // it at first run, so the override only applies to fresh streams —
     // exactly how a production resharding works (new checkpoint).
+    // validated like stateProvider below: a malformed or non-positive
+    // override must fail naming the key BEFORE any conf is mutated, not
+    // as an opaque NumberFormatException inside the first streaming query
     val eff = spark.conf.getOption("graft.streaming.statePartitions")
-      .map(_.toInt).getOrElse(n)
+      .map { v =>
+        v.toIntOption.filter(_ > 0).getOrElse(throw new IllegalArgumentException(
+          s"graft.streaming.statePartitions must be a positive integer, got '$v'"))
+      }.getOrElse(n)
     val key = "spark.sql.shuffle.partitions"
     val pKey = "spark.sql.streaming.stateStore.providerClass"
     val old = spark.conf.get(key)

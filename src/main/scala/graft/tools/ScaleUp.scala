@@ -50,7 +50,11 @@ object ScaleUp {
     val out = if (args.length > 1) args(1) else "/tmp/graft-sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
     val marker = new java.io.File(out, "_SCALEUP_OK")
-    val tag = s"$src x$factor"
+    // the tag carries a LAYOUT VERSION: a staging produced by older code
+    // (v-less: single-file documents/embeddings at factor ≥ 60 — the
+    // round-12 "gopher 54.2 s" scan-parallelism pathology) must be
+    // invalidated and restaged, not silently reused
+    val tag = s"$src x$factor v2"
     if (marker.exists() &&
         new String(java.nio.file.Files.readAllBytes(marker.toPath)) == tag) {
       println(s"SCALEUP reuse $out ($tag)")
@@ -220,8 +224,18 @@ object ScaleUp {
     // thousands of files; stage the scaled twins the same way. ~30
     // replicas per file keeps files tens-of-MB-sized at any factor.
     val corpusFiles = math.max(1, factor / 30)
+    // The replica union carries `factor` upstream partitions (one
+    // single-row-group scan each), so when there are enough of them to
+    // keep every core busy, coalesce merges ~30 adjacent replicas per
+    // output file WITHOUT shuffling the generated rows — the writeDir
+    // preSpread discipline (repartition(corpusFiles) would full-shuffle
+    // tens of GB at factor 1000). Below that, coalesce would throttle
+    // generation parallelism under the core count, and the rows being
+    // shuffled are small — keep the repartition.
     def writeCorpus(df: DataFrame, t: String): Unit =
-      if (corpusFiles > 1) writeDir(df, t, corpusFiles)
+      if (corpusFiles >= 16) // = local[16] staging cores
+        writeDir(df.coalesce(corpusFiles), t, corpusFiles, preSpread = true)
+      else if (corpusFiles > 1) writeDir(df, t, corpusFiles)
       else writeFile(df, t)
     writeCorpus(docReps.reduce(_ unionByName _), "documents")
 

@@ -111,6 +111,44 @@ class ContainmentScaleSpec extends SparkTestBase {
     } finally spark.conf.unset("graft.dedup.broadcastIdLimit")
   }
 
+  test("ensemble results are identical under either stop strategy") {
+    // task: the stop-fingerprint set must never be an un-gated broadcast.
+    // Force the shuffled anti-join path (limit below any count, including
+    // the empty stop set this fixture produces) and pin result identity
+    // against the default single-row-broadcast path.
+    val broadcastRows = canon(Dedup.containmentEnsemble(spark, asymDir))
+    assert(broadcastRows.nonEmpty)
+    spark.conf.set("graft.dedup.stopBroadcastLimit", "-1")
+    try assert(canon(Dedup.containmentEnsemble(spark, asymDir))
+      === broadcastRows)
+    finally spark.conf.unset("graft.dedup.stopBroadcastLimit")
+  }
+
+  test("ensemble stop strategies agree when the stop set is non-empty") {
+    // a fixture where a shingle exceeds maxDf so the stop set actually
+    // binds: 120 docs sharing one boilerplate header + a planted
+    // excerpt/host pair that must survive under BOTH strategies
+    val dir = Files.createTempDirectory("graft_stop_fixture").toString
+    val header = "common header line shared across documents"
+    val toks = (0 until 400).map(j => s"h_$j")
+    val host = header + " " + toks.mkString(" ")
+    val excerpt = toks.slice(10, 60).mkString(" ")
+    import spark.implicits._
+    val rows = Seq((0L, host, "en", "s", host.length.toLong),
+      (1L, excerpt, "en", "s", excerpt.length.toLong)) ++
+      (0 until 120).map(k =>
+        (10L + k, header + s" unique tail $k marker", "en", "s", 1L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val bc = canon(Dedup.containmentEnsemble(spark, dir, maxDf = 100))
+    spark.conf.set("graft.dedup.stopBroadcastLimit", "-1")
+    try {
+      val aj = canon(Dedup.containmentEnsemble(spark, dir, maxDf = 100))
+      assert(aj === bc)
+      assert(bc.nonEmpty, "planted excerpt-in-host pair survives the stop cap")
+    } finally spark.conf.unset("graft.dedup.stopBroadcastLimit")
+  }
+
   test("banded scorer results are identical under either prune strategy") {
     val broadcastRows = canon(Dedup.ngramJaccardBanded(spark, sf()))
     spark.conf.set("graft.dedup.broadcastIdLimit", "0")
