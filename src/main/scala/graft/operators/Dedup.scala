@@ -25,6 +25,17 @@ import graft.sources.Tables
   */
 object Dedup {
 
+  /** Thrown by the exact-generator fail-fast gate (see
+    * [[gateExactGenerator]]). A dedicated type so harnesses can tell a
+    * DESIGNED refusal ("this corpus is above the exact generators'
+    * documented limit — run the scale twin") from a genuine failure:
+    * `graft.Verify` records these as skip-with-reason in
+    * `skipped.json` instead of an error, so a big-sf correctness sweep
+    * over the full key set never books the gate as `err`.
+    */
+  final class ScaleGateException(msg: String)
+      extends IllegalStateException(msg)
+
   /** I1 — exact dedup groups: canonical (minimum) doc_id per md5(text). */
   def exact(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -983,7 +994,7 @@ object Dedup {
     val limit = spark.conf.getOption("graft.dedup.exactGenLimit")
       .getOrElse("1000000").toLong
     val n = Tables.documents(spark, sfDir).count()
-    if (n > limit) throw new IllegalStateException(
+    if (n > limit) throw new ScaleGateException(
       s"$name is the exact sub-sf10 generator — its postings self-join " +
         s"is superlinear on replicated corpora, and the corpus has $n " +
         s"documents (> graft.dedup.exactGenLimit=$limit). Run " +

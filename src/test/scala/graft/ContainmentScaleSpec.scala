@@ -85,7 +85,9 @@ class ContainmentScaleSpec extends SparkTestBase {
         (() => Dedup.ngramJaccard(spark, sf()), "q_ngram_jaccard_banded"),
         (() => Dedup.containment(spark, sf()), "q_containment_ensemble"),
         (() => Dedup.jaccardPrefix(spark, sf()), "q_jaccard_prefix_capped"))) {
-        val e = intercept[IllegalStateException](call())
+        // the TYPED gate exception is the harness contract: Verify
+        // records it as skip-with-reason (skipped.json), never `err`
+        val e = intercept[Dedup.ScaleGateException](call())
         assert(e.getMessage.contains(twin),
           s"gate message must name the scale twin $twin")
         assert(e.getMessage.contains("exactGenLimit"))
