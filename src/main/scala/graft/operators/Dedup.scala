@@ -867,6 +867,7 @@ object Dedup {
     */
   private def prefixIndex(spark: SparkSession,
       sfDir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     val docsArr = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         shingleFps3(col("text")).as("ds"))
@@ -875,36 +876,20 @@ object Dedup {
     val sh = docsArr.select(col("doc_id"), col("source"),
       col("sz"), explode(col("ds")).as("fp"))
     val df = sh.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-    // Sort-free index construction (the sf100 probe found the original
-    // SMJ + row_number plan sort-bound, not volume-bound: three full
-    // sorts of |postings| rows — join both sides + the per-doc rank
-    // window — for an index that only needs each doc's k smallest
-    // (df, fp) entries, k ≈ sz/5). Shape instead:
-    //   - df lookup as a SHUFFLED HASH join (df side builds a per-
-    //     partition map; neither 425M-row side sorts),
-    //   - per-doc selection as hash-aggregated collect_list + one
-    //     IN-ARRAY sort of ~85 elements + slice (identical to the
-    //     row_number filter: (df, fp) is duplicate-free per doc, so
-    //     both express the same total order's first k elements).
-    // Struct field order (df, fp) makes array_sort's lexicographic
-    // comparator exactly the window's ORDER BY df, fp.
-    // ObjectHashAggregate falls back to SORT-based aggregation after
-    // 128 in-memory keys by default — that silent fallback would
-    // reintroduce the very sort this plan removes. Postings groups are
-    // small (≤ shingle count per doc / ≤ posting-list length), so the
-    // hash path is the right strategy at any corpus size: partial maps
-    // are bounded by rows-per-task, not by corpus.
-    spark.conf.set(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      "4000000")
-    val prefix = sh.hint("shuffle_hash").join(df.hint("shuffle_hash"), "fp")
-      .groupBy(col("doc_id"))
-      .agg(first(col("source")).as("source"), first(col("sz")).as("sz"),
-        array_sort(collect_list(struct(col("df"), col("fp")))).as("ord"))
-      .select(col("doc_id"), col("source"),
-        explode(slice(col("ord"), lit(1),
-          col("sz") - expr("(8 * sz + 9) div 10") + 1)).as("e"))
-      .select(col("doc_id"), col("source"), col("e.fp").as("fp"))
+    // Plan-shape note (round-14 A/B, sf10 cold probes): two "sort-free"
+    // rewrites of this index LOST to the SMJ + window form and were
+    // reverted — (a) SHUFFLE_HASH-hinting the df join-back measured
+    // 58.0 s vs 32.6 s (hash-building 1M+ fp entries per partition loses
+    // to codegen radix-sort SMJ on longs); (b) replacing the rank window
+    // with hash-aggregated collect_list + in-array sort measured 117 s
+    // (ObjectHashAggregate's row-at-a-time object lists, plus a partial
+    // phase that cannot collapse fp-partitioned rows). The declarative
+    // SMJ + window plan IS the fast plan at every measured scale.
+    val prefix = sh.join(df, "fp")
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("df"), col("fp"))))
+      .filter(col("rnk") <= col("sz") - expr("(8 * sz + 9) div 10") + 1)
+      .select(col("doc_id"), col("source"), col("fp"))
       .truncateLineage()
     (docsArr, prefix)
   }
@@ -957,20 +942,14 @@ object Dedup {
     */
   def jaccardPrefixCapped(spark: SparkSession, sfDir: String,
       maxSucc: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val (docsArr, prefix) = prefixIndex(spark, sfDir)
-    // rank-within-posting-list as ONE hash aggregate + posexplode over
-    // the per-list array instead of two window passes (row_number +
-    // count over the same partitioning = two sorts of every prefix
-    // posting): lists are df-ascending-rare by construction, so the
-    // collected arrays are small except for replicated mega-lists,
-    // which are exactly the ones the successor cap then trims
-    val ranked = prefix.groupBy(col("source"), col("fp"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("lst"))
-      .select(col("source"), col("fp"),
-        posexplode(col("lst")).as(Seq("pos", "doc_id")),
-        size(col("lst")).cast("long").as("g"))
-      .select(col("source"), col("fp"), col("doc_id"),
-        (col("pos") + 1).cast("long").as("rn"), col("g"))
+    val ranked = prefix
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"), col("fp"))
+          .orderBy(col("doc_id"))))
+      .withColumn("g", count(lit(1)).over(
+        Window.partitionBy(col("source"), col("fp"))))
       .truncateLineage() // one ranking pass feeds both join sides
     val left = ranked
       .withColumn("slot",
@@ -1167,12 +1146,6 @@ object Dedup {
     */
   def containmentEnsemble(spark: SparkSession, sfDir: String,
       maxDf: Int = 100, numProbes: Int = 8, minHits: Int = 2): DataFrame = {
-    // keep big collect_list aggregates hash-based (the anti-join stop
-    // branch re-collects per-doc arrays) — see the prefixIndex note on
-    // the 128-key sort fallback
-    spark.conf.set(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      "4000000")
     // shingles travel as 60-bit fingerprints (fp60): the two corpus-wide
     // array checkpoints below were ~50 GB each DESERIALIZED as strings
     // at the 5 M-doc probe (the measured disk-full spiller) and are ~6×
@@ -1230,13 +1203,7 @@ object Dedup {
       explode(array(probes: _*)).as("fp"))
     val postings = kept.select(col("doc_id").as("pdoc"),
       explode(col("ks")).as("fp"))
-    // probe join as a SHUFFLED HASH join: SMJ would SORT the full
-    // postings explode (|corpus shingles| rows — the dominant cost the
-    // sf100 probe measured, 30× for 10× data); hash-building the
-    // numProbes-per-doc qmin side keeps both sides sort-free, and the
-    // per-partition build map is bounded by probes/docs-per-partition,
-    // not corpus df
-    val cand = qmins.hint("shuffle_hash").join(postings, "fp")
+    val cand = qmins.join(postings, "fp")
       .filter(col("qdoc") =!= col("pdoc"))
       .groupBy(col("qdoc"), col("pdoc"))
       .agg(count(lit(1)).as("hits"))
