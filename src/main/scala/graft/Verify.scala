@@ -11,15 +11,22 @@ object Verify {
     // iteration aid; the driver always calls with exactly two args)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") // driver shape: local[32]
+    // big-sf sweeps need the same spill-aware sizing knobs Bench honors:
+    // shuffle partitions that grow with data and serialized checkpoint
+    // truncation (a 5M-doc correctness dump is the same physics as the
+    // probe that measured those knobs)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       // local[cpus, 3]: 3 task attempts = the reference's retries: 2
       // (one initial + two retries, Final_app.py:18-19) — G3 semantics.
       .master(s"local[$cpus,3]")
       .config("spark.task.maxFailures", "3")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    sys.env.get("SPARK_GRAFT_CKPT_LEVEL")
+      .foreach(l => spark.conf.set(graft.Checkpoints.LevelKey, l))
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Harness policy for the fail-fast exact generators (q_ngram_jaccard
