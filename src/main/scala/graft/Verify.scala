@@ -37,6 +37,12 @@ object Verify {
     // the gate as `err`. Below the limit behavior is byte-identical to
     // the ungated form (same plan, the gate is one corpus count).
     val skipped = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // stale-artifact hygiene (a reused outDir must not carry a previous
+    // run's verdicts): the old skipped.json dies up front, and a
+    // gate-skipped query's prior parquet dump dies with it — otherwise a
+    // "pass or gate-skipped" sweep could compare last run's data, or a
+    // stale skip ledger could mask a genuine failure
+    Files.deleteIfExists(Paths.get(s"$outDir/skipped.json"))
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -45,6 +51,7 @@ object Verify {
       catch {
         case e: graft.operators.Dedup.ScaleGateException =>
           skipped(name) = e.getMessage
+          FsUtil.deleteRecursively(Paths.get(s"$outDir/$name"))
           System.err.println(s"[verify] $name gate-skipped: ${e.getMessage}")
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -65,11 +72,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    if (skipped.nonEmpty) {
-      val sj = skipped.map { case (k, v) => s"${q(k)}: ${q(v)}" }
-        .mkString("{", ",", "}")
-      Files.writeString(Paths.get(s"$outDir/skipped.json"), sj)
-    }
+    // written unconditionally (empty {} when nothing skipped): the file's
+    // absence then always means "run didn't finish", never "no skips"
+    val sj = skipped.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/skipped.json"), sj)
     spark.stop()
   }
 }
