@@ -1093,20 +1093,28 @@ object TextQueries {
 
     // Fixed-point (×1e6 BIGINT) per-bigram log-probs summed exactly,
     // divided and rounded only at the end — mirrors the Spark side so
-    // float summation order can never split the engines.
+    // float summation order can never split the engines. Bigrams travel
+    // as the engine's 60-bit fingerprints (fp60 of "prev cur" / of prev
+    // — the space separator is injective over whitespace-split tokens),
+    // so a fingerprint collision merges the same identities on both
+    // engines and the gate stays exact at any collision odds.
     "q_lm_score" ->
       s"""WITH $baseCte,
-         |bg AS (SELECT doc_id, u['prev'] AS prev, u['cur'] AS cur
+         |bg AS (SELECT doc_id,
+         |    CAST(CAST(('0x' || substr(md5(u['prev'] || ' ' || u['cur']),
+         |      1, 15)) AS UBIGINT) AS BIGINT) AS fp_bi,
+         |    CAST(CAST(('0x' || substr(md5(u['prev']),
+         |      1, 15)) AS UBIGINT) AS BIGINT) AS fp_prev
          |  FROM (SELECT doc_id, unnest(list_transform(range(len(toks)-1),
          |      i -> {'prev': toks[i+1], 'cur': toks[i+2]})) AS u
          |    FROM base WHERE len(toks) >= 2)),
-         |bi AS (SELECT prev, cur, count(*) AS c_bi FROM bg GROUP BY 1, 2),
-         |uni AS (SELECT prev, sum(c_bi) AS c_prev FROM bi GROUP BY 1),
-         |model AS (SELECT prev, cur,
+         |bi AS (SELECT fp_bi, fp_prev, count(*) AS c_bi FROM bg GROUP BY 1, 2),
+         |uni AS (SELECT fp_prev, sum(c_bi) AS c_prev FROM bi GROUP BY 1),
+         |model AS (SELECT fp_bi,
          |  CAST(round(ln(CAST(c_bi AS DOUBLE) / c_prev) * 1e6) AS BIGINT) AS logp_f
-         |  FROM bi JOIN uni USING (prev)),
+         |  FROM bi JOIN uni USING (fp_prev)),
          |sc AS (SELECT doc_id, count(*) AS n_bigrams, sum(logp_f) AS sum_f
-         |  FROM bg JOIN model USING (prev, cur) GROUP BY 1)
+         |  FROM bg JOIN model USING (fp_bi) GROUP BY 1)
          |SELECT d.doc_id,
          |  CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
          |  CAST(round(CAST(sum_f AS DOUBLE) / (n_bigrams * 1e6), 6) + 0 AS DOUBLE) AS lm_score
@@ -1557,8 +1565,11 @@ object TextQueries {
     // probes per doc (min over (md5 of the fp's decimal string, fp) —
     // the fixed-width md5 prefix makes the concatenated string min
     // identical to the engine's struct min), joined against the kept
-    // postings; exact containment scoring on the surfaced pairs, from
-    // each pair's smaller side.
+    // postings; probes are size-oriented (only the strictly smaller
+    // doc queries, ties by smaller doc_id — the engine's round-15
+    // orientation), so each unordered pair surfaces once with qdoc as
+    // the output's doc_small; exact containment scoring on the
+    // surfaced pairs, from that smaller side.
     "q_containment_ensemble" ->
       s"""WITH $baseCte, $shinglesCte, $fpsCte,
          |ex AS (SELECT doc_id, unnest(fps) AS fp FROM shf),
@@ -1572,29 +1583,24 @@ object TextQueries {
          |        || CAST(fp AS VARCHAR)) || CAST(fp AS VARCHAR)), 33)
          |      AS BIGINT) AS fp
          |  FROM kept, range(8) r(i) GROUP BY doc_id, i),
-         |hits AS (SELECT q.doc_id AS qdoc, p.doc_id AS pdoc,
-         |    count(*) AS hits
+         |cand AS (SELECT q.doc_id AS doc_a, p.doc_id AS doc_b
          |  FROM qm q JOIN kept p ON q.fp = p.fp
-         |    AND q.doc_id <> p.doc_id GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT least(qdoc, pdoc) AS doc_a,
-         |    greatest(qdoc, pdoc) AS doc_b
-         |  FROM hits WHERE hits >= 2),
+         |  JOIN szs sq ON sq.doc_id = q.doc_id
+         |  JOIN szs sp ON sp.doc_id = p.doc_id
+         |  WHERE sq.sz < sp.sz
+         |     OR (sq.sz = sp.sz AND q.doc_id < p.doc_id)
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
          |inter AS (SELECT c.doc_a, c.doc_b,
          |    CAST(count(*) AS INTEGER) AS n_inter
          |  FROM cand c JOIN kept ka ON ka.doc_id = c.doc_a
          |  JOIN kept kb ON kb.doc_id = c.doc_b AND kb.fp = ka.fp
          |  GROUP BY 1, 2)
-         |SELECT
-         |  CASE WHEN sa.sz <= sb.sz THEN i.doc_a ELSE i.doc_b END AS doc_small,
-         |  CASE WHEN sa.sz <= sb.sz THEN i.doc_b ELSE i.doc_a END AS doc_big,
-         |  i.n_inter,
-         |  least(sa.sz, sb.sz) AS sz_small,
-         |  greatest(sa.sz, sb.sz) AS sz_big,
-         |  CAST(i.n_inter * 10000 // least(sa.sz, sb.sz) AS BIGINT)
-         |    AS containment_bp
+         |SELECT i.doc_a AS doc_small, i.doc_b AS doc_big, i.n_inter,
+         |  sa.sz AS sz_small, sb.sz AS sz_big,
+         |  CAST(i.n_inter * 10000 // sa.sz AS BIGINT) AS containment_bp
          |FROM inter i JOIN szs sa ON i.doc_a = sa.doc_id
          |JOIN szs sb ON i.doc_b = sb.doc_id
-         |WHERE i.n_inter * 10 >= least(sa.sz, sb.sz) * 9""".stripMargin,
+         |WHERE i.n_inter * 10 >= sa.sz * 9""".stripMargin,
 
     "q_gopher_rules" ->
       s"""WITH $baseCte,

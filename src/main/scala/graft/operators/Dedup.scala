@@ -1136,13 +1136,36 @@ object Dedup {
     * index, not per distinct shingle, so a tiny doc whose argmins
     * coincide still reaches the threshold through repeat hits.
     *
+    * Probes are SIZE-ORIENTED (round 15): a hit row is kept only when
+    * the PROBING doc is the strictly smaller side (ties: the smaller
+    * doc_id), because the output predicate scores containment from the
+    * smaller side — its probes are the only channel whose per-probe hit
+    * probability is the scored C (a bigger doc probing a contained
+    * smaller one hits with probability n_inter/sz_big, which the
+    * qualifying asymmetric case drives to zero — that channel found
+    * nothing the small side's probes don't). Recall is EXACTLY the
+    * binomial envelope above (it was a lower bound before), each
+    * unordered pair now surfaces in exactly one orientation (the
+    * least/greatest + distinct pass died with the double counting), and
+    * the round-15 sf10 profile's junk halves: pre-filter hit volume
+    * 38.8 M rows → 34.6 M nearly-all-distinct pair keys in the count
+    * state, of which only 3.2 M reached minHits and 25.6 k verified —
+    * the moderate-overlap within-family pairs that probe BOTH ways were
+    * the bulk of that state.
+    *
     * Scale shape: stop-capped postings (df ≤ `maxDf`, the same
     * corpus-wide cap and therefore the same shingle universe as the
     * exact form) bound every probe's fan-out at maxDf candidates, so
     * pre-amplification hit volume ≤ numProbes·maxDf·N — linear in
     * documents — and it collapses in a partial-aggregated pair count
     * before anything wide moves. Verification is exact on
-    * participant-only kept arrays; precision never degrades.
+    * participant-only kept arrays; precision never degrades. Both the
+    * probe join and the two verification joins are SHUFFLE_HASH-hinted
+    * with the BOUNDED side as build (probe rows: numProbes·N ≤ a few
+    * hundred bytes per doc per partition; kept arrays: ~sz·8 B per doc)
+    * — sort-merge would sort the UNBOUNDED side (the postings stream /
+    * the candidate×array rows, the widest relations in the plan), which
+    * is exactly the sf100 spill this operator measured at 19.9×.
     */
   def containmentEnsemble(spark: SparkSession, sfDir: String,
       maxDf: Int = 100, numProbes: Int = 8, minHits: Int = 2): DataFrame = {
@@ -1200,35 +1223,36 @@ object Dedup {
           x.as("s"))))("s")
     }
     val qmins = kept.select(col("doc_id").as("qdoc"),
-      explode(array(probes: _*)).as("fp"))
+      size(col("ks")).as("sz_q"), explode(array(probes: _*)).as("fp"))
     val postings = kept.select(col("doc_id").as("pdoc"),
-      explode(col("ks")).as("fp"))
-    val cand = qmins.join(postings, "fp")
-      .filter(col("qdoc") =!= col("pdoc"))
+      size(col("ks")).as("sz_p"), explode(col("ks")).as("fp"))
+    // size orientation rides the join condition: hits where the probing
+    // doc is the bigger side never leave the probe (see Scaladoc); the
+    // build side is the probe relation (numProbes rows per doc, 20 B
+    // each), the postings stream never sorts
+    val cand = qmins.hint("shuffle_hash").join(postings, "fp")
+      .filter(col("sz_q") < col("sz_p") ||
+        (col("sz_q") === col("sz_p") && col("qdoc") < col("pdoc")))
       .groupBy(col("qdoc"), col("pdoc"))
       .agg(count(lit(1)).as("hits"))
       .filter(col("hits") >= minHits)
-      .select(least(col("qdoc"), col("pdoc")).as("doc_a"),
-        greatest(col("qdoc"), col("pdoc")).as("doc_b"))
-      .distinct()
+      // one orientation per unordered pair by construction: qdoc IS the
+      // smaller side (ties: the smaller id) — the output's doc_small
+      .select(col("qdoc").as("doc_a"), col("pdoc").as("doc_b"))
       .truncateLineage()
     val docs = pruneToParticipants(spark, kept, cand)
     cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("ks").as("ks_a")),
-        "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("ks").as("ks_b")),
-        "doc_b")
+      .join(docs.select(col("doc_id").as("doc_a"), col("ks").as("ks_a"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("ks").as("ks_b"))
+        .hint("shuffle_hash"), "doc_b")
       .withColumn("n_inter", size(array_intersect(col("ks_a"), col("ks_b"))))
-      .withColumn("sz_a", size(col("ks_a")))
-      .withColumn("sz_b", size(col("ks_b")))
       .select(
-        when(col("sz_a") <= col("sz_b"), col("doc_a")).otherwise(col("doc_b"))
-          .as("doc_small"),
-        when(col("sz_a") <= col("sz_b"), col("doc_b")).otherwise(col("doc_a"))
-          .as("doc_big"),
+        col("doc_a").as("doc_small"),
+        col("doc_b").as("doc_big"),
         col("n_inter"),
-        least(col("sz_a"), col("sz_b")).as("sz_small"),
-        greatest(col("sz_a"), col("sz_b")).as("sz_big"))
+        size(col("ks_a")).as("sz_small"),
+        size(col("ks_b")).as("sz_big"))
       .filter(col("n_inter") * 10 >= col("sz_small") * 9)
       .select(col("doc_small"), col("doc_big"), col("n_inter"),
         col("sz_small"), col("sz_big"),

@@ -479,11 +479,26 @@ object TextAnalysis {
     * floating-point summation order across partitions. Only the final
     * per-document division touches doubles, rounded to 6 places.
     *
-    * Shuffle shape: one shuffle of (prev,cur) pairs builds the bigram
-    * counts; the unigram denominators re-aggregate the (already tiny)
-    * bigram table rather than re-shuffling the token stream; scoring is
-    * a shuffle join of doc-bigrams against the model. At 100 TB the
-    * model side is Zipf-concentrated — prune to top-K bigrams with an
+    * Shuffle shape (the fp60 postings discipline, applied round 15 —
+    * this was the corpus's last string-keyed heavy shuffle and one of
+    * the two measured >12× sf100 entries): every bigram occurrence
+    * travels as TWO 60-bit fingerprints, fp_bi = fp60(prev ∥ ' ' ∥ cur)
+    * and fp_prev = fp60(prev) (tokens are whitespace-split, so the
+    * space separator is injective), instead of two UTF8 token strings —
+    * ~2× narrower rows and long-keyed joins end to end. The exploded
+    * stream is hash-partitioned on fp_bi ONCE and that exchange is
+    * REUSED by both consumers (Catalyst ReuseExchange: the bigram-count
+    * aggregate groups by (fp_bi, fp_prev), which fp_bi partitioning
+    * already clusters, and the scoring join keys on fp_bi) — the
+    * string-era plan shuffled the 150×-corpus bigram stream twice and
+    * computed the tokenize+explode twice. Map-side combine loses
+    * nothing here: on a diverse corpus mean bigram multiplicity is
+    * ~1.5-2.5, so the partial phase the explicit repartition forgoes
+    * never reduced anything. Fingerprint collisions merge two bigram
+    * identities at odds n²/2⁶¹ (~10⁻⁴ at 10⁸ distinct bigrams); the
+    * oracle replays the identical fingerprinting, so the gate stays
+    * exact at any collision odds. At 100 TB the model side is
+    * Zipf-concentrated — prune to top-K bigrams with an
     * out-of-vocabulary floor and broadcast it, turning the scoring join
     * into a map-side probe.
     */
@@ -495,17 +510,27 @@ object TextAnalysis {
       zip_with(slice(t, lit(1), n - 1), slice(t, lit(2), n - 1),
         (x, y) => struct(x.as("prev"), y.as("cur"))))
       .otherwise(array().cast("array<struct<prev:string,cur:string>>"))
+    // fingerprints are computed POST-explode as plain column expressions
+    // (whole-stage-codegen'd md5), not inside the zip_with lambda
+    // (interpreted HOF evaluation); the strings die in-pipeline before
+    // the exchange
     val docBi = docs
       .select(col("doc_id"), explode(bigrams).as("bg"))
-      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
-    val bi = docBi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c_bi"))
-    val uni = bi.groupBy(col("prev")).agg(sum(col("c_bi")).as("c_prev"))
-    val model = bi.join(uni, "prev")
+      .select(col("doc_id"),
+        fp60(concat(col("bg.prev"), lit(" "), col("bg.cur"))).as("fp_bi"),
+        fp60(col("bg.prev")).as("fp_prev"))
+      .repartition(col("fp_bi"))
+    val bi = docBi.groupBy(col("fp_bi"), col("fp_prev"))
+      .agg(count(lit(1)).as("c_bi"))
+    val uni = bi.groupBy(col("fp_prev")).agg(sum(col("c_bi")).as("c_prev"))
+    val model = bi.join(uni, "fp_prev")
       .withColumn("logp_f",
         round(log(col("c_bi").cast("double") / col("c_prev")) * lit(1e6)).cast("bigint"))
+      .select(col("fp_bi"), col("logp_f"))
     // every doc bigram is in the model by construction (same corpus), so
     // the inner join keeps exactly the n_bigrams rows per document
-    val scored = docBi.join(model, Seq("prev", "cur"))
+    val scored = docBi.select(col("doc_id"), col("fp_bi"))
+      .join(model, Seq("fp_bi"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("logp_f")).as("sum_f"))
     docs.select(col("doc_id"))
