@@ -84,6 +84,35 @@ object SimilarityQueries {
        |  string_agg(bit, '' ORDER BY p) AS subkey
        |  FROM sig GROUP BY vec_id)""".stripMargin
 
+  /** Narrow (unnested) variant of [[cappedBucketsCte]] for the two
+    * oracles whose list-carrying formulation DuckDB could not execute
+    * at sf100 (2 M vectors): the original `embeddings e, planes p`
+    * cross join and the pair join both kept the 64-float `embedding`
+    * LIST in flight per intermediate row, and those buffers are not
+    * spillable — OOM at 60 GB AND at a 100 GB memory_limit (round-15
+    * gate log). Here the vectors are exploded ONCE into a narrow
+    * (vec_id, dim, v) relation (`uev` — the same `embeddings,
+    * range(1,65)` shape the k-means oracles already use) and every
+    * downstream join/aggregate is fixed-width and spillable. Bucket
+    * bits are the same float sums of the same 64 terms; pair scores are
+    * the same order-exempt integer qsums — the contract is unchanged,
+    * only the execution shape.
+    */
+  private def cappedBucketsCteNarrow(planesExpr: String) =
+    s"""${planesCte(s"($planesExpr + 8)")},
+       |uev AS (SELECT vec_id, i - 1 AS dim,
+       |  CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings, range(1, 65) r(i)),
+       |sig AS (SELECT u.vec_id, p.p,
+       |  CASE WHEN sum(p.w * u.v) > 0 THEN '1' ELSE '0' END AS bit
+       |  FROM uev u JOIN planes p ON p.i = u.dim GROUP BY u.vec_id, p.p),
+       |buck AS (SELECT vec_id,
+       |  substr(string_agg(bit, '' ORDER BY p), 1, $planesExpr) AS bucket,
+       |  string_agg(bit, '' ORDER BY p) AS subkey
+       |  FROM sig GROUP BY vec_id),
+       |qv AS (SELECT vec_id, dim,
+       |  CAST(floor(v * 1048576.0) AS BIGINT) AS q FROM uev)""".stripMargin
+
   /** floor(x·2²⁰) BIGINT component quantization — mirrors the engine's
     * QuantizedCosine exactly: integer dot/norm sums are order-exempt,
     * and the final sqrt/divide on identical integers is bit-identical
@@ -455,7 +484,7 @@ object SimilarityQueries {
     // next ≤32) — mirrors Similarity.cappedBlockPairs, the
     // mega-dup-family output guard with its similarity-locality order.
     "q_dedup_embedding_lsh" ->
-      s"""WITH ${cappedBucketsCte(adaptivePlanesSql)},
+      s"""WITH ${cappedBucketsCteNarrow(adaptivePlanesSql)},
          |rk AS (SELECT vec_id, bucket,
          |  row_number() OVER (PARTITION BY bucket
          |    ORDER BY subkey, vec_id) AS rn
@@ -465,11 +494,10 @@ object SimilarityQueries {
          |  FROM rk ba JOIN rk bb ON ba.bucket = bb.bucket
          |    AND bb.rn > ba.rn AND bb.rn <= ba.rn + 32),
          |d AS (SELECT c.bucket, c.va, c.vb,
-         |  ${qsum("ea.embedding[i]", "eb.embedding[i]")} AS dot,
-         |  ${qsum("ea.embedding[i]", "ea.embedding[i]")} AS na,
-         |  ${qsum("eb.embedding[i]", "eb.embedding[i]")} AS nb
-         |  FROM cand c JOIN embeddings ea ON c.va = ea.vec_id
-         |  JOIN embeddings eb ON c.vb = eb.vec_id, range(1, 65) r(i)
+         |  sum(a.q * b.q) AS dot, sum(a.q * a.q) AS na,
+         |  sum(b.q * b.q) AS nb
+         |  FROM cand c JOIN qv a ON c.va = a.vec_id
+         |  JOIN qv b ON c.vb = b.vec_id AND b.dim = a.dim
          |  GROUP BY 1, 2, 3)
          |SELECT bucket, va AS vec_a, vb AS vec_b,
          |  CAST(round($qscore, 6) + 0 AS DOUBLE) AS score
@@ -511,19 +539,21 @@ object SimilarityQueries {
     // count mirrors Similarity.adaptivePlanes (same as q_dedup_embedding_lsh)
     // so the bucket strings match the engine's at every corpus size.
     "q_dedup_embedding" ->
-      s"""WITH ${cappedBucketsCte(adaptivePlanesSql)},
-         |eb AS (SELECT e.vec_id, e.label, e.embedding, b.bucket,
+      s"""WITH ${cappedBucketsCteNarrow(adaptivePlanesSql)},
+         |eb AS (SELECT e.vec_id, e.label, b.bucket,
          |  row_number() OVER (PARTITION BY e.label, b.bucket
          |    ORDER BY b.subkey, e.vec_id) AS rn
          |  FROM embeddings e JOIN buck b ON e.vec_id = b.vec_id),
-         |p AS (SELECT a.label, least(a.vec_id, b.vec_id) AS va,
-         |  greatest(a.vec_id, b.vec_id) AS vb,
-         |  ${qsum("a.embedding[i]", "b.embedding[i]")} AS dot,
-         |  ${qsum("a.embedding[i]", "a.embedding[i]")} AS na,
-         |  ${qsum("b.embedding[i]", "b.embedding[i]")} AS nb
+         |cd AS (SELECT a.label, least(a.vec_id, b.vec_id) AS va,
+         |    greatest(a.vec_id, b.vec_id) AS vb
          |  FROM eb a JOIN eb b
          |    ON a.label = b.label AND a.bucket = b.bucket
-         |    AND b.rn > a.rn AND b.rn <= a.rn + 32, range(1, 65) r(i)
+         |    AND b.rn > a.rn AND b.rn <= a.rn + 32),
+         |p AS (SELECT c.label, c.va, c.vb,
+         |  sum(a.q * b.q) AS dot, sum(a.q * a.q) AS na,
+         |  sum(b.q * b.q) AS nb
+         |  FROM cd c JOIN qv a ON c.va = a.vec_id
+         |  JOIN qv b ON c.vb = b.vec_id AND b.dim = a.dim
          |  GROUP BY 1, 2, 3)
          |SELECT label, va AS vec_a, vb AS vec_b,
          |  CAST(round($qscore, 6) + 0 AS DOUBLE) AS score

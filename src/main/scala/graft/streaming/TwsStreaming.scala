@@ -199,12 +199,23 @@ object TwsStreaming {
 
     override def handleInputRows(key: Long, rows: Iterator[SessEv],
         timers: TimerValues): Iterator[SessRow] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      // Sentinel rows (negative event_id) are watermark carriers only —
+      // a sentinel-only batch input for this key must return BEFORE the
+      // state read. The earlier shape read+rewrote every user's
+      // ValueState and delete/re-armed an IDENTICAL timer on each
+      // trailing sentinel batch (and wrote a junk zero-state for users
+      // the processor had never seen) — at the sf100 probe that was two
+      // extra full passes of per-user RocksDB read-modify-writes plus
+      // 2×2M timer churn, the bulk of its 17.7× fence overage. State
+      // and the armed timer are untouched by skipping: the re-arm wrote
+      // the same expiry it deleted.
+      val sorted = rows.toSeq.filter(_.event_id >= 0L)
+        .sortBy(e => (e.ts_us, e.event_id))
+      if (sorted.isEmpty) return Iterator.empty
       var cur = Option(st.get()).getOrElse(SessState(0, Long.MinValue, 0L, 0L))
       val out = scala.collection.mutable.ArrayBuffer.empty[SessRow]
       sorted.foreach { e =>
-        if (e.event_id < 0L) () // sentinel: watermark carrier only
-        else if (cur.nEvents == 0L)
+        if (cur.nEvents == 0L)
           cur = SessState(cur.sessionId + 1, e.ts_us, 1L, e.ts_us)
         else if (e.ts_us - cur.lastTsUs > gapUs) {
           out += SessRow(key, cur.sessionId, cur.nEvents, cur.startUs)
@@ -213,13 +224,11 @@ object TwsStreaming {
           cur.startUs)
       }
       st.update(cur)
-      if (cur.nEvents > 0L) {
-        // exactly one armed timer per user: a stale (earlier) timer
-        // would close a session that new rows just extended
-        getHandle.listTimers().foreach(t =>
-          getHandle.deleteTimer(t.asInstanceOf[Long]))
-        getHandle.registerTimer(cur.lastTsUs / 1000L + gapUs / 1000L + 1L)
-      }
+      // exactly one armed timer per user: a stale (earlier) timer
+      // would close a session that new rows just extended
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(cur.lastTsUs / 1000L + gapUs / 1000L + 1L)
       out.iterator
     }
 
