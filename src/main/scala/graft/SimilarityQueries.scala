@@ -93,10 +93,22 @@ object SimilarityQueries {
     * gate log). Here the vectors are exploded ONCE into a narrow
     * (vec_id, dim, v) relation (`uev` — the same `embeddings,
     * range(1,65)` shape the k-means oracles already use) and every
-    * downstream join/aggregate is fixed-width and spillable. Bucket
-    * bits are the same float sums of the same 64 terms; pair scores are
-    * the same order-exempt integer qsums — the contract is unchanged,
-    * only the execution shape.
+    * downstream join/aggregate is fixed-width and spillable. The
+    * bucket/subkey bit STRINGS become exact bit MASKS (plain integer
+    * sum of shifts, p=0 at the MSB): the available DuckDB's ORDERED
+    * string_agg buffers its whole 48 M-row input unspillably and was
+    * the second sf100 OOM site after the list-carry; fixed-length
+    * '0'/'1' lexicographic order ≡ numeric order and substr(·,1,P) ≡
+    * `>> 8`, so ranks, bucket equality, and the engine's bucket string
+    * (re-derived via lpad(bin(·),P,'0') where an output exposes it) are
+    * identical. Bucket bits are the same float sums of the same 64
+    * terms. Pair scores stream as `list_dot_product` over per-vector
+    * QUANTIZED lists (`qv.ql` = floor(x·2²⁰) as DOUBLE): every term and
+    * every 64-term sum is an integer < 2⁵³, so the double arithmetic is
+    * EXACTLY the engine's order-exempt integer qsum — and the scoring
+    * join streams 64 M pair rows through row-wise projections instead
+    * of radix-partitioning a 4-billion-row (pair × dim) aggregate to
+    * disk (the third sf100 failure: ~50 GB of spill exceeded the box).
     */
   private def cappedBucketsCteNarrow(planesExpr: String) =
     s"""${planesCte(s"($planesExpr + 8)")},
@@ -104,14 +116,17 @@ object SimilarityQueries {
        |  CAST(embedding[i] AS DOUBLE) AS v
        |  FROM embeddings, range(1, 65) r(i)),
        |sig AS (SELECT u.vec_id, p.p,
-       |  CASE WHEN sum(p.w * u.v) > 0 THEN '1' ELSE '0' END AS bit
+       |  CASE WHEN sum(p.w * u.v) > 0 THEN 1 ELSE 0 END AS bit
        |  FROM uev u JOIN planes p ON p.i = u.dim GROUP BY u.vec_id, p.p),
        |buck AS (SELECT vec_id,
-       |  substr(string_agg(bit, '' ORDER BY p), 1, $planesExpr) AS bucket,
-       |  string_agg(bit, '' ORDER BY p) AS subkey
+       |  sum(CAST(bit AS BIGINT)
+       |    << (($planesExpr) + 7 - CAST(p AS INTEGER))) >> 8 AS bucket,
+       |  sum(CAST(bit AS BIGINT)
+       |    << (($planesExpr) + 7 - CAST(p AS INTEGER))) AS subkey
        |  FROM sig GROUP BY vec_id),
-       |qv AS (SELECT vec_id, dim,
-       |  CAST(floor(v * 1048576.0) AS BIGINT) AS q FROM uev)""".stripMargin
+       |qv AS (SELECT vec_id, list_transform(embedding,
+       |  x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)
+       |    AS DOUBLE)) AS ql FROM embeddings)""".stripMargin
 
   /** floor(x·2²⁰) BIGINT component quantization — mirrors the engine's
     * QuantizedCosine exactly: integer dot/norm sums are order-exempt,
@@ -483,23 +498,33 @@ object SimilarityQueries {
     // bucket by the finer-signature subkey then vec_id, pair with the
     // next ≤32) — mirrors Similarity.cappedBlockPairs, the
     // mega-dup-family output guard with its similarity-locality order.
+    // The cap join is the engine's EXPLODED-SLOT-KEY equi-join (sl:
+    // each row emits rn+1..rn+32 target ranks), not a rank-range
+    // residual on a bucket self-join: DuckDB evaluates range residuals
+    // AFTER materializing the bucket-equality product, which is g² per
+    // bucket — the sf100 fixture's ~50k-vector mega-buckets OOM'd that
+    // form at any memory_limit (round-15 gate log).
     "q_dedup_embedding_lsh" ->
       s"""WITH ${cappedBucketsCteNarrow(adaptivePlanesSql)},
          |rk AS (SELECT vec_id, bucket,
          |  row_number() OVER (PARTITION BY bucket
          |    ORDER BY subkey, vec_id) AS rn
          |  FROM buck),
+         |sl AS (SELECT bucket, vec_id, rn + unnest(range(1, 33)) AS rt
+         |  FROM rk),
          |cand AS (SELECT ba.bucket, least(ba.vec_id, bb.vec_id) AS va,
          |    greatest(ba.vec_id, bb.vec_id) AS vb
-         |  FROM rk ba JOIN rk bb ON ba.bucket = bb.bucket
-         |    AND bb.rn > ba.rn AND bb.rn <= ba.rn + 32),
+         |  FROM sl ba JOIN rk bb ON ba.bucket = bb.bucket
+         |    AND bb.rn = ba.rt),
          |d AS (SELECT c.bucket, c.va, c.vb,
-         |  sum(a.q * b.q) AS dot, sum(a.q * a.q) AS na,
-         |  sum(b.q * b.q) AS nb
+         |  list_dot_product(a.ql, b.ql) AS dot,
+         |  list_dot_product(a.ql, a.ql) AS na,
+         |  list_dot_product(b.ql, b.ql) AS nb
          |  FROM cand c JOIN qv a ON c.va = a.vec_id
-         |  JOIN qv b ON c.vb = b.vec_id AND b.dim = a.dim
-         |  GROUP BY 1, 2, 3)
-         |SELECT bucket, va AS vec_a, vb AS vec_b,
+         |  JOIN qv b ON c.vb = b.vec_id)
+         |SELECT lpad(bin(bucket), CAST($adaptivePlanesSql AS INTEGER), '0')
+         |    AS bucket,
+         |  va AS vec_a, vb AS vec_b,
          |  CAST(round($qscore, 6) + 0 AS DOUBLE) AS score
          |FROM d""".stripMargin,
 
@@ -544,17 +569,19 @@ object SimilarityQueries {
          |  row_number() OVER (PARTITION BY e.label, b.bucket
          |    ORDER BY b.subkey, e.vec_id) AS rn
          |  FROM embeddings e JOIN buck b ON e.vec_id = b.vec_id),
+         |sl AS (SELECT label, bucket, vec_id,
+         |  rn + unnest(range(1, 33)) AS rt FROM eb),
          |cd AS (SELECT a.label, least(a.vec_id, b.vec_id) AS va,
          |    greatest(a.vec_id, b.vec_id) AS vb
-         |  FROM eb a JOIN eb b
+         |  FROM sl a JOIN eb b
          |    ON a.label = b.label AND a.bucket = b.bucket
-         |    AND b.rn > a.rn AND b.rn <= a.rn + 32),
+         |    AND b.rn = a.rt),
          |p AS (SELECT c.label, c.va, c.vb,
-         |  sum(a.q * b.q) AS dot, sum(a.q * a.q) AS na,
-         |  sum(b.q * b.q) AS nb
+         |  list_dot_product(a.ql, b.ql) AS dot,
+         |  list_dot_product(a.ql, a.ql) AS na,
+         |  list_dot_product(b.ql, b.ql) AS nb
          |  FROM cd c JOIN qv a ON c.va = a.vec_id
-         |  JOIN qv b ON c.vb = b.vec_id AND b.dim = a.dim
-         |  GROUP BY 1, 2, 3)
+         |  JOIN qv b ON c.vb = b.vec_id)
          |SELECT label, va AS vec_a, vb AS vec_b,
          |  CAST(round($qscore, 6) + 0 AS DOUBLE) AS score
          |FROM (SELECT *, row_number() OVER (PARTITION BY label

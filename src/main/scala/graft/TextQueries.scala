@@ -1570,37 +1570,51 @@ object TextQueries {
     // orientation), so each unordered pair surfaces once with qdoc as
     // the output's doc_small; exact containment scoring on the
     // surfaced pairs, from that smaller side.
+    // Execution shape (round 15): list-native, mirroring the ENGINE's
+    // own structure — the stop set rides as one list value (the
+    // broadcast path), kept sets stay per-doc LISTS, the 8 argmin
+    // probes are per-row list folds, and the exact verification is
+    // len(list_intersect) per surfaced pair. The earlier exploded form
+    // (kept × range(8) min-aggregate, pair-count over exploded
+    // postings twice) radix-partitioned multi-billion-row aggregate
+    // inputs to disk and exceeded the sandbox's free space at sf100
+    // (round-15 gate log); every heavy step here streams row-wise.
     "q_containment_ensemble" ->
       s"""WITH $baseCte, $shinglesCte, $fpsCte,
          |ex AS (SELECT doc_id, unnest(fps) AS fp FROM shf),
          |stop AS (SELECT fp FROM (
          |  SELECT fp, count(*) AS df FROM ex GROUP BY 1) WHERE df > 100),
-         |kept AS (SELECT ex.* FROM ex ANTI JOIN stop USING (fp)),
-         |szs AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS sz
-         |  FROM kept GROUP BY 1),
-         |qm AS (SELECT doc_id, i,
-         |    CAST(substr(min(md5(CAST(i AS VARCHAR) || '|'
-         |        || CAST(fp AS VARCHAR)) || CAST(fp AS VARCHAR)), 33)
-         |      AS BIGINT) AS fp
-         |  FROM kept, range(8) r(i) GROUP BY doc_id, i),
+         |stopl AS (SELECT coalesce(list(fp), CAST([] AS BIGINT[])) AS sl
+         |  FROM stop),
+         |klk AS (SELECT doc_id, ks FROM (
+         |    SELECT doc_id,
+         |      list_filter(fps, x -> NOT list_contains(s.sl, x)) AS ks
+         |    FROM shf, stopl s)
+         |  WHERE len(ks) > 0),
+         |szs AS (SELECT doc_id, CAST(len(ks) AS INTEGER) AS sz FROM klk),
+         |qm AS (SELECT doc_id, unnest(list_transform(range(8), i ->
+         |    CAST(substr(list_min(list_transform(ks, x ->
+         |      md5(CAST(i AS VARCHAR) || '|' || CAST(x AS VARCHAR))
+         |        || CAST(x AS VARCHAR))), 33) AS BIGINT))) AS fp
+         |  FROM klk),
+         |kp AS (SELECT doc_id, unnest(ks) AS fp FROM klk),
          |cand AS (SELECT q.doc_id AS doc_a, p.doc_id AS doc_b
-         |  FROM qm q JOIN kept p ON q.fp = p.fp
+         |  FROM qm q JOIN kp p ON q.fp = p.fp
          |  JOIN szs sq ON sq.doc_id = q.doc_id
          |  JOIN szs sp ON sp.doc_id = p.doc_id
          |  WHERE sq.sz < sp.sz
          |     OR (sq.sz = sp.sz AND q.doc_id < p.doc_id)
-         |  GROUP BY 1, 2 HAVING count(*) >= 2),
-         |inter AS (SELECT c.doc_a, c.doc_b,
-         |    CAST(count(*) AS INTEGER) AS n_inter
-         |  FROM cand c JOIN kept ka ON ka.doc_id = c.doc_a
-         |  JOIN kept kb ON kb.doc_id = c.doc_b AND kb.fp = ka.fp
-         |  GROUP BY 1, 2)
-         |SELECT i.doc_a AS doc_small, i.doc_b AS doc_big, i.n_inter,
-         |  sa.sz AS sz_small, sb.sz AS sz_big,
-         |  CAST(i.n_inter * 10000 // sa.sz AS BIGINT) AS containment_bp
-         |FROM inter i JOIN szs sa ON i.doc_a = sa.doc_id
-         |JOIN szs sb ON i.doc_b = sb.doc_id
-         |WHERE i.n_inter * 10 >= sa.sz * 9""".stripMargin,
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT doc_a AS doc_small, doc_b AS doc_big, n_inter,
+         |  sz_small, sz_big,
+         |  CAST(n_inter * 10000 // sz_small AS BIGINT) AS containment_bp
+         |FROM (SELECT c.doc_a, c.doc_b,
+         |    CAST(len(list_intersect(a.ks, b.ks)) AS INTEGER) AS n_inter,
+         |    CAST(len(a.ks) AS INTEGER) AS sz_small,
+         |    CAST(len(b.ks) AS INTEGER) AS sz_big
+         |  FROM cand c JOIN klk a ON a.doc_id = c.doc_a
+         |  JOIN klk b ON b.doc_id = c.doc_b)
+         |WHERE n_inter * 10 >= sz_small * 9""".stripMargin,
 
     "q_gopher_rules" ->
       s"""WITH $baseCte,
