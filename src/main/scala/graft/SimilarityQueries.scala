@@ -151,7 +151,7 @@ object SimilarityQueries {
     * centroid join on dim alone can never cross subspaces.
     */
   private val pqCtes =
-    """pex AS (SELECT vec_id, CAST((i-1)//8 AS INTEGER) AS sub, i-1 AS dim,
+    """pex AS MATERIALIZED (SELECT vec_id, CAST((i-1)//8 AS INTEGER) AS sub, i-1 AS dim,
       |    CAST(round(CAST(embedding[i] AS DOUBLE)*1000000) AS BIGINT)
       |      + 1000000 AS vi
       |  FROM embeddings, range(1, 65) r(i)),
@@ -174,12 +174,12 @@ object SimilarityQueries {
       |  GROUP BY 1, 2),
       |pdf AS (SELECT p.vec_id, p.sub, c.code, sum((p.vi-c.ci)*(p.vi-c.ci)) AS d2
       |  FROM pex p JOIN pc2 c ON p.dim = c.dim GROUP BY 1, 2, 3),
-      |paf AS (SELECT vec_id, sub, code, d2 FROM (SELECT vec_id, sub, code, d2,
+      |paf AS MATERIALIZED (SELECT vec_id, sub, code, d2 FROM (SELECT vec_id, sub, code, d2,
       |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
       |  FROM pdf) WHERE rn = 1)""".stripMargin
 
   private val kmeansCtes =
-    """ex AS (SELECT vec_id, i-1 AS dim,
+    """ex AS MATERIALIZED (SELECT vec_id, i-1 AS dim,
       |    CAST(round(CAST(embedding[i] AS DOUBLE)*1000000) AS BIGINT)
       |      + 1000000 AS vi
       |  FROM embeddings, range(1, 65) r(i)),
@@ -200,7 +200,7 @@ object SimilarityQueries {
       |  FROM a2 a JOIN ex ON a.vec_id = ex.vec_id GROUP BY a.cid, ex.dim),
       |df AS (SELECT ex.vec_id, c.cid, sum((ex.vi-c.ci)*(ex.vi-c.ci)) AS d2
       |  FROM ex JOIN c2 c ON ex.dim = c.dim GROUP BY ex.vec_id, c.cid),
-      |af AS (SELECT vec_id, cid, d2 FROM (SELECT vec_id, cid, d2,
+      |af AS MATERIALIZED (SELECT vec_id, cid, d2 FROM (SELECT vec_id, cid, d2,
       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
       |  FROM df) WHERE rn = 1)""".stripMargin
 
@@ -307,12 +307,12 @@ object SimilarityQueries {
         |    a.code AS code_a, b.code AS code_b,
         |    sum((a.ci - b.ci) * (a.ci - b.ci)) AS pd2
         |  FROM pc2 a JOIN pc2 b ON a.dim = b.dim GROUP BY 1, 2, 3),
-        |bnd AS (SELECT x.vec_id, ka.cid, CAST(x.sub // 2 AS INTEGER) AS band,
+        |bnd AS MATERIALIZED (SELECT x.vec_id, ka.cid, CAST(x.sub // 2 AS INTEGER) AS band,
         |    x.code AS c1, y.code AS c2
         |  FROM paf x JOIN paf y ON y.vec_id = x.vec_id AND y.sub = x.sub + 1
         |    AND x.sub % 2 = 0
         |  JOIN af ka ON ka.vec_id = x.vec_id),
-        |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb, a.cid
+        |cand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb, a.cid
         |  FROM bnd a JOIN bnd b ON a.cid = b.cid AND a.band = b.band
         |    AND a.c1 = b.c1 AND a.c2 = b.c2 AND a.vec_id < b.vec_id),
         |d AS (SELECT c.va, c.vb, c.cid, CAST(sum(t.pd2) AS BIGINT) AS sdc_d2
