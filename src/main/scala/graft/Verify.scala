@@ -16,7 +16,12 @@ object Verify {
     // truncation (a 5M-doc correctness dump is the same physics as the
     // probe that measured those knobs)
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
+    // streaming twin of SPARK_GRAFT_SHUFFLE (same contract as Bench):
+    // state partitions must shard wider with data, and a big-sf
+    // correctness dump of a stateful stream pays the same RocksDB
+    // physics as the probe that measured the knob
+    val streamShuffle = sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE")
+    val builder0 = SparkSession.builder()
       // local[cpus, 3]: 3 task attempts = the reference's retries: 2
       // (one initial + two retries, Final_app.py:18-19) — G3 semantics.
       .master(s"local[$cpus,3]")
@@ -24,6 +29,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val spark = streamShuffle
+      .fold(builder0)(v => builder0.config("graft.streaming.statePartitions", v))
       .getOrCreate()
     sys.env.get("SPARK_GRAFT_CKPT_LEVEL")
       .foreach(l => spark.conf.set(graft.Checkpoints.LevelKey, l))
