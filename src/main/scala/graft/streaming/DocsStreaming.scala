@@ -30,22 +30,24 @@ object DocsStreaming {
 
   // All staging I/O below goes through the Hadoop FileSystem API (the
   // GraftCommitSink/PartitionedTables discipline): on a real cluster
-  // the stream source dir lives on HDFS/S3A, and FileUtil.copy against
-  // the resolved FileSystem is the portable form of "seed the source".
+  // the stream source dir lives on HDFS/S3A. Staging goes THROUGH the
+  // Spark reader, never a raw file copy: a production-shape fixture is
+  // a DIRECTORY of part files, and Spark's file-stream source does not
+  // recurse into subdirectories — a raw copy of the dir under the
+  // source path produced a source the stream listed as EMPTY (caught by
+  // the sf100 oracle gate: 0 rows vs 1.56 M; smaller fixtures are
+  // single files, so no scale below the restaged one could see it).
+  // `_v2` layout tag: pre-fix stagings under the old name are ignored,
+  // the ScaleUp `v2` restage precedent.
   private def stagedDir(spark: SparkSession, sfDir: String): String = {
-    import org.apache.hadoop.fs.{FileUtil, Path}
+    import org.apache.hadoop.fs.Path
     val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(
-      sys.props("java.io.tmpdir"), s"graft_stream_docs_$safe")
-    val fs = dir.getFileSystem(conf)
-    val target = new Path(dir, "documents.parquet")
-    if (!fs.exists(target)) {
-      fs.mkdirs(dir)
-      val src = new Path(sfDir, "documents.parquet")
-      FileUtil.copy(src.getFileSystem(conf), src, fs, target,
-        false, false, conf)
-    }
+      sys.props("java.io.tmpdir"), s"graft_stream_docs_${safe}_v2")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dir, "_SUCCESS")))
+      spark.read.schema(docSchema).parquet(s"$sfDir/documents.parquet")
+        .write.mode("overwrite").parquet(dir.toString)
     dir.toString
   }
 
