@@ -29,6 +29,16 @@ object Checkpoints {
     */
   val DirKey = "graft.cc.checkpointDir"
 
+  /** Debug-only runtime conf key: when "true", `truncate` is the
+    * identity — NO checkpoint, NO materialization. Exists so
+    * `explain("formatted")` can show the complete plan of operators
+    * whose mid-plan lineage truncation otherwise hides everything
+    * upstream behind a `Scan ExistingRDD` (the plans/r15 dumps). Never
+    * set it for a real run: the CC loops rely on truncation for plan
+    * growth, and big-sf runs rely on it for the spill envelope.
+    */
+  val SkipKey = "graft.checkpoint.skip"
+
   /** Runtime conf key for the localCheckpoint storage level. Default
     * MEMORY_AND_DISK (deserialized — fastest re-read). At big scale
     * factors set MEMORY_AND_DISK_SER: 32 tasks concurrently
@@ -57,7 +67,8 @@ object Checkpoints {
     * files, which the cleaner owns).
     */
   def truncate(df: DataFrame): DataFrame =
-    df.sparkSession.conf.getOption(DirKey).filter(_.nonEmpty) match {
+    if (df.sparkSession.conf.getOption(SkipKey).contains("true")) df
+    else df.sparkSession.conf.getOption(DirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         ensureCheckpointDir(df, dir)
         df.checkpoint() // eager + reliable: blocks on fault-tolerant storage

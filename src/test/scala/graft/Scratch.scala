@@ -12,6 +12,11 @@ object Scratch {
       .master(sys.props.getOrElse("graft.scratch.master", "local[4]"))
       .config("spark.sql.shuffle.partitions",
         sys.props.getOrElse("graft.scratch.shuffle", "4"))
+      // plan-dump aid: -Dgraft.checkpoint.skip=true disables mid-plan
+      // lineage truncation so `explain` shows the WHOLE operator plan
+      // (see Checkpoints.SkipKey); harmless default otherwise
+      .config(Checkpoints.SkipKey,
+        sys.props.getOrElse(Checkpoints.SkipKey, "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -181,7 +186,11 @@ object Scratch {
             val ex = "Exchange hashpartitioning".r.findAllIn(plan).length
             val scans = "FileScan".r.findAllIn(plan).length
             val sorts = "Sort ".r.findAllIn(plan).length
-            println(f"$name%-24s cart=$cart bnlj=$bnlj exch=$ex scans=$scans sorts=$sorts")
+            // gen counts Generate (explode) nodes: N>1 identical
+            // generators in one executed plan = a recompute suspect
+            // (the lmScore/winnowPairs round-15 signature)
+            val gen = "Generate ".r.findAllIn(plan).length
+            println(f"$name%-24s cart=$cart bnlj=$bnlj exch=$ex scans=$scans sorts=$sorts gen=$gen")
           } catch { case e: Throwable =>
             println(f"$name%-24s ERROR ${e.getMessage.take(80)}")
           }
