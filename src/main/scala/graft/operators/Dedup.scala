@@ -675,13 +675,28 @@ object Dedup {
     * — mirrored in the oracle, the `q_containment` stop-cap discipline),
     * pairs kept at ≥ `minShared` shared fingerprints. At 100 TB the
     * index is the 2/(w+1)-density fingerprint table, never the text.
+    *
+    * The distinct (doc_id, fp) table is LINEAGE-TRUNCATED (round 15):
+    * it feeds three plan consumers — the df-cap aggregate and both
+    * sides of the postings self-join — and without truncation each one
+    * re-executes the winnowing projection (the most expensive
+    * per-row expression in the corpus: the executed sf0.1 plan showed
+    * three Generate(explode(fps)) subtrees). Materializing the
+    * 16-byte rows once replaces two full recomputes of the
+    * md5-gram + sliding-window-min chain.
     */
   def winnowPairs(spark: SparkSession, sfDir: String, k: Int = 5,
       w: Int = 4, minShared: Int = 2, maxDf: Int = 100): DataFrame = {
     val fps = winnow(spark, sfDir, k, w)
       .select(col("doc_id"), col("fp")).distinct()
+      .truncateLineage()
+    // df >= 2: a fingerprint present in exactly one document cannot
+    // produce a pair (its only self-join match fails doc_a < doc_b),
+    // yet unique fps dominate a deduplicated corpus — keeping them
+    // would hash-build and probe the self-join with rows that emit
+    // nothing. Result-identical; only the join input shrinks.
     val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
+      .filter(col("df") <= maxDf && col("df") >= 2)
       .select(col("fp"))
     val posting = fps.join(keep, "fp")
     posting.as("a").join(posting.as("b"),

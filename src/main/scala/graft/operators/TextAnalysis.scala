@@ -486,12 +486,23 @@ object TextAnalysis {
     * and fp_prev = fp60(prev) (tokens are whitespace-split, so the
     * space separator is injective), instead of two UTF8 token strings —
     * ~2× narrower rows and long-keyed joins end to end. The exploded
-    * stream is hash-partitioned on fp_bi ONCE and that exchange is
-    * REUSED by both consumers (Catalyst ReuseExchange: the bigram-count
-    * aggregate groups by (fp_bi, fp_prev), which fp_bi partitioning
-    * already clusters, and the scoring join keys on fp_bi) — the
-    * string-era plan shuffled the 150×-corpus bigram stream twice and
-    * computed the tokenize+explode twice. Map-side combine loses
+    * stream is hash-partitioned on fp_bi ONCE and then LINEAGE-TRUNCATED
+    * (round 15): the plan has three consumers of the exploded stream —
+    * the bigram-count aggregate, its unigram re-aggregate, and the
+    * scoring join — and ReuseExchange can NOT unify them, because each
+    * consumer prunes a different column set and the joins infer
+    * different IsNotNull filters below the exchange, so the canonical
+    * subtrees never compare equal and the tokenize+explode+fp60 chain
+    * executed 3× (three Generate nodes in the r14/r15-pre executed
+    * plan). Materializing the 24-byte (doc_id, fp_bi, fp_prev) rows
+    * once is strictly cheaper than two extra passes of the md5
+    * fingerprint chain over the 150×-corpus token stream, and the
+    * checkpoint preserves the fp_bi partitioning, so the bigram-count
+    * aggregate (grouping by (fp_bi, fp_prev), which fp_bi partitioning
+    * already clusters) and the scoring join both consume it
+    * exchange-free. `bi` is truncated too: the model join consumes it
+    * on both sides (bi ⋈ bi.groupBy), which otherwise re-aggregates
+    * the full bigram stream twice. Map-side combine loses
     * nothing here: on a diverse corpus mean bigram multiplicity is
     * ~1.5-2.5, so the partial phase the explicit repartition forgoes
     * never reduced anything. Fingerprint collisions merge two bigram
@@ -503,6 +514,7 @@ object TextAnalysis {
     * into a map-side probe.
     */
   def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.Checkpoints.TruncateOps
     val docs = Tables.documents(spark, sfDir)
     val t = wsTokens(col("text"))
     val n = size(t)
@@ -520,8 +532,10 @@ object TextAnalysis {
         fp60(concat(col("bg.prev"), lit(" "), col("bg.cur"))).as("fp_bi"),
         fp60(col("bg.prev")).as("fp_prev"))
       .repartition(col("fp_bi"))
+      .truncateLineage()
     val bi = docBi.groupBy(col("fp_bi"), col("fp_prev"))
       .agg(count(lit(1)).as("c_bi"))
+      .truncateLineage()
     val uni = bi.groupBy(col("fp_prev")).agg(sum(col("c_bi")).as("c_prev"))
     val model = bi.join(uni, "fp_prev")
       .withColumn("logp_f",

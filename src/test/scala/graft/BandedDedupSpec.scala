@@ -76,6 +76,28 @@ class BandedDedupSpec extends SparkTestBase {
     assert(all.count() === g)
   }
 
+  test("winnowPairs df>=2 keep-filter is result-identical to the unfiltered definition") {
+    // round-15 join-input optimization: keep drops df=1 fingerprints
+    // before the postings self-join. A df=1 fp's only self-join match is
+    // (x, x), which fails doc_a < doc_b — so the pair relation must be
+    // IDENTICAL to the brute-force recount over winnow's table with only
+    // the maxDf cap applied.
+    val out = Dedup.winnowPairs(spark, sf("sf0.01"))
+    val fps = Dedup.winnow(spark, sf("sf0.01"))
+      .select(col("doc_id"), col("fp")).distinct()
+    val keepAll = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= 100).select("fp")
+    val brute = fps.join(keepAll, "fp").as("a")
+      .join(fps.join(keepAll, "fp").as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+    assert(out.count() > 0, "fixture must exercise the pair path")
+    assert(out.except(brute).count() === 0)
+    assert(brute.except(out).count() === 0)
+  }
+
   test("pairBudget accounting matches materialized pair counts") {
     for (m <- Seq(1, 2, 32)) {
       val budget = Similarity.pairBudget(spark, sf(), maxSucc = m).head()
