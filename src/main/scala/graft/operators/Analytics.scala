@@ -2604,7 +2604,18 @@ object Analytics {
     * dims broadcast.
     */
   def q2MinCost(spark: SparkSession, sfDir: String): DataFrame = {
+    // Pre-prune lineitem to qualifying parts BEFORE the pair aggregate
+    // (guide §3.2: reduce the big side before shuffling it): the final
+    // inner join keeps only p_size=15 parts (~2% of the part space) and
+    // a part's min cost never depends on other parts, so the broadcast
+    // LEFT SEMI here is result-identical while the (partkey, suppkey)
+    // shuffle — the query's only fact exchange — shrinks ~50x. Round 15;
+    // previously the filter ran after the corpus-wide aggregate.
+    val sizedParts = Tables.part(spark, sfDir)
+      .filter(col("p_size") === 15).select(col("p_partkey"))
     val sc = Tables.lineitem(spark, sfDir)
+      .join(broadcast(sizedParts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg((min(dec("l_extendedprice")) * 100).cast("long").as("cost_cents"))
     val scMin = sc.groupBy(col("l_partkey"))

@@ -212,6 +212,25 @@ object TextAnalysis {
     * tf · ln(N/df) — two hash aggregations and a broadcast-size df side.
     * Ties break on the token string so ranking is deterministic.
     */
+  /** Materialization floor for the tf-reuse rewrite below (tfidfTop;
+    * bm25Top truncates unconditionally — its checkpoint already pays
+    * for itself at sf0.1 because it replaces TWO extra corpus passes):
+    * lineage-truncating the shared aggregate saves a
+    * full corpus re-tokenize per extra consumer, but at toy corpus
+    * sizes the checkpoint write costs MORE than the saved pass
+    * (measured r15, isolated 3-pass sf0.1: tfidf 0.640→0.753 s
+    * truncated — the winnow_pairs parity story again). Same discipline
+    * as Tables.documentsLight's spread floor: below the byte floor the
+    * plan keeps the (cheap at that scale) re-explode; from sf1 up
+    * (5.5 MB) materialization wins and keeps winning. Conf-overridable
+    * so a cluster deployment can pin either behavior.
+    */
+  private def tfReuseWorthIt(spark: SparkSession, sfDir: String): Boolean = {
+    val floor = spark.conf.getOption("graft.text.tfCheckpointMinBytes")
+      .map(_.toLong).getOrElse(4L << 20)
+    Tables.fsFingerprint(spark, s"$sfDir/documents.parquet")._2 >= floor
+  }
+
   def tfidfTop(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
@@ -219,10 +238,25 @@ object TextAnalysis {
     // joined in (BNLJ over 1 row), so the whole query is one job — no
     // separate driver-side count() scan.
     val n = broadcast(docs.agg(count(lit(1)).cast("double").as("n_docs")))
+    import graft.Checkpoints.TruncateOps
     val toks = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
-    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val df = toks.select(col("doc_id"), col("token")).distinct()
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // tf computed ONCE and lineage-truncated. df is then derived FROM tf
+    // — df(token) = |{doc : tf(doc,token) > 0}| = tf's row count per
+    // token — instead of a second distinct() pass over the re-exploded
+    // corpus. The AST-level derivation alone is NOT enough: Catalyst
+    // prunes tf's count column under the df consumer, which makes the
+    // two aggregate subtrees canonically different, so ReuseExchange
+    // never unifies them and the corpus was tokenized twice (the
+    // executed r15-before plan shows two Generate(explode) subtrees,
+    // each over its own scan). Materializing the reduced tf relation
+    // (doc_id, token, count — the corpus collapsed ~tf-fold) makes the
+    // second pass an in-memory re-aggregation (guide §2.3/§2.4 +
+    // §5 localCheckpoint; the q_lm_score round-15 recipe).
+    val tfRaw = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val tf = if (tfReuseWorthIt(spark, sfDir)) tfRaw.truncateLineage()
+      else tfRaw
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("token"))
     tf.join(df, "token")
@@ -343,38 +377,24 @@ object TextAnalysis {
     * broadcast prefix sum — never an empty-key window.
     */
   /** The (length, source) count table [[ksDrift]] and [[psiDrift]] both
-    * start from, persisted ONCE per (session, sfDir). Memoize-with-
-    * replacement rather than per-call persist: the two monitors share
-    * the scan by design (CacheManager already dedupes identical plans),
-    * but neither can unpersist without orphaning the other, so a long
-    * bench session accumulated a cache entry per call (ADVICE r9).
-    * Retiring the previous entry on sfDir/session change bounds the
-    * footprint to exactly one counts frame process-wide.
+    * start from, computed fresh PER INVOCATION and lineage-truncated so
+    * the 3-4 plan consumers inside one monitor (per-source totals,
+    * pooled totals, value grid, the cumulative join) share one
+    * materialization of the bounded |values|×|sources| grid instead of
+    * re-running the corpus aggregate each. Round 15 retired the previous
+    * cross-run memo (an AtomicReference keyed on sfDir+fs-fingerprint):
+    * a persisted intermediate that outlives the query run means a timed
+    * bench pass never recomputes the corpus scan — a measurement
+    * artifact, not a plan property. Each run now pays its own one
+    * map-side-combined aggregate, which is the honest per-query cost.
     */
-  private val driftCountsCache =
-    new java.util.concurrent.atomic.AtomicReference[(String, DataFrame)]()
-  private def driftCounts(spark: SparkSession, sfDir: String): DataFrame =
-    driftCountsCache.synchronized {
-      // FS fingerprint in the key: data regenerated in place under the
-      // same sfDir (ScaleUp wipe/resume) retires the pinned counts
-      // instead of serving blocks cached from the old corpus.
-      val (fp, _) = graft.sources.Tables.fsFingerprint(
-        spark, s"$sfDir/documents.parquet")
-      val cacheKey = s"$sfDir|$fp"
-      val cur = driftCountsCache.get()
-      if (cur != null && cur._1 == cacheKey && (cur._2.sparkSession eq spark)) {
-        cur._2
-      } else {
-        if (cur != null)
-          scala.util.Try(cur._2.unpersist(blocking = false))
-        val c = Tables.documents(spark, sfDir)
-          .groupBy(col("n_chars").as("v"), col("source"))
-          .agg(count(lit(1)).as("c"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        driftCountsCache.set((cacheKey, c))
-        c
-      }
-    }
+  private def driftCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.Checkpoints.TruncateOps
+    Tables.documents(spark, sfDir)
+      .groupBy(col("n_chars").as("v"), col("source"))
+      .agg(count(lit(1)).as("c"))
+      .truncateLineage()
+  }
 
   def ksDrift(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -614,6 +634,19 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(spark, sfDir)
       .select(col("source"), explode(wsTokens(col("text"))).as("token"))
+    // NEGATIVE RESULT (round 15, recorded where the next optimizer will
+    // look): the executed plan tokenizes the corpus once per consumer
+    // (4 Generate subtrees — join side, y_all, n_s, totals; inferred
+    // IsNotNull filters keep them canonically different so
+    // ReuseExchange never fires). The tfidfTop/bm25Top fix —
+    // lineage-truncate ys and derive y_all = Σ_sources y_s from it —
+    // was tried and measured SLOWER here at BOTH scales (isolated
+    // 3-pass sf0.1: 0.472 → 0.557 s; min-of-2-warm sf10: 3.22 →
+    // 3.79 s): unlike tf, the (source, token) grid grows with the
+    // ciphered per-replica vocabulary, so materializing it costs more
+    // than the saved re-tokenizes, and the checkpoint's
+    // UnknownPartitioning re-adds exchanges the pipelined partial
+    // aggregates didn't pay. Four cheap map-side-combined passes win.
     val ys = toks.groupBy(col("source"), col("token")).agg(count(lit(1)).as("y_s"))
     val yAll = toks.groupBy(col("token")).agg(count(lit(1)).as("y_all"))
     val nS = ys.groupBy(col("source")).agg(sum(col("y_s")).as("n_s"))
@@ -782,14 +815,28 @@ object TextAnalysis {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documentsLight(spark, sfDir)
+    import graft.Checkpoints.TruncateOps
     val toks = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
-    val dl = docs.select(col("doc_id"), size(wsTokens(col("text"))).as("dl"))
-    val stats = broadcast(dl.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      sum(col("dl")).cast("double").as("sum_dl")))
-    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val df = toks.select(col("doc_id"), col("token")).distinct()
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // tf computed ONCE (lineage-truncated), dl and df derived FROM it
+    // (guide §2.3/§2.4 + §5; the q_lm_score/tfidfTop recipe): the
+    // original formulation tokenized the corpus THREE times — once for
+    // tf, once for df's distinct, once for dl's size(wsTokens) — and
+    // per-consumer column pruning keeps the subtrees canonically
+    // different, so ReuseExchange never unified them. dl(doc) = Σ tf
+    // (every token occurrence is counted exactly once in tf), and
+    // df(token) = tf's row count per token. Zero-token documents are
+    // absent from the derived dl, but they were already unreachable in
+    // the output (the tf inner join drops them); only `stats` ever saw
+    // them, so n_docs keeps its own corpus count (a column-pruned scan,
+    // no tokenize) while sum_dl — to which empty docs contribute 0 —
+    // re-aggregates the derived dl.
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .truncateLineage()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = broadcast(docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      .crossJoin(dl.agg(sum(col("dl")).cast("double").as("sum_dl"))))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     // operation order mirrored verbatim in the DuckDB oracle: idf first,
     // then the saturation quotient, one multiply at the end
     val idf = log((col("n_docs") - col("df") + lit(0.5))

@@ -65,9 +65,9 @@ object Tables {
       _ => java.util.UUID.randomUUID().toString)
 
   /** Cheap FS-metadata fingerprint: file count, total bytes, max mtime.
-    * Shared with model/cache keying (Similarity.materializedModel,
-    * TextAnalysis.driftCounts) so regenerated-in-place data invalidates
-    * every derived artifact, not just the spread decision.
+    * Shared with model-store keying (Similarity.materializedModel) so
+    * regenerated-in-place data invalidates every derived artifact, not
+    * just the spread decision.
     */
   private[graft] def fsFingerprint(spark: SparkSession, path: String): (String, Long) = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -59,4 +59,43 @@ class TextOpsSpec extends SparkTestBase {
     assert(rows.exists(r => !r.isNullAt(r.fieldIndex("lm_score")) &&
       r.getAs[Double]("lm_score") < -0.5))
   }
+
+  test("round-15 single-pass derivations: df, dl, y_all from tf equal the two-pass definitions") {
+    // tfidfTop/bm25Top now derive document frequency and document
+    // length by RE-AGGREGATING the materialized tf instead of
+    // re-exploding the token stream. This pins the identities the
+    // rewrite rests on, recomputed brute-force from the raw corpus.
+    // (The y_all identity is pinned too: distinctiveTerms's rewrite was
+    // measured slower and reverted, but the identity backs any future
+    // retry — see the operator's negative-result comment.)
+    import graft.functions.TextFunctions.wsTokens
+    val docs = graft.sources.Tables.documents(spark, sf())
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(wsTokens(col("text"))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+    // df(token): rows-per-token over tf == count of distinct docs
+    val dfDerived = tf.groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val dfBrute = toks.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    assert(dfDerived.exceptAll(dfBrute).isEmpty &&
+      dfBrute.exceptAll(dfDerived).isEmpty, "df-from-tf != distinct-docs df")
+
+    // dl(doc): sum(tf) == token count, for every doc with >=1 token
+    val dlDerived = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("n"))
+    val dlBrute = docs
+      .select(col("doc_id"), size(wsTokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+    assert(dlDerived.exceptAll(dlBrute).isEmpty &&
+      dlBrute.exceptAll(dlDerived).isEmpty, "dl-from-tf != size(wsTokens)")
+
+    // y_all(token): sum of per-source counts == corpus occurrence count
+    val ys = toks.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("y_s"))
+    val yAllDerived = ys.groupBy(col("token")).agg(sum(col("y_s")).as("n"))
+    val yAllBrute = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+    assert(yAllDerived.exceptAll(yAllBrute).isEmpty &&
+      yAllBrute.exceptAll(yAllDerived).isEmpty, "y_all-from-ys != corpus count")
+  }
 }
