@@ -212,23 +212,37 @@ object TextAnalysis {
     * tf · ln(N/df) — two hash aggregations and a broadcast-size df side.
     * Ties break on the token string so ranking is deterministic.
     */
-  /** Materialization floor for the tf-reuse rewrite below (tfidfTop;
-    * bm25Top truncates unconditionally — its checkpoint already pays
-    * for itself at sf0.1 because it replaces TWO extra corpus passes):
-    * lineage-truncating the shared aggregate saves a
-    * full corpus re-tokenize per extra consumer, but at toy corpus
-    * sizes the checkpoint write costs MORE than the saved pass
-    * (measured r15, isolated 3-pass sf0.1: tfidf 0.640→0.753 s
-    * truncated — the winnow_pairs parity story again). Same discipline
-    * as Tables.documentsLight's spread floor: below the byte floor the
-    * plan keeps the (cheap at that scale) re-explode; from sf1 up
-    * (5.5 MB) materialization wins and keeps winning. Conf-overridable
-    * so a cluster deployment can pin either behavior.
+  /** Materialization WINDOW for the token-stream checkpoint rewrites
+    * below (tfidfTop / bm25Top's tf, lmScore's exploded fp60 stream):
+    * lineage-truncating the shared relation saves a full corpus
+    * re-tokenize per extra consumer, but it only pays while the
+    * materialized rows FIT the executors' storage memory.
+    *
+    *  - FLOOR (per call site; tfidf 4 MiB, others 0): at toy corpus
+    *    sizes the checkpoint write costs more than the saved pass
+    *    (measured r15, isolated 3-pass sf0.1: tfidf 0.640→0.753 s
+    *    truncated) — the documentsLight/spread-floor discipline.
+    *  - CEILING (`graft.text.tfCheckpointMaxBytes`, default 256 MB of
+    *    corpus): past the storage budget the checkpoint THRASHES — at
+    *    sf100 (573 MB corpus) lmScore's ~18 GB exploded-stream
+    *    checkpoint logged "Not enough space to cache" ×22 and measured
+    *    300.2 s vs the 178.4 s non-truncated ledger entry (269.6 s
+    *    even under CKPT_LEVEL=MEMORY_AND_DISK_SER); tfidf 181.4 s vs
+    *    75.5 s. At sf10 (57 MB corpus, ~1.8 GB stream) the same
+    *    checkpoints FIT and win big (lm 30.2→7.8 s warm). The default
+    *    ceiling is sized for this one-box 48 g probe envelope; a
+    *    production cluster raises it in proportion to aggregate
+    *    executor storage, where the materialize-once plan wins at any
+    *    corpus size (the SPARK_GRAFT_CKPT_LEVEL sibling knob).
     */
-  private def tfReuseWorthIt(spark: SparkSession, sfDir: String): Boolean = {
+  private def tfReuseWorthIt(spark: SparkSession, sfDir: String,
+      minDefault: Long = 4L << 20): Boolean = {
+    val bytes = Tables.fsFingerprint(spark, s"$sfDir/documents.parquet")._2
     val floor = spark.conf.getOption("graft.text.tfCheckpointMinBytes")
-      .map(_.toLong).getOrElse(4L << 20)
-    Tables.fsFingerprint(spark, s"$sfDir/documents.parquet")._2 >= floor
+      .map(_.toLong).getOrElse(minDefault)
+    val ceil = spark.conf.getOption("graft.text.tfCheckpointMaxBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+    bytes >= floor && bytes <= ceil
   }
 
   def tfidfTop(spark: SparkSession, sfDir: String): DataFrame = {
@@ -546,13 +560,22 @@ object TextAnalysis {
     // (whole-stage-codegen'd md5), not inside the zip_with lambda
     // (interpreted HOF evaluation); the strings die in-pipeline before
     // the exchange
-    val docBi = docs
+    // The exploded-stream checkpoint is WINDOWED (r15, second pass): at
+    // sf10 its ~1.8 GB fits storage and the truncation measured
+    // 30.2 → 7.8 s warm; at sf100 the ~18 GB stream thrashes the 48 g
+    // box (300.2 s vs 178.4 s without — "Not enough space to cache"
+    // ×22, and MEMORY_AND_DISK_SER still 269.6 s), so past the
+    // tfCheckpointMaxBytes ceiling the stream recomputes per consumer
+    // instead. The bi-count truncation below stays unconditional — the
+    // aggregated model relation is small at every scale.
+    val docBiRaw = docs
       .select(col("doc_id"), explode(bigrams).as("bg"))
       .select(col("doc_id"),
         fp60(concat(col("bg.prev"), lit(" "), col("bg.cur"))).as("fp_bi"),
         fp60(col("bg.prev")).as("fp_prev"))
       .repartition(col("fp_bi"))
-      .truncateLineage()
+    val docBi = if (tfReuseWorthIt(spark, sfDir, minDefault = 0L))
+      docBiRaw.truncateLineage() else docBiRaw
     val bi = docBi.groupBy(col("fp_bi"), col("fp_prev"))
       .agg(count(lit(1)).as("c_bi"))
       .truncateLineage()
@@ -830,9 +853,12 @@ object TextAnalysis {
     // them, so n_docs keeps its own corpus count (a column-pruned scan,
     // no tokenize) while sum_dl — to which empty docs contribute 0 —
     // re-aggregates the derived dl.
-    val tf = toks.groupBy(col("doc_id"), col("token"))
+    val tfRaw = toks.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .truncateLineage()
+    // floor 0: dropping TWO extra passes pays even at sf0.1 (0.866 →
+    // 0.825 s isolated); the ceiling still applies (see tfReuseWorthIt)
+    val tf = if (tfReuseWorthIt(spark, sfDir, minDefault = 0L))
+      tfRaw.truncateLineage() else tfRaw
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = broadcast(docs.agg(count(lit(1)).cast("double").as("n_docs"))
       .crossJoin(dl.agg(sum(col("dl")).cast("double").as("sum_dl"))))
