@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked main's stdout straight through instead of re-logging
+// it with an "[info] " prefix: the driver parses Bench's final compact
+// JSON line from the captured log tail, and the prefix has kept every
+// BENCH_rN.json "parsed": null since round 4 (a line that starts with
+// "[info] {" is not JSON).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

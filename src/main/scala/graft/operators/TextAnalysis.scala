@@ -238,10 +238,15 @@ object TextAnalysis {
   private def tfReuseWorthIt(spark: SparkSession, sfDir: String,
       minDefault: Long = 4L << 20): Boolean = {
     val bytes = Tables.fsFingerprint(spark, s"$sfDir/documents.parquet")._2
-    val floor = spark.conf.getOption("graft.text.tfCheckpointMinBytes")
-      .map(_.toLong).getOrElse(minDefault)
-    val ceil = spark.conf.getOption("graft.text.tfCheckpointMaxBytes")
-      .map(_.toLong).getOrElse(256L << 20)
+    // fail naming the key, not as a bare NumberFormatException at
+    // plan-build time (ADVICE r15)
+    def confBytes(key: String, default: Long): Long =
+      spark.conf.getOption(key).fold(default) { v =>
+        v.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"$key must be a byte count (long), got '$v'"))
+      }
+    val floor = confBytes("graft.text.tfCheckpointMinBytes", minDefault)
+    val ceil = confBytes("graft.text.tfCheckpointMaxBytes", 256L << 20)
     bytes >= floor && bytes <= ceil
   }
 
@@ -401,6 +406,17 @@ object TextAnalysis {
     * bench pass never recomputes the corpus scan — a measurement
     * artifact, not a plan property. Each run now pays its own one
     * map-side-combined aggregate, which is the honest per-query cost.
+    *
+    * Block lifetime (ADVICE r15): the truncated grid cannot be
+    * unpersisted here — the monitor's result is returned LAZY and the
+    * checkpointed blocks must outlive its terminal action, which this
+    * method never sees. Reclamation is deliberately left to Spark's
+    * ContextCleaner: once the returned plan's RDD is unreachable the
+    * cleaner drops the blocks (the suite runs with non-blocking
+    * reference tracking — see Bench's session conf). The grid is tiny by
+    * construction (|distinct n_chars| × |sources| rows, ~10⁴ bytes at
+    * any sf — it does NOT grow with corpus rows), so even a long bench
+    * session accumulates KBs between GCs, not MBs.
     */
   private def driftCounts(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.Checkpoints.TruncateOps
@@ -857,9 +873,20 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
     // floor 0: dropping TWO extra passes pays even at sf0.1 (0.866 →
     // 0.825 s isolated); the ceiling still applies (see tfReuseWorthIt)
-    val tf = if (tfReuseWorthIt(spark, sfDir, minDefault = 0L))
-      tfRaw.truncateLineage() else tfRaw
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val tfWorthIt = tfReuseWorthIt(spark, sfDir, minDefault = 0L)
+    val tf = if (tfWorthIt) tfRaw.truncateLineage() else tfRaw
+    // dl = Σ tf is only a win while tf is MATERIALIZED (one in-memory
+    // re-aggregation). Past the tfCheckpointMaxBytes ceiling tf is raw
+    // lineage, and deriving dl from it re-runs the full tokenize +
+    // (doc_id, token) aggregate plus a second shuffle — strictly worse
+    // than the original map-only dl = per-document token count straight
+    // off the scan (identical values: Σ tf over a doc counts every
+    // element of wsTokens(text) exactly once). The fallback restores
+    // the exact pre-truncation plan whose sf100 ledger numbers stand
+    // (ADVICE r15 medium).
+    val dl = if (tfWorthIt)
+      tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    else docs.select(col("doc_id"), size(wsTokens(col("text"))).as("dl"))
     val stats = broadcast(docs.agg(count(lit(1)).cast("double").as("n_docs"))
       .crossJoin(dl.agg(sum(col("dl")).cast("double").as("sum_dl"))))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))

@@ -98,4 +98,17 @@ class TextOpsSpec extends SparkTestBase {
     assert(yAllDerived.exceptAll(yAllBrute).isEmpty &&
       yAllBrute.exceptAll(yAllDerived).isEmpty, "y_all-from-ys != corpus count")
   }
+
+  test("bm25Top past-ceiling fallback (map-only dl) is result-identical to the truncated plan") {
+    // ADVICE r16: past tfCheckpointMaxBytes, bm25Top computes dl with
+    // the original map-only size(wsTokens) instead of re-aggregating a
+    // non-materialized tf. Both branches must produce the same rows.
+    val key = "graft.text.tfCheckpointMaxBytes"
+    val truncated = TextAnalysis.bm25Top(spark, sf()).collect().toSet
+    spark.conf.set(key, "0") // every corpus is past a 0-byte ceiling
+    try {
+      val fallback = TextAnalysis.bm25Top(spark, sf()).collect().toSet
+      assert(fallback === truncated, "fallback branch diverged from truncated branch")
+    } finally spark.conf.unset(key)
+  }
 }
