@@ -331,11 +331,33 @@ object EventsStreaming {
       case other => throw new IllegalArgumentException(
         s"graft.streaming.stateProvider must be rocksdb|heap|session, got '$other'")
     }
+    // RocksDB changelog checkpointing (default ON, graft-level off
+    // switch for comparison runs): without it every micro-batch commit
+    // uploads a full RocksDB snapshot per state-store partition; with
+    // it the commit writes only that batch's changelog and snapshots
+    // move to the background maintenance thread. This is the documented
+    // production mode for low-latency stateful streaming and is
+    // restart-compatible (recovery replays changelogs onto the last
+    // snapshot) — the result contract is unchanged at any scale, only
+    // per-commit checkpoint bytes shrink.
+    val clKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val changelog = spark.conf.getOption("graft.streaming.rocksdbChangelog")
+        .getOrElse("true") match {
+      case "true" | "1"  => true
+      case "false" | "0" => false
+      case other => throw new IllegalArgumentException(
+        s"graft.streaming.rocksdbChangelog must be true|false, got '$other'")
+    }
+    val oldChangelog = spark.conf.getOption(clKey)
     spark.conf.set(key, eff.toString)
     desired.foreach(spark.conf.set(pKey, _))
+    if (changelog) spark.conf.set(clKey, "true")
     try body finally {
       spark.conf.set(key, old)
       if (desired.nonEmpty) spark.conf.set(pKey, oldProvider)
+      if (changelog) oldChangelog.fold(spark.conf.unset(clKey))(
+        spark.conf.set(clKey, _))
     }
   }
 

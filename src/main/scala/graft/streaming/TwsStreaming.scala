@@ -21,12 +21,24 @@ object TwsStreaming {
     */
   private def withRocksDb[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.streaming.stateStore.providerClass"
+    // changelog checkpointing: same policy + rationale as
+    // EventsStreaming.withStreamPartitions — per-commit changelogs
+    // instead of per-commit full snapshots; result-invariant
+    val clKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val old = spark.conf.getOption(key)
+    val oldCl = spark.conf.getOption(clKey)
+    val changelog = !spark.conf.getOption("graft.streaming.rocksdbChangelog")
+      .contains("false")
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body finally old match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+    if (changelog) spark.conf.set(clKey, "true")
+    try body finally {
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+      if (changelog) oldCl.fold(spark.conf.unset(clKey))(spark.conf.set(clKey, _))
     }
   }
 
